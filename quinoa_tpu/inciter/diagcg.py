@@ -1,0 +1,156 @@
+"""DiagCG: node-centered, diagonally-lumped Taylor-Galerkin + FCT solver.
+
+TPU-native re-design of the reference's DiagCG chare array
+(src/Inciter/DiagCG.cpp: dt 229-286, rhs 288-357, solve 359-414, update
+472-500) and its DistFCT companion: one time step is a single pure jitted
+function
+
+    state' = step(state)
+
+whose internal structure is
+
+    dt (global min)  ->  rhs + mass-diffusion  ->  low/high solve  ->
+    FCT aec -> alw -> lim  ->  u' = ul + A
+
+with all element loops as segment ops.  The single-shard version below has
+no communication; the sharded version (quinoa_tpu.parallel.diagcg_spmd)
+wraps the same kernels in shard_map and combines node buffers on shard
+boundaries where DistFCT exchanged messages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..fct.fct import FCT
+from ..pde.cg import CGGeom, lumped_mass
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["u", "t", "it", "dt"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class CGState:
+    """Time-marching state for node-centered schemes."""
+
+    u: jnp.ndarray  # (nnode, ncomp)
+    t: jnp.ndarray  # scalar
+    it: jnp.ndarray  # scalar int
+    dt: jnp.ndarray  # scalar, last dt taken
+
+
+class DiagCGSolver:
+    """Single-shard DiagCG driver.
+
+    Parameters
+    ----------
+    system : CGPDE operator (e.g. quinoa_tpu.pde.cg.CGTransport)
+    geom   : CGGeom static geometry
+    cfl    : Courant number scaling the min element dt
+    const_dt : use a constant dt instead of CFL if given
+    ctau   : FCT mass-diffusion coefficient
+    fct    : enable flux-corrected transport (else plain lumped-mass TG)
+    bcnodes : (nbc,) int32 node ids with Dirichlet BCs (all components), or None
+    """
+
+    def __init__(
+        self,
+        system,
+        geom: CGGeom,
+        cfl: float = 0.5,
+        const_dt: Optional[float] = None,
+        ctau: float = 1.0,
+        fct: bool = True,
+        bcnodes=None,
+    ):
+        self.system = system
+        self.geom = geom
+        self.cfl = cfl
+        self.const_dt = const_dt
+        self.fct = FCT(ctau=ctau)
+        self.use_fct = fct
+
+        ncomp = system.ncomp
+        bcmask = jnp.zeros((geom.nnode, ncomp), dtype=geom.vol.dtype)
+        if bcnodes is not None and len(bcnodes) > 0:
+            bcmask = bcmask.at[jnp.asarray(bcnodes, dtype=jnp.int32)].set(1.0)
+        self.bcmask = bcmask
+
+        # assembled lumped-mass lhs (DiagCG::lhs + lhsmerge)
+        self.lhs = lumped_mass(geom)
+
+        self._step = jax.jit(self._step_impl)
+
+    # -- public API ---------------------------------------------------------
+
+    def initial_state(self, t0: float = 0.0) -> CGState:
+        u0 = self.system.initialize(self.geom.coords, t0)
+        dtype = self.geom.vol.dtype
+        return CGState(
+            u=u0.astype(dtype),
+            t=jnp.asarray(t0, dtype=dtype),
+            it=jnp.asarray(0, dtype=jnp.int32),
+            dt=jnp.asarray(0.0, dtype=dtype),
+        )
+
+    def step(self, state: CGState) -> CGState:
+        return self._step(state)
+
+    def nsteps(self, state: CGState, n: int) -> CGState:
+        """Run n steps under one lax.scan (single compiled program)."""
+
+        def body(s, _):
+            return self._step_impl(s), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n)
+        return out
+
+    # -- implementation -------------------------------------------------------
+
+    def compute_dt(self, u):
+        if self.const_dt is not None:
+            return jnp.asarray(self.const_dt, dtype=self.geom.vol.dtype)
+        return self.system.dt(self.geom, u) * self.cfl
+
+    def _step_impl(self, state: CGState) -> CGState:
+        geom = self.geom
+        u = state.u
+        dt = self.compute_dt(u)
+
+        # rhs of the high-order (lumped-mass TG) system + mass diffusion
+        r = self.system.rhs(state.t, dt, geom, u)
+        dif = self.fct.diff(geom, u)
+
+        # Dirichlet BCs: lhs=1, rhs=bc increment, dif=0 at BC nodes
+        # (DiagCG::solve, src/Inciter/DiagCG.cpp:359-414)
+        binc = self.system.solinc(geom.coords, state.t, dt).astype(u.dtype)
+        lhs = jnp.where(self.bcmask > 0, 1.0, self.lhs[:, None])
+        r = jnp.where(self.bcmask > 0, binc, r)
+        dif = jnp.where(self.bcmask > 0, 0.0, dif)
+
+        # low- and high-order solves (both diagonal)
+        dul = (r + dif) / lhs
+        ul = u + dul
+        du = r / lhs
+
+        if self.use_fct:
+            aec, P = self.fct.aec(geom, du, u, self.bcmask)
+            Q = self.fct.alw(geom, u, ul)
+            A = self.fct.lim(geom, aec, P, Q, ul)
+            unew = ul + A
+        else:
+            unew = u + du
+
+        return CGState(
+            u=unew,
+            t=state.t + dt,
+            it=state.it + 1,
+            dt=dt,
+        )
