@@ -46,6 +46,59 @@ class CGState:
     dt: jnp.ndarray  # scalar, last dt taken
 
 
+def _identity_combine(x):
+    return x
+
+
+def diagcg_advance(
+    system,
+    fct,
+    use_fct: bool,
+    geom,
+    lhs,
+    bcmask,
+    u,
+    t,
+    dt,
+    combine_sum=_identity_combine,
+    combine_max=_identity_combine,
+    combine_min=_identity_combine,
+):
+    """One DiagCG(+FCT) update of the solution given a time step size.
+
+    The three combine hooks are applied to node buffers exactly where the
+    reference's DistFCT/DiagCG exchanged chare-boundary messages:
+    rhs+dif (comrhs), P and Q (comaec/comalw), A (comlim).  On a single
+    shard they are the identity; the SPMD driver injects boundary-buffer
+    psum/pmax/pmin reductions.
+    """
+    r = system.rhs(t, dt, geom, u)
+    dif = fct.diff(geom, u)
+    r = combine_sum(r)
+    dif = combine_sum(dif)
+
+    # Dirichlet BCs: lhs=1, rhs=bc increment, dif=0 at BC nodes
+    # (DiagCG::solve, src/Inciter/DiagCG.cpp:359-414)
+    binc = system.solinc(geom.coords, t, dt).astype(u.dtype)
+    lhs_eff = jnp.where(bcmask > 0, 1.0, lhs[:, None])
+    r = jnp.where(bcmask > 0, binc, r)
+    dif = jnp.where(bcmask > 0, 0.0, dif)
+
+    dul = (r + dif) / lhs_eff
+    ul = u + dul
+    du = r / lhs_eff
+
+    if not use_fct:
+        return u + du
+
+    aec, P = fct.aec(geom, du, u, bcmask)
+    Q = fct.alw(geom, u, ul)
+    P = jnp.stack([combine_sum(P[:, 0]), combine_sum(P[:, 1])], axis=1)
+    Q = jnp.stack([combine_max(Q[:, 0]), combine_min(Q[:, 1])], axis=1)
+    A = combine_sum(fct.lim(geom, aec, P, Q, ul))
+    return ul + A
+
+
 class DiagCGSolver:
     """Single-shard DiagCG driver.
 
@@ -120,34 +173,18 @@ class DiagCGSolver:
         return self.system.dt(self.geom, u) * self.cfl
 
     def _step_impl(self, state: CGState) -> CGState:
-        geom = self.geom
-        u = state.u
-        dt = self.compute_dt(u)
-
-        # rhs of the high-order (lumped-mass TG) system + mass diffusion
-        r = self.system.rhs(state.t, dt, geom, u)
-        dif = self.fct.diff(geom, u)
-
-        # Dirichlet BCs: lhs=1, rhs=bc increment, dif=0 at BC nodes
-        # (DiagCG::solve, src/Inciter/DiagCG.cpp:359-414)
-        binc = self.system.solinc(geom.coords, state.t, dt).astype(u.dtype)
-        lhs = jnp.where(self.bcmask > 0, 1.0, self.lhs[:, None])
-        r = jnp.where(self.bcmask > 0, binc, r)
-        dif = jnp.where(self.bcmask > 0, 0.0, dif)
-
-        # low- and high-order solves (both diagonal)
-        dul = (r + dif) / lhs
-        ul = u + dul
-        du = r / lhs
-
-        if self.use_fct:
-            aec, P = self.fct.aec(geom, du, u, self.bcmask)
-            Q = self.fct.alw(geom, u, ul)
-            A = self.fct.lim(geom, aec, P, Q, ul)
-            unew = ul + A
-        else:
-            unew = u + du
-
+        dt = self.compute_dt(state.u)
+        unew = diagcg_advance(
+            self.system,
+            self.fct,
+            self.use_fct,
+            self.geom,
+            self.lhs,
+            self.bcmask,
+            state.u,
+            state.t,
+            dt,
+        )
         return CGState(
             u=unew,
             t=state.t + dt,

@@ -1,0 +1,22 @@
+"""Parallel layer: mesh partitioning, sharding, and halo exchange.
+
+TPU-native counterpart of the reference's Charm++ orchestration
+(src/Inciter/Partitioner.cpp, Sorter.cpp, the comrhs/comlhs/comaec/... p2p
+exchanges of DiagCG/DistFCT, and Zoltan2 geometric partitioning): a static
+host-side partition of elements over a `jax.sharding.Mesh`, per-shard padded
+tables, and node-buffer combines (`psum`/`pmax`/`pmin` over the shard axis)
+at exactly the points where the reference exchanged messages.
+"""
+
+from .partition import morton_partition, rcb_partition, partition_elements
+from .shard import ShardedCG, build_cg_shards
+from .spmd import SPMDDiagCGSolver
+
+__all__ = [
+    "morton_partition",
+    "rcb_partition",
+    "partition_elements",
+    "ShardedCG",
+    "build_cg_shards",
+    "SPMDDiagCGSolver",
+]
