@@ -7,5 +7,28 @@ initial conditions, Dirichlet-BC increments, and analytic-error diagnostics.
 """
 
 from .transport import SlotCyl, GaussHump, CylAdvect, ShearDiff
+from .compflow import (
+    VorticalFlow,
+    TaylorGreen,
+    SodShocktube,
+    RotatedSodShocktube,
+    SedovBlastwave,
+    NLEnergyGrowth,
+    RayleighTaylor,
+    UserDefined,
+)
 
-__all__ = ["SlotCyl", "GaussHump", "CylAdvect", "ShearDiff"]
+__all__ = [
+    "SlotCyl",
+    "GaussHump",
+    "CylAdvect",
+    "ShearDiff",
+    "VorticalFlow",
+    "TaylorGreen",
+    "SodShocktube",
+    "RotatedSodShocktube",
+    "SedovBlastwave",
+    "NLEnergyGrowth",
+    "RayleighTaylor",
+    "UserDefined",
+]

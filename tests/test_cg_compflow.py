@@ -1,0 +1,124 @@
+"""CG compressible-flow (Euler) tests: manufactured solutions + Sod.
+
+Mirrors the reference regression coverage (tests/regression/inciter/
+compflow/Euler/{VorticalFlow,TaylorGreen,NLEnergyGrowth,RayleighTaylor,
+SodShocktube}): analytic-error diagnostics after real time stepping.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quinoa_tpu.mesh import box_tet_mesh
+from quinoa_tpu.pde.cg import make_cggeom
+from quinoa_tpu.pde.cg_compflow import CGCompFlow, euler_flux
+from quinoa_tpu.pde.problems import (
+    VorticalFlow,
+    TaylorGreen,
+    SodShocktube,
+    SedovBlastwave,
+    NLEnergyGrowth,
+    RayleighTaylor,
+)
+from quinoa_tpu.pde.problems.compflow import euler_flux_point
+from quinoa_tpu.inciter import DiagCGSolver, Diagnostics
+
+
+def test_euler_flux_consistency():
+    """Batched flux matches the point-wise flux used for autodiff sources."""
+    rng = np.random.default_rng(0)
+    U = rng.uniform(0.5, 2.0, size=(7, 5))
+    U[:, 4] += 5.0  # keep pressure positive
+    prob = VorticalFlow()
+    p = prob.eos.pressure_cons(jnp.asarray(U))
+    F1 = euler_flux(jnp.asarray(U), p)
+    F2 = jax.vmap(lambda u: euler_flux_point(u, prob.eos))(jnp.asarray(U))
+    assert np.allclose(F1, F2, atol=1e-12)
+
+
+def test_taylor_green_autodiff_source():
+    """The autodiff source must equal the reference's closed form:
+    (0,0,0,0, 3*pi/8*(cos(3pix)cos(piy) - cos(3piy)cos(pix)))
+    (TaylorGreen.cpp:77-90)."""
+    prob = TaylorGreen()
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(rng.uniform(0, 1, size=(20, 3)))
+    s = np.asarray(prob.src(xyz, 0.0))
+    x, y = np.asarray(xyz[:, 0]), np.asarray(xyz[:, 1])
+    se = (
+        3.0 * np.pi / 8.0
+        * (np.cos(3 * np.pi * x) * np.cos(np.pi * y)
+           - np.cos(3 * np.pi * y) * np.cos(np.pi * x))
+    )
+    assert np.allclose(s[:, :4], 0.0, atol=1e-10)
+    assert np.allclose(s[:, 4], se, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "problem,steps,tol",
+    [
+        (VorticalFlow(), 10, 0.05),
+        (TaylorGreen(), 10, 0.05),
+        (RayleighTaylor(), 10, 0.12),
+    ],
+)
+def test_manufactured_stays_on_solution(problem, steps, tol):
+    """Starting from the manufactured solution, the numerical solution must
+    stay near it (relative L2 error per component small on a coarse mesh)."""
+    mesh = box_tet_mesh(6, 6, 6, lo=(-0.5, -0.5, -0.5), hi=(0.5, 0.5, 0.5))
+    if isinstance(problem, TaylorGreen):
+        mesh = box_tet_mesh(6, 6, 2, hi=(1.0, 1.0, 0.33))
+    system = CGCompFlow(problem)
+    solver = DiagCGSolver(system, make_cggeom(mesh), cfl=0.5,
+                          bcnodes=mesh.all_bnodes())
+    s = solver.initial_state()
+    diag = Diagnostics(system, solver.geom)
+    s = solver.nsteps(s, steps)
+    row = diag.compute(s)
+    u = np.asarray(s.u)
+    assert np.isfinite(u).all()
+    scale = max(row.l2sol)
+    for c in range(5):
+        # zero-norm components (e.g. rho*w in TaylorGreen) are judged
+        # against the overall solution scale
+        denom = max(row.l2sol[c], 0.01 * scale)
+        assert row.l2err[c] / denom < tol, (c, row.l2err[c], denom)
+
+
+def test_nleg_runs_finite():
+    mesh = box_tet_mesh(5, 5, 5, lo=(-0.5, -0.5, -0.5), hi=(0.5, 0.5, 0.5))
+    system = CGCompFlow(NLEnergyGrowth())
+    solver = DiagCGSolver(system, make_cggeom(mesh), cfl=0.4,
+                          bcnodes=mesh.all_bnodes())
+    s = solver.nsteps(solver.initial_state(), 5)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert float(s.t) > 0
+
+
+def test_sod_shocktube_cg_smoke():
+    """Sod tube on CG: short smoke test only.  The reference runs Sod
+    exclusively with DG schemes (tests/regression/.../SodShocktube has only
+    *_dg.q decks) because CG lacks the symmetry/extrapolation BCs the tube
+    walls need; the strict shock checks live with the DG solver tests."""
+    mesh = box_tet_mesh(32, 2, 2, hi=(1.0, 0.0625, 0.0625))
+    prob = SodShocktube()
+    system = CGCompFlow(prob)
+    solver = DiagCGSolver(system, make_cggeom(mesh), cfl=0.4)
+    s = solver.nsteps(solver.initial_state(), 10)
+    u = np.asarray(s.u)
+    assert np.isfinite(u).all()
+    assert u[:, 0].min() > 0.0  # density stays positive
+    assert np.abs(u[:, 1]).max() > 0.02  # flow developed
+    assert float(s.t) > 0.01
+
+
+def test_sedov_ignition_finite():
+    mesh = box_tet_mesh(8, 8, 2, hi=(0.4, 0.4, 0.1))
+    system = CGCompFlow(SedovBlastwave())
+    solver = DiagCGSolver(system, make_cggeom(mesh), cfl=0.2)
+    s = solver.nsteps(solver.initial_state(), 10)
+    u = np.asarray(s.u)
+    assert np.isfinite(u).all()
+    assert u[:, 0].min() > 0  # positive density
