@@ -1,17 +1,18 @@
-"""Benchmark: node-updates/sec/chip on the flagship inciter solver.
+"""Benchmark: cell-updates/sec/chip on Sedov DG(P1) Euler — the north-star
+metric from BASELINE.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current flagship configuration: DiagCG+FCT scalar transport (SlotCyl) on a
-unit-box tet mesh — BASELINE.json config #1.  Will switch to Sedov DG(P1)
-Euler (the north-star metric) once the DG stack lands.
+Configuration: Sedov blast wave, DG(P1) + HLLC + Superbee limiter, RK3,
+CFL time stepping, symmetry walls — the analog of the reference regression
+tests/regression/inciter/compflow/Euler/SedovBlastwave (which the reference
+runs with dg p1).
 
-vs_baseline normalizes against the reference-CPU anchor implied by
-BASELINE.md: the goal is >=10x node-updates/sec vs a 64-rank Charm++ CPU
-run.  The reference publishes no absolute grind times, so we anchor the
-CPU estimate at 2.0e6 node-updates/sec for 64 ranks (~30k updates/s/rank
-for a ~1us/node/rhs CG+FCT sweep — order-of-magnitude from the published
-overdecomposition plots); vs_baseline = value / 2.0e6.
+vs_baseline: the goal is >=10x updates/sec vs a 64-rank Charm++ CPU run
+(BASELINE.md).  The reference publishes no absolute grind times; we anchor
+the 64-rank CPU estimate at 2.0e6 cell-updates/sec (~30k updates/s/rank
+for a DG(P1) RK3 Euler step; order-of-magnitude from the published
+overdecomposition plots), so vs_baseline = value / 2.0e6.
 """
 
 import json
@@ -20,27 +21,26 @@ import time
 import jax
 import numpy as np
 
-CPU_REFERENCE_NODE_UPDATES_PER_SEC = 2.0e6  # 64-rank Charm++ estimate
+CPU_REFERENCE_UPDATES_PER_SEC = 2.0e6  # 64-rank Charm++ estimate
 
 
 def main():
     from quinoa_tpu.mesh import box_tet_mesh
-    from quinoa_tpu.pde.cg import CGTransport, make_cggeom
-    from quinoa_tpu.pde.problems import SlotCyl
-    from quinoa_tpu.inciter import DiagCGSolver
+    from quinoa_tpu.pde.dg import build_dggeom, BC_SYMMETRY
+    from quinoa_tpu.pde.dg_compflow import DGCompFlow
+    from quinoa_tpu.pde.problems import SedovBlastwave
+    from quinoa_tpu.inciter.dg import DGSolver
 
-    n = 48  # 48^3 hexes * 6 tets = 663552 tets, 117649 nodes
-    mesh = box_tet_mesh(n, n, n)
-    solver = DiagCGSolver(
-        CGTransport(SlotCyl()),
-        make_cggeom(mesh),
-        cfl=0.5,
-        bcnodes=mesh.all_bnodes(),
-    )
+    n = 32  # 32^3 hexes * 6 = 196,608 tets (48^3 OOMs until the
+    # feature-major layout refactor lands; see quinoa_tpu/pde/dg.py)
+    mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(rcorner=0.05), riemann_flux="hllc")
+    solver = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
     state = solver.initial_state()
 
-    nsteps = 20
-    # warmup/compile
+    nsteps = 10
     warm = solver.nsteps(state, nsteps)
     jax.block_until_ready(warm.u)
 
@@ -50,16 +50,16 @@ def main():
     dt = time.perf_counter() - t0
 
     assert np.isfinite(np.asarray(state.u)).all()
-    node_updates_per_sec = mesh.nnode * nsteps / dt
+    updates_per_sec = mesh.nelem * nsteps / dt
 
     print(
         json.dumps(
             {
-                "metric": "node_updates_per_sec_diagcg_fct_slotcyl",
-                "value": round(node_updates_per_sec, 1),
-                "unit": "node-updates/s/chip",
+                "metric": "cell_updates_per_sec_sedov_dgp1_hllc_superbee",
+                "value": round(updates_per_sec, 1),
+                "unit": "cell-updates/s/chip",
                 "vs_baseline": round(
-                    node_updates_per_sec / CPU_REFERENCE_NODE_UPDATES_PER_SEC, 3
+                    updates_per_sec / CPU_REFERENCE_UPDATES_PER_SEC, 3
                 ),
             }
         )

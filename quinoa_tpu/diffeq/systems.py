@@ -1,0 +1,545 @@
+"""The SDE/ODE systems, ensemble-vectorized.
+
+Each system operates on its slice of the particle array via `offset` and
+`nprop` (number of per-particle slots it owns, which can exceed `ncomp`
+when derived quantities like instantaneous density are stored, mirroring
+the reference's fraction-beta systems).  `advance(key, P, dt, t, moments)`
+takes and returns the FULL particle array (npar, nprop_total).
+
+Coupled systems (Position<-Velocity<-Dissipation, the Langevin family of
+Velocity/Langevin.cpp) reference other systems' offsets, like the
+reference's CoupledEq machinery (src/DiffEq/CoupledEq.hpp).
+
+Moment-coupled coefficient policies (the mix-beta DECAY policy of
+MixNumberFractionBetaCoeffPolicy.cpp:71-96, Dissipation's mean-frequency
+source) read the `moments` dict produced by quinoa_tpu.statistics each
+step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _arr(x, dtype=None):
+    return jnp.asarray(x, dtype=dtype or jnp.zeros(0).dtype)
+
+
+def _gauss(key, npar, ncomp, dtype):
+    return jax.random.normal(key, (npar, ncomp), dtype=dtype)
+
+
+def _sqrt_pos(d):
+    return jnp.sqrt(jnp.maximum(d, 0.0))
+
+
+@dataclasses.dataclass
+class SDEBase:
+    """Common bookkeeping: depvar (for moment lookups), offset, init."""
+
+    depvar: str = "x"
+    offset: int = 0
+    init = None  # callable (key, npar) -> (npar, ncomp), set by driver/user
+
+    @property
+    def nprop(self) -> int:
+        return self.ncomp
+
+    def slice(self, P):
+        return P[:, self.offset : self.offset + self.ncomp]
+
+    def put(self, P, Y):
+        return P.at[:, self.offset : self.offset + self.ncomp].set(Y)
+
+
+@dataclasses.dataclass
+class DiagOrnsteinUhlenbeck(SDEBase):
+    """dY_i = theta_i(mu_i - Y_i)dt + sigma_i dW_i
+    (DiagOrnsteinUhlenbeck.hpp:144-165)."""
+
+    sigmasq: Sequence[float] = (0.25,)
+    theta: Sequence[float] = (1.0,)
+    mu: Sequence[float] = (0.0,)
+
+    @property
+    def ncomp(self):
+        return len(self.theta)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        th, mu, s2 = _arr(self.theta), _arr(self.mu), _arr(self.sigmasq)
+        Y = Y + th * (mu - Y) * dt + _sqrt_pos(s2 * dt) * dW
+        return self.put(P, Y)
+
+
+@dataclasses.dataclass
+class OrnsteinUhlenbeck(SDEBase):
+    """dY_i = theta_i(mu_i - Y_i)dt + sigma_ji dW_j with full matrix square
+    root sigma (upper-triangular Cholesky factor of the covariance, applied
+    transposed like the reference: OrnsteinUhlenbeck.hpp:157-180)."""
+
+    sigmasq: Sequence[Sequence[float]] = ((0.25,),)  # covariance matrix
+    theta: Sequence[float] = (1.0,)
+    mu: Sequence[float] = (0.0,)
+
+    @property
+    def ncomp(self):
+        return len(self.theta)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        th, mu = _arr(self.theta), _arr(self.mu)
+        cov = _arr(self.sigmasq)
+        L = jnp.linalg.cholesky(cov)  # lower; reference stores upper+transpose
+        Y = Y + th * (mu - Y) * dt + jnp.sqrt(dt) * (dW @ L.T)
+        return self.put(P, Y)
+
+
+@dataclasses.dataclass
+class Beta(SDEBase):
+    """dY = b/2 (S-Y)dt + sqrt(k Y(1-Y)) dW (Beta.hpp:106-126)."""
+
+    b: Sequence[float] = (1.0,)
+    S: Sequence[float] = (0.5,)
+    kappa: Sequence[float] = (1.0,)
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        b, S, k = _arr(self.b), _arr(self.S), _arr(self.kappa)
+        Y = Y + 0.5 * b * (S - Y) * dt + _sqrt_pos(k * Y * (1.0 - Y) * dt) * dW
+        return self.put(P, Y)
+
+
+class _FractionBetaMixin:
+    """Adds instantaneous density/specific-volume slots (2*ncomp extra)."""
+
+    @property
+    def nprop(self):
+        return 3 * self.ncomp
+
+    def _store_derived(self, P, Y):
+        rho = self.rho(Y)
+        o = self.offset
+        n = self.ncomp
+        P = P.at[:, o + n : o + 2 * n].set(rho)
+        P = P.at[:, o + 2 * n : o + 3 * n].set(1.0 / rho)
+        return P
+
+
+@dataclasses.dataclass
+class NumberFractionBeta(_FractionBetaMixin, SDEBase):
+    """Number-fraction beta: beta SDE + derived rho = rho2(1 - r'X), V=1/rho
+    (NumberFractionBeta.hpp:120-190)."""
+
+    b: Sequence[float] = (1.0,)
+    S: Sequence[float] = (0.5,)
+    kappa: Sequence[float] = (1.0,)
+    rho2: Sequence[float] = (1.0,)
+    rcomma: Sequence[float] = (0.5,)
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    def rho(self, X):
+        return _arr(self.rho2) * (1.0 - _arr(self.rcomma) * X)
+
+    def advance(self, key, P, dt, t, moments=None):
+        X = self.slice(P)
+        dW = _gauss(key, X.shape[0], self.ncomp, X.dtype)
+        b, S, k = _arr(self.b), _arr(self.S), _arr(self.kappa)
+        X = X + 0.5 * b * (S - X) * dt + _sqrt_pos(k * X * (1.0 - X) * dt) * dW
+        return self._store_derived(self.put(P, X), X)
+
+
+@dataclasses.dataclass
+class MassFractionBeta(_FractionBetaMixin, SDEBase):
+    """Mass-fraction beta: rho = rho2/(1 + r Y) (MassFractionBeta.hpp:47,187)."""
+
+    b: Sequence[float] = (1.0,)
+    S: Sequence[float] = (0.5,)
+    kappa: Sequence[float] = (1.0,)
+    rho2: Sequence[float] = (1.0,)
+    r: Sequence[float] = (0.5,)
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    def rho(self, Y):
+        return _arr(self.rho2) / (1.0 + _arr(self.r) * Y)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        b, S, k = _arr(self.b), _arr(self.S), _arr(self.kappa)
+        Y = Y + 0.5 * b * (S - Y) * dt + _sqrt_pos(k * Y * (1.0 - Y) * dt) * dW
+        return self._store_derived(self.put(P, Y), Y)
+
+
+def _decay_coeffs(bprime, kprime, m, v):
+    """DECAY policy: b = b'(1 - v/(m(1-m))), k = k'v, with means/variances
+    clamped away from the no-mix/fully-mixed limits
+    (MixNumberFractionBetaCoeffPolicy.cpp:71-96)."""
+    m = jnp.where((m < 1e-8) | (m > 1 - 1e-8), 0.5, m)
+    v = jnp.where((v < 1e-8) | (v > 1 - 1e-8), 0.5, v)
+    b = bprime * (1.0 - v / (m * (1.0 - m)))
+    k = kprime * v
+    return b, k
+
+
+@dataclasses.dataclass
+class MixNumberFractionBeta(_FractionBetaMixin, SDEBase):
+    """Mix number-fraction beta: beta SDE with decay coefficient policy
+    driven by the evolving mean/variance of X."""
+
+    bprime: Sequence[float] = (1.0,)
+    S: Sequence[float] = (0.5,)
+    kprime: Sequence[float] = (1.0,)
+    rho2: Sequence[float] = (1.0,)
+    rcomma: Sequence[float] = (0.5,)
+
+    @property
+    def ncomp(self):
+        return len(self.bprime)
+
+    def rho(self, X):
+        return _arr(self.rho2) * (1.0 - _arr(self.rcomma) * X)
+
+    def advance(self, key, P, dt, t, moments=None):
+        X = self.slice(P)
+        dW = _gauss(key, X.shape[0], self.ncomp, X.dtype)
+        m = X.mean(axis=0)
+        v = ((X - m) ** 2).mean(axis=0)
+        b, k = _decay_coeffs(_arr(self.bprime), _arr(self.kprime), m, v)
+        S = _arr(self.S)
+        X = X + 0.5 * b * (S - X) * dt + _sqrt_pos(k * X * (1.0 - X) * dt) * dW
+        return self._store_derived(self.put(P, X), X)
+
+
+@dataclasses.dataclass
+class MixMassFractionBeta(_FractionBetaMixin, SDEBase):
+    """Mix mass-fraction beta with the decay coefficient policy (the
+    hydrotimescale variant additionally rescales b' and k' by user tables;
+    pass hts=(b_table, k_table) callables of t)."""
+
+    bprime: Sequence[float] = (1.0,)
+    S: Sequence[float] = (0.5,)
+    kprime: Sequence[float] = (1.0,)
+    rho2: Sequence[float] = (1.0,)
+    r: Sequence[float] = (0.5,)
+    hts: Optional[Tuple] = None  # (b_of_t, k_of_t) callables
+
+    @property
+    def ncomp(self):
+        return len(self.bprime)
+
+    def rho(self, Y):
+        return _arr(self.rho2) / (1.0 + _arr(self.r) * Y)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        bprime, kprime = _arr(self.bprime), _arr(self.kprime)
+        if self.hts is not None:
+            bprime = bprime * self.hts[0](t)
+            kprime = kprime * self.hts[1](t)
+        m = Y.mean(axis=0)
+        v = ((Y - m) ** 2).mean(axis=0)
+        b, k = _decay_coeffs(bprime, kprime, m, v)
+        S = _arr(self.S)
+        Y = Y + 0.5 * b * (S - Y) * dt + _sqrt_pos(k * Y * (1.0 - Y) * dt) * dW
+        return self._store_derived(self.put(P, Y), Y)
+
+
+@dataclasses.dataclass
+class Dirichlet(SDEBase):
+    """K=N-1 Dirichlet SDE (Dirichlet.hpp:116-141)."""
+
+    b: Sequence[float] = (1.0, 1.5)
+    S: Sequence[float] = (0.4, 0.4)
+    kappa: Sequence[float] = (1.0, 1.0)
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        b, S, k = _arr(self.b), _arr(self.S), _arr(self.kappa)
+        yn = 1.0 - Y.sum(axis=1, keepdims=True)
+        Y = Y + 0.5 * b * (S * yn - (1.0 - S) * Y) * dt + _sqrt_pos(
+            k * Y * yn * dt
+        ) * dW
+        return self.put(P, Y)
+
+
+@dataclasses.dataclass
+class GeneralizedDirichlet(SDEBase):
+    """Lochner's generalized Dirichlet (GeneralizedDirichlet.hpp:150-190)."""
+
+    b: Sequence[float] = (1.0, 1.5)
+    S: Sequence[float] = (0.4, 0.4)
+    kappa: Sequence[float] = (1.0, 1.0)
+    #: upper-triangular c_ij coefficients, K(K-1)/2 of them, row-major
+    cij: Sequence[float] = (0.0,)
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        n = self.ncomp
+        dW = _gauss(key, Y.shape[0], n, Y.dtype)
+        b, S, k = _arr(self.b), _arr(self.S), _arr(self.kappa)
+
+        # Y_i = 1 - sum_{k<=i} y_k  (cumulative remainder)
+        Ycum = 1.0 - jnp.cumsum(Y, axis=1)  # (npar, n)
+        # U_i = prod_{j>i} 1/Ycum_j ... U_{n-1}=1
+        inv = 1.0 / Ycum
+        # reverse cumulative product of inv over j=i..n-2
+        rev = jnp.concatenate(
+            [jnp.cumprod(inv[:, ::-1][:, 1:], axis=1)[:, ::-1],
+             jnp.ones_like(inv[:, :1])],
+            axis=1,
+        )
+        U = rev  # (npar, n)
+
+        # a_i = sum_{j=i}^{n-2} c_ij / Ycum_j
+        cmat = np.zeros((n, n))
+        idx = 0
+        cij = np.asarray(self.cij, dtype=np.float64)
+        for i in range(n):
+            for j in range(i, n - 1):
+                cmat[i, j] = cij[idx] if idx < len(cij) else 0.0
+                idx += 1
+        cmat_j = _arr(cmat)
+        a = inv @ cmat_j.T  # (npar,n) sum_j c_ij / Ycum_j (cols j<n-1 only set)
+
+        YN = Ycum[:, -1:]
+        d = _sqrt_pos(k * Y * YN * U * dt)
+        drift = U / 2.0 * (b * (S * YN - (1.0 - S) * Y) + Y * YN * a)
+        Y = Y + drift * dt + d * dW
+        return self.put(P, Y)
+
+
+@dataclasses.dataclass
+class MixDirichlet(SDEBase):
+    """Mix Dirichlet: N=K+1 scalars with the last one updated to keep the
+    sum at 1, plus derived density/volume slots (MixDirichlet.hpp:153-176)."""
+
+    b: Sequence[float] = (1.0, 1.5)
+    S: Sequence[float] = (0.4, 0.4)
+    kprime: Sequence[float] = (1.0, 1.0)
+    rho: Sequence[float] = (1.0, 1.0, 1.0)  # N material densities
+    r: Sequence[float] = ()
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    @property
+    def nprop(self):
+        # K advanced + YN + density + volume
+        return self.ncomp + 3
+
+    def advance(self, key, P, dt, t, moments=None):
+        n = self.ncomp
+        o = self.offset
+        Y = P[:, o : o + n]
+        yn = P[:, o + n : o + n + 1]
+        dW = _gauss(key, Y.shape[0], n, Y.dtype)
+        b, S = _arr(self.b), _arr(self.S)
+        v = ((Y - Y.mean(0)) ** 2).mean(0)
+        k = _arr(self.kprime) * v
+        dY = 0.5 * b * (S * yn - (1.0 - S) * Y) * dt + _sqrt_pos(
+            k * Y * yn * dt
+        ) * dW
+        Y = Y + dY
+        yn = yn - dY.sum(axis=1, keepdims=True)
+        rhoN = _arr(self.rho)
+        # instantaneous density: 1/rho = sum_alpha Y_alpha/rho_alpha
+        Yall = jnp.concatenate([Y, yn], axis=1)
+        vol = (Yall / rhoN).sum(axis=1, keepdims=True)
+        rho = 1.0 / vol
+        P = P.at[:, o : o + n].set(Y)
+        P = P.at[:, o + n : o + n + 1].set(yn)
+        P = P.at[:, o + n + 1 : o + n + 2].set(rho)
+        P = P.at[:, o + n + 2 : o + n + 3].set(vol)
+        return P
+
+
+@dataclasses.dataclass
+class Gamma(SDEBase):
+    """dY = b/2 (S - (1-S)Y)dt + sqrt(k Y)dW (Gamma.hpp:104-124)."""
+
+    b: Sequence[float] = (1.0,)
+    S: Sequence[float] = (0.5,)
+    kappa: Sequence[float] = (1.0,)
+
+    @property
+    def ncomp(self):
+        return len(self.b)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
+        b, S, k = _arr(self.b), _arr(self.S), _arr(self.kappa)
+        Y = Y + 0.5 * b * (S - (1.0 - S) * Y) * dt + _sqrt_pos(k * Y * dt) * dW
+        return self.put(P, Y)
+
+
+@dataclasses.dataclass
+class SkewNormal(SDEBase):
+    """Skew-normal SDE (SkewNormal.hpp:136-161)."""
+
+    T: Sequence[float] = (1.0,)
+    sigmasq: Sequence[float] = (1.0,)
+    lam: Sequence[float] = (1.0,)
+
+    @property
+    def ncomp(self):
+        return len(self.T)
+
+    def advance(self, key, P, dt, t, moments=None):
+        X = self.slice(P)
+        dW = _gauss(key, X.shape[0], self.ncomp, X.dtype)
+        T, s2, lam = _arr(self.T), _arr(self.sigmasq), _arr(self.lam)
+        drift = -(
+            X
+            - lam * s2 * jnp.sqrt(2.0 / jnp.pi)
+            * jnp.exp(-(lam**2) * X**2 / 2.0)
+            / (1.0 + jax.scipy.special.erf(lam * X / jnp.sqrt(2.0)))
+        ) / T
+        X = X + drift * dt + _sqrt_pos(2.0 * s2 / T * dt) * dW
+        return self.put(P, X)
+
+
+@dataclasses.dataclass
+class WrightFisher(SDEBase):
+    """Wright-Fisher: dY_i = (omega_i - Omega Y_i)/2 dt + sigma(Y)dW with
+    diffusion B = diag(Y) - Y Y^T.
+
+    The reference's advance is explicitly marked unfinished (a stable
+    matrix square root is 'not yet implemented', WrightFisher.hpp:141-160);
+    here B^(1/2) is computed per particle by symmetric eigendecomposition
+    with negative eigenvalues clamped — slower but correct.
+    """
+
+    omega: Sequence[float] = (0.25, 0.5, 0.25)
+
+    @property
+    def ncomp(self):
+        # advance the first N-1 fractions; store N
+        return len(self.omega)
+
+    def advance(self, key, P, dt, t, moments=None):
+        Y = self.slice(P)
+        n = self.ncomp
+        om = _arr(self.omega)
+        Om = om.sum()
+        dW = _gauss(key, Y.shape[0], n, Y.dtype)
+
+        B = jnp.eye(n, dtype=Y.dtype) * Y[:, :, None] - Y[:, :, None] * Y[:, None, :]
+        w, V = jnp.linalg.eigh(B)
+        sqB = jnp.einsum(
+            "pij,pj,pkj->pik", V, jnp.sqrt(jnp.maximum(w, 0.0)), V
+        )
+        Y = Y + 0.5 * (om - Om * Y) * dt + jnp.sqrt(dt) * jnp.einsum(
+            "pij,pj->pi", sqB, dW
+        )
+        return self.put(P, Y)
+
+
+@dataclasses.dataclass
+class Position(SDEBase):
+    """dX = (dU X + u) dt: particle position with coupled velocity
+    (Position.hpp:82-102).  velocity_offset points at the coupled Velocity
+    system's slots."""
+
+    dU: Sequence[float] = (0.0,) * 9  # prescribed mean velocity gradient
+    velocity_offset: int = 3
+
+    ncomp = 3
+
+    def advance(self, key, P, dt, t, moments=None):
+        X = self.slice(P)
+        u = P[:, self.velocity_offset : self.velocity_offset + 3]
+        G = _arr(np.asarray(self.dU).reshape(3, 3))
+        X = X + (X @ G.T + u) * dt
+        return self.put(P, X)
+
+
+@dataclasses.dataclass
+class Dissipation(SDEBase):
+    """Turbulence-frequency (gamma-distribution) model coupled to velocity
+    (Dissipation.hpp:92-141)."""
+
+    c3: float = 1.0
+    c4: float = 0.25
+    com1: float = 0.44
+    com2: float = 0.9
+    velocity_offset: int = 0
+    prescribed_shear: float = 1.0
+
+    ncomp = 1
+
+    def advance(self, key, P, dt, t, moments=None):
+        Op = self.slice(P)
+        O = Op.mean()
+        u = P[:, self.velocity_offset : self.velocity_offset + 3]
+        fluc = u - u.mean(axis=0)
+        rij = (fluc[:, :, None] * fluc[:, None, :]).mean(axis=0)
+        tke = 0.5 * (rij[0, 0] + rij[1, 1] + rij[2, 2])
+        Prod = -rij[0, 1] * self.prescribed_shear
+        Som = self.com2 - self.com1 * Prod / (O * tke)
+        dW = _gauss(key, Op.shape[0], 1, Op.dtype)
+        d = _sqrt_pos(2.0 * self.c3 * self.c4 * O * O * Op * dt)
+        Op = Op + (-self.c3 * (Op - O) - Som * Op) * O * dt + d * dW
+        return self.put(P, Op)
+
+
+@dataclasses.dataclass
+class Velocity(SDEBase):
+    """Simplified Langevin model (Velocity.hpp:111-155, Langevin.cpp):
+    dU_i = G_ij (U_j - <U_j>) dt + sqrt(C0 eps) dW_i with
+    G_ij = -(1/2 + 3C0/4) eps/k delta_ij, coupled to a Dissipation system
+    for the turbulence frequency (eps = k*<omega> variant) or a constant
+    eps."""
+
+    c0: float = 2.1
+    dissipation_offset: Optional[int] = None
+    dU: Sequence[float] = (0.0,) * 9  # mean velocity gradient (shear)
+
+    ncomp = 3
+
+    def advance(self, key, P, dt, t, moments=None):
+        U = self.slice(P)
+        fluc = U - U.mean(axis=0)
+        rij = (fluc[:, :, None] * fluc[:, None, :]).mean(axis=0)
+        k = 0.5 * (rij[0, 0] + rij[1, 1] + rij[2, 2])
+        if self.dissipation_offset is not None:
+            O = P[:, self.dissipation_offset].mean()
+            eps = k * O
+        else:
+            eps = k  # unit-timescale fallback
+        G = (-(0.5 + 0.75 * self.c0) * eps / k) * jnp.eye(3, dtype=U.dtype)
+        G = G - _arr(np.asarray(self.dU).reshape(3, 3))
+        dW = _gauss(key, U.shape[0], 3, U.dtype)
+        d = _sqrt_pos(self.c0 * eps * dt)
+        U = U + (fluc @ G.T) * dt + d * dW
+        return self.put(P, U)
