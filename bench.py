@@ -31,8 +31,7 @@ def main():
     from quinoa_tpu.pde.problems import SedovBlastwave
     from quinoa_tpu.inciter.dg import DGSolver
 
-    n = 32  # 32^3 hexes * 6 = 196,608 tets (48^3 OOMs until the
-    # feature-major layout refactor lands; see quinoa_tpu/pde/dg.py)
+    n = 48  # 48^3 hexes * 6 = 663,552 tets
     mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)

@@ -1,0 +1,171 @@
+"""Command-line drivers: inciter, walker, meshconv.
+
+Counterpart of the reference's five executables (src/Main/): the shared
+`python -m quinoa_tpu <tool>` entry point dispatches to per-tool drivers
+mirroring InciterDriver / WalkerDriver / MeshConvDriver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_inciter(argv):
+    ap = argparse.ArgumentParser(prog="quinoa_tpu inciter")
+    ap.add_argument("-c", "--control", required=True, help=".q control file")
+    ap.add_argument("-i", "--input", required=True, help="input mesh file")
+    ap.add_argument("-o", "--output", default="out", help="field output basename")
+    ap.add_argument("--diag", default="diag", help="diagnostics file")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .control.config import load_inciter, build_inciter
+    from .io import read_mesh, write_exodus, DiagWriter
+    from .pde.dg import dg_cell_avg
+
+    cfg = load_inciter(open(args.control).read())
+    mesh = read_mesh(args.input)
+    if args.verbose:
+        print(f"quinoa_tpu inciter: {cfg.title!r}")
+        print(f"  mesh: {mesh.nnode} nodes, {mesh.nelem} tets")
+        print(f"  scheme={cfg.scheme} pde={cfg.pde} problem={cfg.problem}")
+
+    solver, diag = build_inciter(cfg, mesh)
+    state = solver.initial_state()
+    dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
+
+    t0 = time.perf_counter()
+    it = 0
+    while it < cfg.nstep and float(state.t) < cfg.term:
+        state = solver.step(state)
+        it = int(state.it)
+        if it % cfg.diag_interval == 0:
+            row = diag.compute(state)
+            if isinstance(row, tuple):
+                l2sol, l2err, linferr = row
+                dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
+                         linferr)
+            else:
+                dw.write(it, row.t, row.dt, row.l2sol, row.l2err, row.linferr)
+        if args.verbose and it % cfg.ttyi == 0:
+            print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
+        if it % cfg.field_interval == 0:
+            _write_fields(args.output, it, cfg, solver, state, mesh)
+    dw.close()
+    if args.verbose:
+        wall = time.perf_counter() - t0
+        print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
+    _write_fields(args.output, it, cfg, solver, state, mesh)
+    return 0
+
+
+def _write_fields(base, it, cfg, solver, state, mesh):
+    import numpy as np
+    from .io import write_exodus
+
+    u = np.asarray(state.u)
+    fields = {}
+    if cfg.scheme in ("diagcg", "alecg"):
+        for c in range(u.shape[0]):
+            fields[f"u{c}"] = u[c]
+    else:
+        from .pde.dg import dg_cell_avg
+        import jax.numpy as jnp
+
+        avg = np.asarray(
+            dg_cell_avg(jnp.asarray(u), solver.system.ncomp, solver.geom.ndof)
+        )
+        # cell fields projected to nodes for output simplicity
+        nodal = np.zeros((avg.shape[0], mesh.nnode))
+        cnt = np.zeros(mesh.nnode)
+        for a in range(4):
+            np.add.at(cnt, mesh.inpoel[:, a], 1.0)
+            for c in range(avg.shape[0]):
+                np.add.at(nodal[c], mesh.inpoel[:, a], avg[c])
+        nodal /= np.maximum(cnt, 1.0)
+        for c in range(avg.shape[0]):
+            fields[f"u{c}"] = nodal[c]
+    write_exodus(f"{base}.e-s.{it}.exo", mesh, node_fields=fields,
+                 time=float(state.t))
+
+
+def _cmd_walker(argv):
+    ap = argparse.ArgumentParser(prog="quinoa_tpu walker")
+    ap.add_argument("-c", "--control", required=True)
+    ap.add_argument("--stat", default="stat.txt")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .control.config import load_walker, build_walker
+    from .io import TxtStatWriter
+    from .statistics.stats import estimate_moments
+
+    cfg = load_walker(open(args.control).read())
+    w = build_walker(cfg, seed=args.seed)
+    if args.verbose:
+        print(f"quinoa_tpu walker: {cfg.title!r}")
+        print(f"  npar={cfg.npar} dt={cfg.dt} systems="
+              f"{[type(s).__name__ for s in w.systems]}")
+
+    sw = TxtStatWriter(args.stat, cfg.ordinary, cfg.central)
+    P = w.initialize()
+    nsteps = min(cfg.nstep, int(cfg.term / cfg.dt + 1e-9))
+    done = 0
+    while done < nsteps:
+        chunk = min(cfg.stat_interval, nsteps - done)
+        P, _ = w.run(chunk, P=P)
+        done += chunk
+        mom = estimate_moments(P, w.offsets, cfg.ordinary, cfg.central)
+        sw.write(done, done * cfg.dt, {k: float(v) for k, v in mom.items()})
+        if args.verbose and done % cfg.ttyi == 0:
+            print(f"  it={done} t={done * cfg.dt:.6e}")
+    sw.close()
+    return 0
+
+
+def _cmd_meshconv(argv):
+    ap = argparse.ArgumentParser(prog="quinoa_tpu meshconv")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .io import read_mesh, write_mesh, detect_format
+
+    fmt = detect_format(args.input)
+    mesh = read_mesh(args.input, fmt)
+    if args.verbose:
+        print(
+            f"meshconv: {args.input} ({fmt}) -> {args.output}: "
+            f"{mesh.nnode} nodes, {mesh.nelem} tets, "
+            f"{sum(len(v) for v in mesh.bface.values())} boundary tris"
+        )
+    write_mesh(args.output, mesh)
+    return 0
+
+
+_COMMANDS = {
+    "inciter": _cmd_inciter,
+    "walker": _cmd_walker,
+    "meshconv": _cmd_meshconv,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in _COMMANDS:
+        print(
+            "usage: python -m quinoa_tpu {inciter|walker|meshconv} [options]",
+            file=sys.stderr,
+        )
+        return 2
+    return _COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

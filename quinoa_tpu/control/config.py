@@ -1,0 +1,420 @@
+"""Typed configuration from parsed decks + solver/driver builders.
+
+Counterpart of the reference's per-executable InputDecks (src/Control/
+Inciter/InputDeck/InputDeck.hpp, Walker's InputDeck) and the driver setup
+in InciterDriver/WalkerDriver: turn the parsed tree into typed configs and
+construct ready-to-run solvers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .qparser import parse_deck, first, occurrences
+
+
+def _f(tree, key, default=None):
+    v = first(tree, key)
+    return float(v) if v is not None else default
+
+
+def _i(tree, key, default=None):
+    v = first(tree, key)
+    return int(v) if v is not None else default
+
+
+def _floats(tree, key, default=()):
+    v = first(tree, key)
+    return tuple(float(x) for x in v) if v else tuple(default)
+
+
+def _sidesets(block) -> List[int]:
+    out: List[int] = []
+    for b in occurrences(block, "sideset") if block else []:
+        out += [int(x) for x in b]
+    return out
+
+
+@dataclasses.dataclass
+class InciterConfig:
+    title: str = ""
+    nstep: int = 10**9
+    term: float = float("inf")
+    dt: Optional[float] = None
+    cfl: Optional[float] = None
+    ttyi: int = 1
+    ctau: float = 1.0
+    fct: bool = True
+    scheme: str = "diagcg"
+    flux: str = "hllc"
+    limiter: Optional[str] = None
+    cweight: float = 30.0
+    pref: bool = False
+    tolref: float = 0.5
+    pde: str = "transport"  # transport | compflow
+    problem: str = "slot_cyl"
+    ncomp: int = 1
+    params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    gamma: float = 1.4
+    pstiff: float = 0.0
+    bc_dirichlet: List[int] = dataclasses.field(default_factory=list)
+    bc_sym: List[int] = dataclasses.field(default_factory=list)
+    bc_extrapolate: List[int] = dataclasses.field(default_factory=list)
+    diag_interval: int = 1
+    field_interval: int = 10**9
+
+
+_SCHEME_NDOF = {"dg": 1, "p0p1": 4, "dgp1": 4, "dgp2": 10, "pdg": 4}
+
+_PROBLEMS_TRANSPORT = {
+    "slot_cyl": "SlotCyl",
+    "gauss_hump": "GaussHump",
+    "cyl_advect": "CylAdvect",
+    "shear_diff": "ShearDiff",
+}
+_PROBLEMS_COMPFLOW = {
+    "user_defined": "UserDefined",
+    "vortical_flow": "VorticalFlow",
+    "nl_energy_growth": "NLEnergyGrowth",
+    "rayleigh_taylor": "RayleighTaylor",
+    "taylor_green": "TaylorGreen",
+    "sod_shocktube": "SodShocktube",
+    "rotated_sod_shocktube": "RotatedSodShocktube",
+    "sedov_blastwave": "SedovBlastwave",
+}
+
+_LIMITERS = {"nolimiter": None, "wenop1": "wenop1", "superbeep1": "superbeep1"}
+
+
+def load_inciter(deck_text: str) -> InciterConfig:
+    tree = parse_deck(deck_text)
+    cfg = InciterConfig()
+    cfg.title = first(tree, "title", "")
+    inc = first(tree, "inciter")
+    if inc is None:
+        raise ValueError("deck has no inciter block")
+    cfg.nstep = _i(inc, "nstep", cfg.nstep)
+    cfg.term = _f(inc, "term", cfg.term)
+    cfg.dt = _f(inc, "dt")
+    cfg.cfl = _f(inc, "cfl")
+    cfg.ttyi = _i(inc, "ttyi", 1)
+    cfg.ctau = _f(inc, "ctau", 1.0)
+    cfg.fct = first(inc, "fct", "true") != "false"
+    cfg.scheme = first(inc, "scheme", "diagcg")
+    cfg.flux = first(inc, "flux", "hllc")
+    cfg.limiter = _LIMITERS.get(first(inc, "limiter", "nolimiter"))
+    cfg.cweight = _f(inc, "cweight", 30.0)
+    pref = first(inc, "pref")
+    if pref is not None:
+        cfg.pref = True
+        cfg.tolref = _f(pref, "tolref", 0.5)
+
+    for pde in ("transport", "compflow", "multimat"):
+        blk = first(inc, pde)
+        if blk is not None:
+            cfg.pde = pde
+            cfg.problem = first(blk, "problem", cfg.problem)
+            cfg.ncomp = _i(blk, "ncomp", 1)
+            mat = first(blk, "material")
+            if mat is not None:
+                g = _floats(mat, "gamma", (1.4,))
+                cfg.gamma = g[0]
+                cfg.pstiff = _floats(mat, "pstiff", (0.0,))[0]
+            for p in ("alpha", "beta", "p0", "r0", "ce", "kappa",
+                      "betax", "betay", "betaz"):
+                v = _f(blk, p)
+                if v is not None:
+                    cfg.params[p] = v
+            for p in ("diffusivity", "u0", "lambda"):
+                v = _floats(blk, p, ())
+                if v:
+                    cfg.params[p] = v
+            cfg.bc_dirichlet = _sidesets(first(blk, "bc_dirichlet"))
+            cfg.bc_sym = _sidesets(first(blk, "bc_sym"))
+            cfg.bc_extrapolate = _sidesets(first(blk, "bc_extrapolate"))
+            break
+
+    diag = first(inc, "diagnostics")
+    if diag is not None:
+        cfg.diag_interval = _i(diag, "interval", 1)
+    plot = first(inc, "plotvar") or first(inc, "field_output")
+    if plot is not None:
+        cfg.field_interval = _i(plot, "interval", cfg.field_interval)
+    return cfg
+
+
+def build_inciter(cfg: InciterConfig, mesh):
+    """Construct the solver named by the deck for a host mesh.
+
+    Returns (solver, diagnostics) — DiagCG or DG per cfg.scheme.
+    """
+    from ..pde import problems as prob_mod
+    from ..pde.eos import StiffenedGas
+
+    kwargs = {}
+    if cfg.pde == "transport":
+        cls = getattr(prob_mod, _PROBLEMS_TRANSPORT[cfg.problem])
+        if cfg.problem == "shear_diff":
+            if "u0" in cfg.params:
+                kwargs["u0"] = cfg.params["u0"]
+            if "lambda" in cfg.params:
+                kwargs["lam"] = cfg.params["lambda"]
+            if "diffusivity" in cfg.params:
+                kwargs["diffusivity"] = cfg.params["diffusivity"]
+        problem = cls(ncomp=cfg.ncomp, **kwargs) if kwargs or True else cls()
+    else:
+        cls = getattr(prob_mod, _PROBLEMS_COMPFLOW[cfg.problem])
+        fields = {f.name for f in dataclasses.fields(cls)}
+        for k, v in cfg.params.items():
+            if k in fields:
+                kwargs[k] = v
+        if "eos" in fields:
+            kwargs["eos"] = StiffenedGas(gamma=cfg.gamma, pstiff=cfg.pstiff)
+        problem = cls(**kwargs)
+
+    if cfg.scheme in ("diagcg", "alecg"):
+        from ..pde.cg import CGTransport, make_cggeom
+        from ..pde.cg_compflow import CGCompFlow
+        from ..inciter import DiagCGSolver, Diagnostics
+
+        system = (
+            CGTransport(problem)
+            if cfg.pde == "transport"
+            else CGCompFlow(problem)
+        )
+        geom = make_cggeom(mesh)
+        bcnodes = []
+        for ss in cfg.bc_dirichlet:
+            if ss in mesh.bnode:
+                bcnodes.append(mesh.bnode[ss])
+        bcnodes = (
+            np.unique(np.concatenate(bcnodes)) if bcnodes else None
+        )
+        solver = DiagCGSolver(
+            system,
+            geom,
+            cfl=cfg.cfl if cfg.cfl is not None else 0.5,
+            const_dt=cfg.dt,
+            ctau=cfg.ctau,
+            fct=cfg.fct,
+            bcnodes=bcnodes,
+        )
+        return solver, Diagnostics(system, geom)
+
+    if cfg.scheme in _SCHEME_NDOF:
+        from ..pde.dg import (
+            build_dggeom, BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE,
+        )
+        from ..pde.dg_compflow import DGCompFlow, DGTransport
+        from ..inciter.dg import DGSolver, DGDiagnostics
+
+        bc = {}
+        for ss in cfg.bc_dirichlet:
+            bc[ss] = BC_DIRICHLET
+        for ss in cfg.bc_sym:
+            bc[ss] = BC_SYMMETRY
+        for ss in cfg.bc_extrapolate:
+            bc[ss] = BC_EXTRAPOLATE
+        ndof = _SCHEME_NDOF[cfg.scheme]
+        geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
+        system = (
+            DGTransport(problem)
+            if cfg.pde == "transport"
+            else DGCompFlow(problem, riemann_flux=cfg.flux)
+        )
+        solver = DGSolver(
+            system,
+            geom,
+            cfl=cfg.cfl if cfg.cfl is not None else 0.5,
+            const_dt=cfg.dt,
+            limiter=cfg.limiter,
+            cweight=cfg.cweight,
+            pref=(cfg.scheme == "pdg") or cfg.pref,
+            tolref=cfg.tolref,
+        )
+        return solver, DGDiagnostics(system, geom)
+
+    raise ValueError(f"unknown scheme {cfg.scheme!r}")
+
+
+# ---------------------------------------------------------------------------
+# walker
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class WalkerConfig:
+    title: str = ""
+    nstep: int = 10**9
+    term: float = float("inf")
+    dt: float = 0.01
+    npar: int = 1000
+    ttyi: int = 1
+    stat_interval: int = 1
+    ordinary: List[Tuple] = dataclasses.field(default_factory=list)
+    central: List[Tuple] = dataclasses.field(default_factory=list)
+    sdes: List[Any] = dataclasses.field(default_factory=list)
+
+
+_MOM_RE = re.compile(r"([A-Za-z])(\d+)")
+
+
+def _parse_moment(m: str) -> Tuple[bool, Tuple]:
+    """'<x1x2>' -> (central?, ((depvar, comp0), ...)); uppercase=ordinary."""
+    body = m.strip("<>")
+    vars_ = _MOM_RE.findall(body)
+    central = any(ch.islower() for ch, _ in vars_)
+    term = tuple((ch.lower(), int(ix) - 1) for ch, ix in vars_)
+    return central, term
+
+
+def _build_sde(kind: str, blk) -> Any:
+    from .. import diffeq as dq
+    from ..diffeq import initpolicy as ip
+
+    depvar = first(blk, "depvar", "x")
+    ncomp = _i(blk, "ncomp", None)
+
+    def fl(key, default=()):
+        return _floats(blk, key, default)
+
+    if kind == "diag_ou":
+        sde = dq.DiagOrnsteinUhlenbeck(
+            depvar=depvar, sigmasq=fl("sigmasq"), theta=fl("theta"),
+            mu=fl("mu"),
+        )
+    elif kind == "ornstein-uhlenbeck":
+        n = len(fl("theta"))
+        cov = np.asarray(fl("sigmasq")).reshape(n, n)
+        sde = dq.OrnsteinUhlenbeck(
+            depvar=depvar, sigmasq=tuple(map(tuple, cov)),
+            theta=fl("theta"), mu=fl("mu"),
+        )
+    elif kind == "beta":
+        sde = dq.Beta(depvar=depvar, b=fl("b"), S=fl("S"), kappa=fl("kappa"))
+    elif kind == "numfracbeta":
+        sde = dq.NumberFractionBeta(
+            depvar=depvar, b=fl("b"), S=fl("S"), kappa=fl("kappa"),
+            rho2=fl("rho2"), rcomma=fl("rcomma"),
+        )
+    elif kind == "massfracbeta":
+        sde = dq.MassFractionBeta(
+            depvar=depvar, b=fl("b"), S=fl("S"), kappa=fl("kappa"),
+            rho2=fl("rho2"), r=fl("r"),
+        )
+    elif kind == "mixnumfracbeta":
+        sde = dq.MixNumberFractionBeta(
+            depvar=depvar, bprime=fl("bprime"), S=fl("S"),
+            kprime=fl("kappaprime"), rho2=fl("rho2"), rcomma=fl("rcomma"),
+        )
+    elif kind == "mixmassfracbeta":
+        sde = dq.MixMassFractionBeta(
+            depvar=depvar, bprime=fl("bprime"), S=fl("S"),
+            kprime=fl("kappaprime"), rho2=fl("rho2"), r=fl("r"),
+        )
+    elif kind == "dirichlet":
+        sde = dq.Dirichlet(depvar=depvar, b=fl("b"), S=fl("S"),
+                           kappa=fl("kappa"))
+    elif kind == "gendir":
+        sde = dq.GeneralizedDirichlet(
+            depvar=depvar, b=fl("b"), S=fl("S"), kappa=fl("kappa"),
+            cij=fl("cij"),
+        )
+    elif kind == "mixdirichlet":
+        sde = dq.MixDirichlet(
+            depvar=depvar, b=fl("b"), S=fl("S"), kprime=fl("kappaprime"),
+            rho=fl("rho"), r=fl("r"),
+        )
+    elif kind == "gamma":
+        sde = dq.Gamma(depvar=depvar, b=fl("b"), S=fl("S"),
+                       kappa=fl("kappa"))
+    elif kind == "skew-normal":
+        sde = dq.SkewNormal(depvar=depvar, T=fl("T" if "T" in blk else "timescale"),
+                            sigmasq=fl("sigmasq"), lam=fl("lambda"))
+    elif kind == "wright-fisher":
+        sde = dq.WrightFisher(depvar=depvar, omega=fl("omega"))
+    elif kind == "position":
+        sde = dq.Position(depvar=depvar)
+    elif kind == "dissipation":
+        sde = dq.Dissipation(depvar=depvar)
+    elif kind == "velocity":
+        sde = dq.Velocity(depvar=depvar, c0=_f(blk, "c0", 2.1))
+    else:
+        raise ValueError(f"unknown SDE block {kind!r}")
+
+    # init policy
+    init = first(blk, "init", "zero")
+    n = sde.ncomp
+    if init in ("zero", "raw"):
+        sde.init = lambda k, np_: ip.init_zero(k, np_, n)
+    elif init == "jointdelta":
+        ic = first(blk, "icdelta") or {}
+        spikes = [
+            [(float(sp[i]), float(sp[i + 1])) for i in range(0, len(sp), 2)]
+            for sp in occurrences(ic, "spike")
+        ]
+        sde.init = lambda k, np_: ip.init_jointdelta(k, np_, spikes)
+    elif init == "jointbeta":
+        ic = first(blk, "icbeta") or {}
+        pdfs = [
+            tuple(float(x) for x in bp)
+            for bp in occurrences(ic, "betapdf")
+        ]
+        sde.init = lambda k, np_: ip.init_jointbeta(k, np_, pdfs)
+    elif init == "jointgaussian":
+        ic = first(blk, "icgaussian") or {}
+        gs = [
+            (float(g[0]), float(g[1]))
+            for g in occurrences(ic, "gaussian")
+        ]
+        sde.init = lambda k, np_: ip.init_jointgaussian(k, np_, gs)
+    else:
+        sde.init = lambda k, np_: ip.init_zero(k, np_, n)
+    return sde
+
+
+def load_walker(deck_text: str) -> WalkerConfig:
+    tree = parse_deck(deck_text)
+    cfg = WalkerConfig()
+    cfg.title = first(tree, "title", "")
+    w = first(tree, "walker")
+    if w is None:
+        raise ValueError("deck has no walker block")
+    cfg.nstep = _i(w, "nstep", cfg.nstep)
+    cfg.term = _f(w, "term", cfg.term)
+    cfg.dt = _f(w, "dt", 0.01)
+    cfg.npar = _i(w, "npar", 1000)
+    cfg.ttyi = _i(w, "ttyi", 1)
+
+    stats = first(w, "statistics")
+    if stats is not None:
+        cfg.stat_interval = _i(stats, "interval", 1)
+        for m in occurrences(stats, "_moments"):
+            central, term = _parse_moment(m)
+            (cfg.central if central else cfg.ordinary).append(term)
+
+    from .qparser import _SDE_BLOCKS
+
+    for kind in _SDE_BLOCKS:
+        for blk in occurrences(w, kind):
+            cfg.sdes.append(_build_sde(kind, blk))
+    return cfg
+
+
+def build_walker(cfg: WalkerConfig, seed: int = 0, mesh=None):
+    from ..walker import Walker
+
+    systems = Walker.layout(cfg.sdes)
+    return Walker(
+        systems,
+        npar=cfg.npar,
+        dt=cfg.dt,
+        seed=seed,
+        ordinary=cfg.ordinary,
+        central=cfg.central,
+        mesh=mesh,
+    )

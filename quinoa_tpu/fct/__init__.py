@@ -1,3 +1,3 @@
-from .fct import FCT, FCTWork
+from .fct import FCT
 
-__all__ = ["FCT", "FCTWork"]
+__all__ = ["FCT"]

@@ -1,57 +1,34 @@
-"""Flux-corrected transport (FEM-FCT) as dense segment ops.
+"""Flux-corrected transport (FEM-FCT), feature-major layout.
 
 Re-design of the reference's FluxCorrector/DistFCT pair
-(src/Inciter/FluxCorrector.cpp: aec:30, lump:238, diff:281, alw:339, lim:389;
-src/Inciter/DistFCT.hpp:100-226) following
+(src/Inciter/FluxCorrector.cpp: aec:30, lump:238, diff:281, alw:339,
+lim:389; src/Inciter/DistFCT.hpp:100-226) after
 
   Löhner, Morgan, Peraire, Vahdati (1987): Finite element flux-corrected
   transport (FEM-FCT) for the Euler and Navier-Stokes equations.
   Int. J. Numer. Meth. Fluids 7:1093-1109.
 
-The reference's three own/comm SDAG rounds (aec->alw->lim) become three pure
-segment-op passes; in the sharded solver the P/Q/A node buffers are combined
-across shards by the halo layer between passes (sum for P and A, max/min for
-Q) — replacing DistFCT's comaec/comalw/comlim point-to-point messages.
+All node fields are (C, N), element slabs (4, C, E); assembly is
+gather-based.  In the sharded solver the P/Q/A buffers are combined across
+shards by the halo layer between passes (sum for P and A, max/min for Q),
+replacing DistFCT's comaec/comalw/comlim messages.
 
-The low/high-order pair is the diagonally-lumped Taylor-Galerkin scheme of
-DiagCG: high order = lumped-mass TG (so the high-order increment enters the
-AEC with dUh = 0), low order = high order + mass diffusion c_tau*(M_c-M_L)Un.
+The low/high-order pair is the diagonally-lumped Taylor-Galerkin of
+DiagCG: high order = lumped-mass TG (dUh enters the AEC as zero), low
+order = high order + mass diffusion c_tau*(M_c-M_L)Un.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
-from ..ops.scatter import (
+from ..ops.assembly import (
     gather_nodes,
-    scatter_add_nodes,
-    scatter_max_nodes,
-    scatter_min_nodes,
+    assemble_add,
+    assemble_max,
+    assemble_min,
 )
 from ..pde.cg import CGGeom
-
-
-@partial(
-    jax.tree_util.register_dataclass,
-    data_fields=["aec", "P", "Q"],
-    meta_fields=[],
-)
-@dataclasses.dataclass(frozen=True)
-class FCTWork:
-    """Intermediate FCT state between the halo-combine points.
-
-    aec : (E,4,C)  antidiffusive element contributions
-    P   : (N,2,C)  sums of positive/negative AECs to nodes (Löhner P^{+,-}_i)
-    Q   : (N,2,C)  max/min of elements surrounding nodes (Löhner u^{max,min}_i)
-    """
-
-    aec: jnp.ndarray
-    P: jnp.ndarray
-    Q: jnp.ndarray
 
 
 class FCT:
@@ -61,99 +38,98 @@ class FCT:
         #: mass-diffusion coefficient; 1.0 guarantees monotonicity
         self.ctau = ctau
 
-    # -- element mass structure -------------------------------------------
-    # (M_L - M_c) of a tet: diag 3J/120, off-diag -J/120 (FluxCorrector.cpp
-    # aec/diff).  Applied as y_j = sum_k m_jk x_k = (J/120)(4 x_j - sum x).
+    # (M_L - M_c) of a tet: diag 3J/120, off-diag -J/120; applied as
+    # y_a = (J/120)(4 x_a - sum_b x_b)  (FluxCorrector.cpp aec/diff).
 
     def _mass_lumped_minus_consistent(self, geom: CGGeom, X):
-        """(M_Le - M_ce) @ X per element: X (E,4,C) -> (E,4,C)."""
+        """(M_Le - M_ce) @ X per element: X (4, C, E) -> (4, C, E)."""
         j = (geom.J * geom.emask) / 120.0
-        s = X.sum(axis=1, keepdims=True)
-        return j[:, None, None] * (4.0 * X - s)
+        s = X.sum(axis=0)
+        return j * (4.0 * X - s)
 
     def diff(self, geom: CGGeom, Un):
-        """Mass-diffusion rhs of the low-order system: (N,C) partial sums.
+        """Mass-diffusion rhs of the low-order system: (C, N) partials.
 
-        D_j = -c_tau * (M_Le - M_ce) Un scattered to nodes
-        (FluxCorrector::diff, src/Inciter/FluxCorrector.cpp:281-338).
+        D_a = -c_tau (M_Le - M_ce) Un scattered to nodes
+        (FluxCorrector::diff:281-338).
         """
-        un = gather_nodes(Un, geom.inpoel)
+        un = gather_nodes(Un, geom.inpoelT)
         contrib = -self.ctau * self._mass_lumped_minus_consistent(geom, un)
-        return scatter_add_nodes(contrib, geom.inpoel, geom.nnode)
-
-    # -- FCT passes ---------------------------------------------------------
+        return assemble_add(contrib, geom.nsup)
 
     def aec(self, geom: CGGeom, dUh, Un, bcmask):
         """Antidiffusive element contributions + nodal P sums.
 
-        AEC = M_L^{-1} (M_Le - M_ce)(ctau*Un + dUh); for the lumped-mass
-        high-order scheme dUh enters as zero (FluxCorrector::aec:30-170).
+        AEC = M_L^{-1} (M_Le - M_ce)(ctau*Un + dUh); dUh enters as zero for
+        the lumped-mass high-order scheme (FluxCorrector::aec:30-170).
         AECs at Dirichlet-BC nodes are zeroed.
 
-        bcmask : (N,C) 1.0 where a Dirichlet BC is set.
-        Returns (aec (E,4,C), P (N,2,C)).
+        bcmask : (C, N) 1.0 where a Dirichlet BC is set.
+        Returns (aec (4, C, E), P (2, C, N)).
         """
-        un = gather_nodes(Un, geom.inpoel)
-        duh = jnp.zeros_like(un)
-        me = self._mass_lumped_minus_consistent(geom, self.ctau * un + duh)
-        vol_n = gather_nodes(geom.vol[:, None], geom.inpoel)  # (E,4,1)
-        aec = me / vol_n
+        un = gather_nodes(Un, geom.inpoelT)
+        me = self._mass_lumped_minus_consistent(geom, self.ctau * un)
+        vol_n = jnp.stack(
+            [geom.vol[geom.inpoelT[a]] for a in range(4)]
+        )  # (4, E)
+        aec = me / vol_n[:, None, :]
 
-        bc_n = gather_nodes(bcmask, geom.inpoel)  # (E,4,C)
+        bc_n = gather_nodes(bcmask, geom.inpoelT)  # (4, C, E)
         aec = jnp.where(bc_n > 0, 0.0, aec)
 
-        pos = scatter_add_nodes(jnp.maximum(aec, 0.0), geom.inpoel, geom.nnode)
-        neg = scatter_add_nodes(jnp.minimum(aec, 0.0), geom.inpoel, geom.nnode)
-        P = jnp.stack([pos, neg], axis=1)
-        return aec, P
+        pos = assemble_add(jnp.maximum(aec, 0.0), geom.nsup)
+        neg = assemble_add(jnp.minimum(aec, 0.0), geom.nsup)
+        return aec, jnp.stack([pos, neg])
 
     def alw(self, geom: CGGeom, Un, Ul):
-        """Allowed max/min around nodes: Q (N,2,C) partial (max/min combine).
+        """Allowed max/min around nodes: Q (2, C, N) partials.
 
-        S_el = max/min over the element's nodes of max/min(Ul,Un); Q_i is the
-        max/min of S_el over elements around i (FluxCorrector::alw:339-388).
-        Padded elements are neutralized to -inf/+inf.
+        S_el = extrema over the element's nodes of max/min(Ul,Un); Q_i is
+        the extremum of S_el over elements around i (alw:339-388).
         """
         big = jnp.asarray(jnp.finfo(Un.dtype).max, dtype=Un.dtype)
-        smax = gather_nodes(jnp.maximum(Ul, Un), geom.inpoel)  # (E,4,C)
-        smin = gather_nodes(jnp.minimum(Ul, Un), geom.inpoel)
-        s_max_el = smax.max(axis=1)  # (E,C)
-        s_min_el = smin.min(axis=1)
-        pad = geom.emask[:, None] <= 0
+        smax = gather_nodes(jnp.maximum(Ul, Un), geom.inpoelT)  # (4,C,E)
+        smin = gather_nodes(jnp.minimum(Ul, Un), geom.inpoelT)
+        s_max_el = smax.max(axis=0)  # (C, E)
+        s_min_el = smin.min(axis=0)
+        pad = geom.emask <= 0
         s_max_el = jnp.where(pad, -big, s_max_el)
         s_min_el = jnp.where(pad, big, s_min_el)
 
-        qmax = scatter_max_nodes(
-            jnp.broadcast_to(s_max_el[:, None, :], smax.shape),
-            geom.inpoel, geom.nnode, initial=-big,
+        qmax = assemble_max(
+            jnp.broadcast_to(s_max_el[None], smax.shape), geom.nsup
         )
-        qmin = scatter_min_nodes(
-            jnp.broadcast_to(s_min_el[:, None, :], smin.shape),
-            geom.inpoel, geom.nnode, initial=big,
+        qmin = assemble_min(
+            jnp.broadcast_to(s_min_el[None], smin.shape), geom.nsup
         )
-        return jnp.stack([qmax, qmin], axis=1)
+        return jnp.stack([qmax, qmin])
 
     def lim(self, geom: CGGeom, aec, P, Q, Ul):
-        """Limited antidiffusive contributions scatter-added to nodes.
+        """Limited antidiffusive contributions assembled to nodes: (C, N).
 
-        Ratios R^{+,-} ensuring monotonicity, element limit coefficient
-        C_el = min over the element's nodes, applied to the AECs
-        (FluxCorrector::lim:389-470).  Returns A (N,C) partial sums.
+        Monotonicity ratios R^{+,-}, element coefficient C_el = min over
+        the element's nodes, applied to the AECs (lim:389-470).
         """
         eps = jnp.asarray(jnp.finfo(Ul.dtype).eps, dtype=Ul.dtype)
         big = jnp.asarray(jnp.finfo(Ul.dtype).max, dtype=Ul.dtype)
 
-        # allowed increments/decrements (Löhner Q^{+,-}_i)
-        Qp = Q[:, 0] - Ul
-        Qm = Q[:, 1] - Ul
+        Qp = Q[0] - Ul
+        Qm = Q[1] - Ul
 
-        Rp = jnp.where(P[:, 0] > 0.0, jnp.minimum(1.0, Qp / jnp.where(P[:, 0] > 0.0, P[:, 0], 1.0)), 0.0)
-        Rm = jnp.where(P[:, 1] < 0.0, jnp.minimum(1.0, Qm / jnp.where(P[:, 1] < 0.0, P[:, 1], 1.0)), 0.0)
+        Rp = jnp.where(
+            P[0] > 0.0,
+            jnp.minimum(1.0, Qp / jnp.where(P[0] > 0.0, P[0], 1.0)),
+            0.0,
+        )
+        Rm = jnp.where(
+            P[1] < 0.0,
+            jnp.minimum(1.0, Qm / jnp.where(P[1] < 0.0, P[1], 1.0)),
+            0.0,
+        )
 
-        rp = gather_nodes(Rp, geom.inpoel)  # (E,4,C)
-        rm = gather_nodes(Rm, geom.inpoel)
+        rp = gather_nodes(Rp, geom.inpoelT)  # (4, C, E)
+        rm = gather_nodes(Rm, geom.inpoelT)
         r = jnp.where(jnp.abs(aec) < eps, big, jnp.where(aec > 0.0, rp, rm))
-        C = jnp.minimum(r.min(axis=1), 1.0)  # (E,C)
+        Cel = jnp.minimum(r.min(axis=0), 1.0)  # (C, E)
 
-        contrib = C[:, None, :] * aec
-        return scatter_add_nodes(contrib, geom.inpoel, geom.nnode)
+        return assemble_add(Cel[None] * aec, geom.nsup)

@@ -1,4 +1,5 @@
-"""DG solver driver: SSP-RK3 stepping with limiting and p-adaptivity.
+"""DG solver driver: SSP-RK3 stepping with limiting and p-adaptivity
+(feature-major layout).
 
 Counterpart of the reference's DG chare array (src/Inciter/DG.cpp): the
 per-stage SDAG pipeline (comsol -> lim -> dt -> solve) becomes a pure
@@ -8,7 +9,7 @@ the global min dt, evaluate the rhs, and apply the RK update
     u = rk0[s]*un + rk1[s]*(u + dt*rhs/M)      (DG.cpp:39-40, 1479-1488)
 
 with the block-diagonal mass matrix diagonal in the orthogonal Dubiner
-basis (M_k = vol*mnorm_k).
+basis (M_k = vol*mnorm_k).  The modal state is (C*K, E).
 """
 
 from __future__ import annotations
@@ -19,9 +20,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..pde.dg import DGGeom, dg_rhs, dg_dt, dg_initialize
+from ..pde.dg import DGGeom, dg_rhs, dg_dt, dg_initialize, uview, _phys_gp
 from ..pde.limiter import weno_p1, superbee_p1
+from ..ops.basis import eval_basis
+from ..ops.quadrature import gauss_tet, ng_diag
 
 RK0 = (0.0, 3.0 / 4.0, 1.0 / 3.0)
 RK1 = (1.0, 1.0 / 4.0, 2.0 / 3.0)
@@ -34,8 +38,8 @@ RK1 = (1.0, 1.0 / 4.0, 2.0 / 3.0)
 )
 @dataclasses.dataclass
 class DGState:
-    u: jnp.ndarray  # (E, C, K)
-    ndofel: jnp.ndarray  # (E,) int32 active dofs per element (p-adaptive)
+    u: jnp.ndarray  # (C*K, E)
+    ndofel: jnp.ndarray  # (E,) int32 active dofs (p-adaptive)
     t: jnp.ndarray
     it: jnp.ndarray
     dt: jnp.ndarray
@@ -45,8 +49,8 @@ class DGSolver:
     """Cell-centered DG(P0/P1/P2) solver on a single shard.
 
     limiter : None | 'wenop1' | 'superbeep1'
-    pref    : enable p-adaptive DG (P1 <-> P0 by gradient indicator,
-              DG.cpp:1088-1163); tolref is the indicator threshold.
+    pref    : p-adaptive DG (P1 <-> P0 by gradient indicator,
+              DG.cpp:1088-1163); tolref is the threshold.
     """
 
     def __init__(
@@ -72,7 +76,6 @@ class DGSolver:
         self.cweight = cweight
         self.pref = pref
         self.tolref = tolref
-        # CFL scaled by 1/(2p+1) (DG.cpp:1404-1419)
         p = {1: 0.0, 4: 1.0, 10: 2.0}[geom.ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
         self._step = jax.jit(self._step_impl)
@@ -81,28 +84,34 @@ class DGSolver:
 
     def _dofmask(self, ndofel):
         K = self.geom.ndof
-        k = jnp.arange(K)[None, :]
-        return (k < ndofel[:, None]).astype(self.geom.vol.dtype)
+        k = jnp.arange(K)[:, None]
+        return (k < ndofel[None, :]).astype(self.geom.vol.dtype)
 
     def _limit(self, u, dofmask):
+        C = self.system.ncomp
         if self.limiter == "wenop1":
-            return weno_p1(self.geom, u, dofmask, self.cweight)
+            return weno_p1(self.geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
-            return superbee_p1(self.geom, u, dofmask)
+            return superbee_p1(self.geom, u, dofmask, C)
         return u
 
     def _eval_ndof(self, u):
-        """p-adaptive dof indicator: keep P1 where any component's gradient
-        magnitude exceeds tolref (DG.cpp eval_ndof)."""
+        """p-adaptive indicator: keep P1 where any component's gradient
+        magnitude exceeds tolref (DG.cpp eval_ndof:1089-1163)."""
         g = self.geom
-        # du/dxi from P1 dofs: (2u1, u1+3u2, u1+u2+4u3)
-        u1, u2, u3 = u[:, :, 1], u[:, :, 2], u[:, :, 3]
-        dudxi = jnp.stack(
-            [2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3], axis=-1
-        )  # (E,C,3)
-        dudx = jnp.einsum("ecm,emj->ecj", dudxi, g.jacInv)
-        grad = jnp.sqrt((dudx**2).sum(-1))  # (E,C)
-        keep = (grad > self.tolref).any(axis=1)
+        C, K = self.system.ncomp, g.ndof
+        Uv = uview(u, C, K)
+        u1, u2, u3 = Uv[:, 1, :], Uv[:, 2, :], Uv[:, 3, :]
+        dxi = (2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3)
+        grad2 = None
+        for j in range(3):
+            d = (
+                dxi[0] * g.jacInv[0, j]
+                + dxi[1] * g.jacInv[1, j]
+                + dxi[2] * g.jacInv[2, j]
+            )
+            grad2 = d * d if grad2 is None else grad2 + d * d
+        keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
         return jnp.where(keep, 4, 1).astype(jnp.int32)
 
     # -- public API -----------------------------------------------------------
@@ -131,8 +140,11 @@ class DGSolver:
 
     # -- implementation -------------------------------------------------------
 
-    def _minv(self):
-        return 1.0 / (self.geom.vol[:, None, None] * self.geom.mnorm[None, None, :])
+    def _minv(self, dofmask):
+        K = self.geom.ndof
+        mn = jnp.asarray(self.geom.tables["mnorm"], dtype=self.geom.vol.dtype)
+        inv = 1.0 / (self.geom.vol[None, :] * mn[:, None])  # (K,E)
+        return jnp.tile(inv, (self.system.ncomp, 1))  # (C*K, E)
 
     def _step_impl(self, state: DGState) -> DGState:
         g = self.geom
@@ -140,7 +152,6 @@ class DGSolver:
         u = state.u
         ndofel = state.ndofel
         dt = state.dt
-        minv = self._minv()
 
         for s in range(3):
             if s == 0 and self.pref and g.ndof >= 4:
@@ -155,16 +166,13 @@ class DGSolver:
                         self.cfl * self.cflscale
                     )
             r = dg_rhs(self.system, g, u, dofmask, state.t)
+            minv = self._minv(dofmask)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
-            u = jnp.where(dofmask[:, None, :] > 0, u, un)
+            dmflat = jnp.tile(dofmask, (self.system.ncomp, 1))
+            u = jnp.where(dmflat > 0, u, un)
 
-        return DGState(
-            u=u,
-            ndofel=ndofel,
-            t=state.t + dt,
-            it=state.it + 1,
-            dt=dt,
-        )
+        return DGState(u=u, ndofel=ndofel, t=state.t + dt, it=state.it + 1,
+                       dt=dt)
 
 
 class DGDiagnostics:
@@ -172,33 +180,40 @@ class DGDiagnostics:
     (ElemDiagnostics.cpp)."""
 
     def __init__(self, system, geom: DGGeom):
-        from ..ops.quadrature import gauss_tet, ng_diag
-        from ..ops.basis import eval_basis
-        import numpy as np
-
         self.system = system
         self.geom = geom
         pts, w = gauss_tet(ng_diag(geom.ndof))
         dtype = geom.vol.dtype
-        self.pts = jnp.asarray(pts, dtype=dtype)
-        self.w = jnp.asarray(w, dtype=dtype)
-        self.B = eval_basis(geom.ndof, self.pts)  # (G,K)
+        self.pts = np.asarray(pts)
+        self.w = np.asarray(w)
+        self.B = np.asarray(eval_basis(geom.ndof, jnp.asarray(pts)))  # (G,K)
         self.total_vol = float((geom.vol * geom.emask).sum())
 
     def compute(self, state: DGState):
         g = self.geom
-        u = state.u
-        state_gp = jnp.einsum("eck,gk->egc", u, self.B)  # (E,G,C)
-        gp = g.node0[:, None, :] + jnp.einsum("eij,gj->egi", g.Jmat, self.pts)
-        E, G, C = state_gp.shape
-        a = self.system.analytic(gp.reshape(-1, 3), state.t).reshape(E, G, C)
-        w = self.w[None, :, None] * (g.vol * g.emask)[:, None, None]
-        l2sol = jnp.sqrt((w * state_gp**2).sum((0, 1)) / self.total_vol)
-        err = state_gp - a
-        l2err = jnp.sqrt((w * err**2).sum((0, 1)) / self.total_vol)
-        linferr = jnp.abs(err * (g.emask[:, None, None] > 0)).max((0, 1))
+        C, K = self.system.ncomp, g.ndof
+        Uv = uview(state.u, C, K)
+        ve = g.vol * g.emask
+        s2 = jnp.zeros((C,), dtype=state.u.dtype)
+        e2 = jnp.zeros((C,), dtype=state.u.dtype)
+        einf = jnp.zeros((C,), dtype=state.u.dtype)
+        for gi in range(len(self.w)):
+            B = jnp.asarray(self.B[gi], dtype=state.u.dtype)[:, None]
+            sgp = (Uv * B).sum(axis=1)  # (C,E)
+            gp = _phys_gp(
+                g.node0, g.Jmat,
+                jnp.asarray(self.pts[gi], dtype=state.u.dtype)[:, None],
+            )
+            a = self.system.analytic(gp, state.t).astype(state.u.dtype)
+            w = float(self.w[gi]) * ve
+            s2 = s2 + (w * sgp**2).sum(axis=1)
+            err = (sgp - a) * (g.emask > 0)
+            e2 = e2 + (w * err**2).sum(axis=1)
+            einf = jnp.maximum(einf, jnp.abs(err).max(axis=1))
+        l2sol = jnp.sqrt(s2 / self.total_vol)
+        l2err = jnp.sqrt(e2 / self.total_vol)
         return (
             [float(v) for v in l2sol],
             [float(v) for v in l2err],
-            [float(v) for v in linferr],
+            [float(v) for v in einf],
         )

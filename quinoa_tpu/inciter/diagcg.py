@@ -3,19 +3,15 @@
 TPU-native re-design of the reference's DiagCG chare array
 (src/Inciter/DiagCG.cpp: dt 229-286, rhs 288-357, solve 359-414, update
 472-500) and its DistFCT companion: one time step is a single pure jitted
-function
+function whose internal structure is
 
-    state' = step(state)
+    dt (global min) -> rhs + mass-diffusion -> low/high solve ->
+    FCT aec -> alw -> lim -> u' = ul + A
 
-whose internal structure is
-
-    dt (global min)  ->  rhs + mass-diffusion  ->  low/high solve  ->
-    FCT aec -> alw -> lim  ->  u' = ul + A
-
-with all element loops as segment ops.  The single-shard version below has
-no communication; the sharded version (quinoa_tpu.parallel.diagcg_spmd)
-wraps the same kernels in shard_map and combines node buffers on shard
-boundaries where DistFCT exchanged messages.
+Solution fields are feature-major (C, N).  The single-shard version has
+no communication; the sharded version (quinoa_tpu.parallel.spmd) wraps
+the same kernels in shard_map and combines node buffers on shard
+boundaries at exactly the points where DistFCT exchanged messages.
 """
 
 from __future__ import annotations
@@ -38,12 +34,12 @@ from ..pde.cg import CGGeom, lumped_mass
 )
 @dataclasses.dataclass
 class CGState:
-    """Time-marching state for node-centered schemes."""
+    """Time-marching state for node-centered schemes; u is (C, nnode)."""
 
-    u: jnp.ndarray  # (nnode, ncomp)
-    t: jnp.ndarray  # scalar
-    it: jnp.ndarray  # scalar int
-    dt: jnp.ndarray  # scalar, last dt taken
+    u: jnp.ndarray
+    t: jnp.ndarray
+    it: jnp.ndarray
+    dt: jnp.ndarray
 
 
 def _identity_combine(x):
@@ -64,12 +60,12 @@ def diagcg_advance(
     combine_max=_identity_combine,
     combine_min=_identity_combine,
 ):
-    """One DiagCG(+FCT) update of the solution given a time step size.
+    """One DiagCG(+FCT) update given the time step size.
 
-    The three combine hooks are applied to node buffers exactly where the
-    reference's DistFCT/DiagCG exchanged chare-boundary messages:
-    rhs+dif (comrhs), P and Q (comaec/comalw), A (comlim).  On a single
-    shard they are the identity; the SPMD driver injects boundary-buffer
+    The three combine hooks act on (C, N) node buffers exactly where the
+    reference's DistFCT/DiagCG exchanged chare-boundary messages: rhs+dif
+    (comrhs), P and Q (comaec/comalw), A (comlim).  On a single shard they
+    are the identity; the SPMD driver injects boundary-buffer
     psum/pmax/pmin reductions.
     """
     r = system.rhs(t, dt, geom, u)
@@ -80,7 +76,7 @@ def diagcg_advance(
     # Dirichlet BCs: lhs=1, rhs=bc increment, dif=0 at BC nodes
     # (DiagCG::solve, src/Inciter/DiagCG.cpp:359-414)
     binc = system.solinc(geom.coords, t, dt).astype(u.dtype)
-    lhs_eff = jnp.where(bcmask > 0, 1.0, lhs[:, None])
+    lhs_eff = jnp.where(bcmask > 0, 1.0, lhs[None, :])
     r = jnp.where(bcmask > 0, binc, r)
     dif = jnp.where(bcmask > 0, 0.0, dif)
 
@@ -93,8 +89,8 @@ def diagcg_advance(
 
     aec, P = fct.aec(geom, du, u, bcmask)
     Q = fct.alw(geom, u, ul)
-    P = jnp.stack([combine_sum(P[:, 0]), combine_sum(P[:, 1])], axis=1)
-    Q = jnp.stack([combine_max(Q[:, 0]), combine_min(Q[:, 1])], axis=1)
+    P = jnp.stack([combine_sum(P[0]), combine_sum(P[1])])
+    Q = jnp.stack([combine_max(Q[0]), combine_min(Q[1])])
     A = combine_sum(fct.lim(geom, aec, P, Q, ul))
     return ul + A
 
@@ -104,13 +100,13 @@ class DiagCGSolver:
 
     Parameters
     ----------
-    system : CGPDE operator (e.g. quinoa_tpu.pde.cg.CGTransport)
+    system : CGPDE operator (CGTransport / CGCompFlow)
     geom   : CGGeom static geometry
     cfl    : Courant number scaling the min element dt
     const_dt : use a constant dt instead of CFL if given
     ctau   : FCT mass-diffusion coefficient
     fct    : enable flux-corrected transport (else plain lumped-mass TG)
-    bcnodes : (nbc,) int32 node ids with Dirichlet BCs (all components), or None
+    bcnodes : (nbc,) int32 node ids with Dirichlet BCs (all components)
     """
 
     def __init__(
@@ -131,9 +127,9 @@ class DiagCGSolver:
         self.use_fct = fct
 
         ncomp = system.ncomp
-        bcmask = jnp.zeros((geom.nnode, ncomp), dtype=geom.vol.dtype)
+        bcmask = jnp.zeros((ncomp, geom.nnode), dtype=geom.vol.dtype)
         if bcnodes is not None and len(bcnodes) > 0:
-            bcmask = bcmask.at[jnp.asarray(bcnodes, dtype=jnp.int32)].set(1.0)
+            bcmask = bcmask.at[:, jnp.asarray(bcnodes, dtype=jnp.int32)].set(1.0)
         self.bcmask = bcmask
 
         # assembled lumped-mass lhs (DiagCG::lhs + lhsmerge)
@@ -185,9 +181,4 @@ class DiagCGSolver:
             state.t,
             dt,
         )
-        return CGState(
-            u=unew,
-            t=state.t + dt,
-            it=state.it + 1,
-            dt=dt,
-        )
+        return CGState(u=unew, t=state.t + dt, it=state.it + 1, dt=dt)

@@ -36,9 +36,9 @@ class Diagnostics:
         self.total_vol = float(geom.vol.sum())
 
     def compute(self, state) -> DiagRow:
-        u = state.u
-        vol = self.geom.vol[:, None]
-        l2sol = jnp.sqrt((u * u * vol).sum(axis=0) / self.total_vol)
+        u = state.u  # (C, N)
+        vol = self.geom.vol[None, :]
+        l2sol = jnp.sqrt((u * u * vol).sum(axis=1) / self.total_vol)
 
         l2err = linferr = None
         if hasattr(self.system, "analytic"):
@@ -46,8 +46,8 @@ class Diagnostics:
             # matching the reference's d.T()+d.Dt() convention)
             a = self.system.analytic(self.geom.coords, state.t).astype(u.dtype)
             e = u - a
-            l2err = jnp.sqrt((e * e * vol).sum(axis=0) / self.total_vol)
-            linferr = jnp.abs(e).max(axis=0)
+            l2err = jnp.sqrt((e * e * vol).sum(axis=1) / self.total_vol)
+            linferr = jnp.abs(e).max(axis=1)
 
         return DiagRow(
             it=int(state.it),

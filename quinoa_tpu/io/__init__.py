@@ -1,0 +1,32 @@
+"""Mesh and field I/O.
+
+Counterpart of the reference's src/IO/ layer (~7.6k LoC of ExodusII/Gmsh/
+Netgen/ASC readers-writers plus diagnostics/statistics writers): ExodusII
+files are NetCDF-3 classic and are read/written natively through
+scipy.io.netcdf_file — the same on-disk format the reference produces via
+the SEACAS exodus library — so meshes and field output interoperate with
+the reference tool chain (exodiff, ParaView).
+"""
+
+from .exodus import read_exodus, write_exodus
+from .gmsh import read_gmsh, write_gmsh
+from .netgen import read_netgen, write_netgen
+from .meshfactory import read_mesh, write_mesh, detect_format
+from .diagwriter import DiagWriter
+from .statwriter import TxtStatWriter
+from .pdfwriter import write_pdf_txt
+
+__all__ = [
+    "read_exodus",
+    "write_exodus",
+    "read_gmsh",
+    "write_gmsh",
+    "read_netgen",
+    "write_netgen",
+    "read_mesh",
+    "write_mesh",
+    "detect_format",
+    "DiagWriter",
+    "TxtStatWriter",
+    "write_pdf_txt",
+]

@@ -1,0 +1,248 @@
+"""ExodusII tetrahedral mesh + field I/O over NetCDF-3 classic.
+
+Counterpart of the reference's ExodusIIMeshReader/Writer (src/IO/
+ExodusIIMesh*.cpp, built on the SEACAS exodus C library).  ExodusII files
+are NetCDF-3 classic underneath, which scipy.io.netcdf_file handles
+natively — no external library needed.
+
+Reader understands the layouts the reference's committed meshes use:
+- TET4 element blocks (tri-shell blocks are collected as boundary faces),
+- side sets given either as (tet element, Exodus side) pairs or as
+  references to shell-block triangles,
+- optional nodal variables + time steps.
+
+Writer emits a single TET4 block, side sets as (element, side) pairs on
+the tets, and optional nodal fields per time step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy.io import netcdf_file
+
+from ..mesh.unsmesh import UnsMesh
+from ..mesh.derived import _TET_FACES
+
+# ExodusII TET4 local side -> our face nodes.  Exodus sides (1-based):
+# 1:(0,1,3) 2:(1,2,3) 3:(0,3,2) 4:(0,2,1)
+_EXO_TET_SIDES = np.array(
+    [[0, 1, 3], [1, 2, 3], [0, 3, 2], [0, 2, 1]], dtype=np.int64
+)
+
+
+def _face_key_to_exo_side() -> dict:
+    """Map sorted local-node triple -> exodus side number (1-based)."""
+    return {tuple(sorted(s)): i + 1 for i, s in enumerate(_EXO_TET_SIDES)}
+
+
+def read_exodus(path: str) -> UnsMesh:
+    """Read an ExodusII tet mesh (with side sets) into UnsMesh."""
+    f = netcdf_file(path, "r", mmap=False)
+    try:
+        dims = f.dimensions
+        nnode = int(dims["num_nodes"])
+
+        if "coord" in f.variables:
+            coords = np.array(f.variables["coord"][:]).T.astype(np.float64)
+        else:
+            coords = np.stack(
+                [
+                    np.array(f.variables["coordx"][:]),
+                    np.array(f.variables["coordy"][:]),
+                    (
+                        np.array(f.variables["coordz"][:])
+                        if "coordz" in f.variables
+                        else np.zeros(nnode)
+                    ),
+                ],
+                axis=1,
+            ).astype(np.float64)
+
+        nblk = int(dims.get("num_el_blk", 1))
+        tets = []
+        tris = []  # shell triangles, if any
+        elem_kind = []  # per global element id: ('tet'|'tri', local index)
+        ntet = ntri = 0
+        for b in range(1, nblk + 1):
+            conn = f.variables[f"connect{b}"]
+            arr = np.array(conn[:]).astype(np.int64) - 1  # to 0-based
+            if arr.shape[1] == 4:
+                elem_kind += [("tet", ntet + i) for i in range(arr.shape[0])]
+                ntet += arr.shape[0]
+                tets.append(arr)
+            elif arr.shape[1] == 3:
+                elem_kind += [("tri", ntri + i) for i in range(arr.shape[0])]
+                ntri += arr.shape[0]
+                tris.append(arr)
+            else:
+                raise ValueError(f"unsupported element block width {arr.shape[1]}")
+        inpoel = (
+            np.concatenate(tets, axis=0) if tets else np.zeros((0, 4), np.int64)
+        )
+        tri_all = (
+            np.concatenate(tris, axis=0) if tris else np.zeros((0, 3), np.int64)
+        )
+
+        mesh = UnsMesh(coords=coords, inpoel=inpoel.astype(np.int32))
+
+        # side sets
+        nss = int(dims.get("num_side_sets", 0))
+        ss_ids = (
+            np.array(f.variables["ss_prop1"][:]).astype(int)
+            if "ss_prop1" in f.variables
+            else np.arange(1, nss + 1)
+        )
+        for i in range(1, nss + 1):
+            if f"elem_ss{i}" not in f.variables:
+                continue
+            els = np.array(f.variables[f"elem_ss{i}"][:]).astype(np.int64) - 1
+            sides = np.array(f.variables[f"side_ss{i}"][:]).astype(np.int64) - 1
+            faces = []
+            for e, s in zip(els, sides):
+                kind, local = elem_kind[e]
+                if kind == "tet":
+                    faces.append(inpoel[local][_EXO_TET_SIDES[s]])
+                else:  # shell triangle: the face is the triangle itself
+                    faces.append(tri_all[local])
+            if faces:
+                mesh.bface[int(ss_ids[i - 1])] = np.asarray(faces, np.int32)
+        mesh.bnode = mesh.bnode_from_bface()
+        return mesh
+    finally:
+        f.close()
+
+
+def read_exodus_fields(path: str):
+    """Read nodal variables: (names, times, values (ntime, nvar, nnode))."""
+    f = netcdf_file(path, "r", mmap=False)
+    try:
+        if "name_nod_var" not in f.variables:
+            return [], np.zeros(0), np.zeros((0, 0, 0))
+        raw = f.variables["name_nod_var"][:]
+        names = [
+            b"".join(row.tolist()).decode().rstrip("\x00 ").strip()
+            for row in raw
+        ]
+        times = np.array(f.variables["time_whole"][:])
+        vals = np.stack(
+            [
+                np.array(f.variables[f"vals_nod_var{i + 1}"][:])
+                for i in range(len(names))
+            ],
+            axis=1,
+        )
+        return names, times, vals
+    finally:
+        f.close()
+
+
+def write_exodus(
+    path: str,
+    mesh: UnsMesh,
+    node_fields: Optional[Dict[str, np.ndarray]] = None,
+    time: float = 0.0,
+    title: str = "quinoa_tpu",
+) -> None:
+    """Write a TET4 ExodusII file with side sets and optional nodal fields."""
+    f = netcdf_file(path, "w")
+    try:
+        f.title = title.encode()
+        f.api_version = np.float32(5.22)
+        f.version = np.float32(5.22)
+        f.floating_point_word_size = np.int32(8)
+        f.file_size = np.int32(1)
+
+        nnode, nelem = mesh.nnode, mesh.nelem
+        # scipy requires the unlimited (record) dimension to come first
+        f.createDimension("time_step", None)
+        f.createDimension("len_string", 33)
+        f.createDimension("len_line", 81)
+        f.createDimension("four", 4)
+        f.createDimension("len_name", 33)
+        f.createDimension("num_dim", 3)
+        f.createDimension("num_nodes", nnode)
+        f.createDimension("num_elem", nelem)
+        f.createDimension("num_el_blk", 1)
+        f.createDimension("num_el_in_blk1", nelem)
+        f.createDimension("num_nod_per_el1", 4)
+
+        for i, nm in enumerate("xyz"):
+            v = f.createVariable(f"coord{nm}", "d", ("num_nodes",))
+            v[:] = mesh.coords[:, i]
+
+        eb = f.createVariable("eb_prop1", "i", ("num_el_blk",))
+        eb[:] = np.array([1], dtype=np.int32)
+        eb.name = b"ID"
+        st = f.createVariable("eb_status", "i", ("num_el_blk",))
+        st[:] = np.array([1], dtype=np.int32)
+
+        conn = f.createVariable(
+            "connect1", "i", ("num_el_in_blk1", "num_nod_per_el1")
+        )
+        conn[:] = (mesh.inpoel + 1).astype(np.int32)
+        conn.elem_type = b"TET4"
+
+        # side sets: match boundary triangles to (element, exodus side)
+        if mesh.bface:
+            from ..mesh.derived import gen_esuel
+
+            esuel = gen_esuel(mesh.inpoel, mesh.nnode)
+            e_idx, f_idx = np.nonzero(esuel < 0)
+            key2ef = {}
+            side_of = _face_key_to_exo_side()
+            for e, lf in zip(e_idx, f_idx):
+                tri = mesh.inpoel[e][_TET_FACES[lf]]
+                # find exodus side number whose local nodes match this face
+                loc = {
+                    int(np.nonzero(mesh.inpoel[e] == n)[0][0]) for n in tri
+                }
+                key2ef[tuple(sorted(tri.tolist()))] = (
+                    e + 1,
+                    side_of[tuple(sorted(loc))],
+                )
+            nss = len(mesh.bface)
+            f.createDimension("num_side_sets", nss)
+            ssp = f.createVariable("ss_prop1", "i", ("num_side_sets",))
+            ssp[:] = np.array(sorted(mesh.bface.keys()), dtype=np.int32)
+            ssp.name = b"ID"
+            sst = f.createVariable("ss_status", "i", ("num_side_sets",))
+            sst[:] = np.ones(nss, dtype=np.int32)
+            for i, ss in enumerate(sorted(mesh.bface.keys()), start=1):
+                pairs = []
+                for tri in mesh.bface[ss]:
+                    ef = key2ef.get(tuple(sorted(tri.tolist())))
+                    if ef is not None:
+                        pairs.append(ef)
+                f.createDimension(f"num_side_ss{i}", max(len(pairs), 1))
+                ev = f.createVariable(f"elem_ss{i}", "i", (f"num_side_ss{i}",))
+                sv = f.createVariable(f"side_ss{i}", "i", (f"num_side_ss{i}",))
+                if pairs:
+                    ev[:] = np.array([p[0] for p in pairs], dtype=np.int32)
+                    sv[:] = np.array([p[1] for p in pairs], dtype=np.int32)
+                else:
+                    ev[:] = np.array([1], dtype=np.int32)
+                    sv[:] = np.array([1], dtype=np.int32)
+
+        tv = f.createVariable("time_whole", "d", ("time_step",))
+        tv[0] = time
+
+        if node_fields:
+            names = list(node_fields.keys())
+            f.createDimension("num_nod_var", len(names))
+            nm = f.createVariable(
+                "name_nod_var", "c", ("num_nod_var", "len_name")
+            )
+            arr = np.zeros((len(names), 33), dtype="S1")
+            for i, n in enumerate(names):
+                for j, ch in enumerate(n.encode()[:32]):
+                    arr[i, j] = bytes([ch])
+            nm[:] = arr
+            for i, n in enumerate(names):
+                v = f.createVariable(
+                    f"vals_nod_var{i + 1}", "d", ("time_step", "num_nodes")
+                )
+                v[0, :] = np.asarray(node_fields[n], dtype=np.float64)
+    finally:
+        f.close()

@@ -1,0 +1,64 @@
+"""Mesh format detection and conversion.
+
+Counterpart of the reference's MeshFactory + MeshDetect (src/IO/
+MeshFactory.cpp, MeshDetect.cpp) driving the meshconv executable
+(src/Main/MeshConvDriver.cpp:46-65): detect the input format from content,
+read into UnsMesh, write in the format implied by the output extension.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .exodus import read_exodus, write_exodus
+from .gmsh import read_gmsh, write_gmsh
+from .netgen import read_netgen, write_netgen
+
+
+def detect_format(path: str) -> str:
+    """Detect a mesh file's format from magic bytes / structure."""
+    with open(path, "rb") as fh:
+        head = fh.read(16)
+    if head.startswith(b"CDF"):
+        return "exodus"
+    try:
+        text = head.decode("ascii", errors="strict")
+    except UnicodeDecodeError:
+        raise ValueError(f"unrecognized (binary, non-NetCDF) mesh: {path}")
+    if text.lstrip().startswith("$MeshFormat"):
+        return "gmsh"
+    # Netgen neutral starts with an integer count on its own line
+    first = text.split()[0] if text.split() else ""
+    if first.isdigit():
+        return "netgen"
+    raise ValueError(f"cannot detect mesh format of {path}")
+
+
+_READERS = {"exodus": read_exodus, "gmsh": read_gmsh, "netgen": read_netgen}
+_WRITERS = {"exodus": write_exodus, "gmsh": write_gmsh, "netgen": write_netgen}
+
+_EXT2FMT = {
+    ".exo": "exodus",
+    ".e": "exodus",
+    ".g": "exodus",
+    ".msh": "gmsh",
+    ".mesh": "netgen",
+    ".neu": "netgen",
+}
+
+
+def format_from_extension(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _EXT2FMT:
+        raise ValueError(f"cannot infer mesh format from extension {ext!r}")
+    return _EXT2FMT[ext]
+
+
+def read_mesh(path: str, fmt: str | None = None):
+    fmt = fmt or detect_format(path)
+    return _READERS[fmt](path)
+
+
+def write_mesh(path: str, mesh, fmt: str | None = None) -> None:
+    fmt = fmt or format_from_extension(path)
+    _WRITERS[fmt](path, mesh)

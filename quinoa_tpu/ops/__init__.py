@@ -1,16 +1,23 @@
 """Device-side compute primitives (JAX/XLA/Pallas).
 
-The unstructured-mesh analog of an ML framework's op library: gather/scatter
-segment ops, element geometry tables, quadrature/basis tables, Riemann fluxes,
-limiters, and equations of state.  Everything here is jit-safe, static-shape,
-and dtype-generic.
+The unstructured-mesh analog of an ML framework's op library: gather-based
+assembly, quadrature/basis tables, Riemann fluxes, and equations of state.
+Everything is jit-safe, static-shape, dtype-generic, and feature-major
+(component axes lead, the long entity axis rides the 128-lane dimension).
 """
 
-from .scatter import scatter_add_nodes, gather_nodes, scatter_max_nodes, scatter_min_nodes
+from .assembly import (
+    build_nsup,
+    gather_nodes,
+    assemble_add,
+    assemble_max,
+    assemble_min,
+)
 
 __all__ = [
-    "scatter_add_nodes",
+    "build_nsup",
     "gather_nodes",
-    "scatter_max_nodes",
-    "scatter_min_nodes",
+    "assemble_add",
+    "assemble_max",
+    "assemble_min",
 ]

@@ -43,6 +43,35 @@ def eval_basis(ndof: int, xi: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(B, axis=-1)
 
 
+def eval_basis_cm(ndof: int, xi: jnp.ndarray) -> jnp.ndarray:
+    """Component-major Dubiner basis: xi (3, ...) -> (ndof, ...).
+
+    Same polynomials as eval_basis, laid out for the TPU feature-major
+    convention (the long point axis stays last).
+    """
+    x, e, z = xi[0], xi[1], xi[2]
+    one = jnp.ones_like(x)
+    B = [one]
+    if ndof > 1:
+        B += [
+            2.0 * x + e + z - 1.0,
+            3.0 * e + z - 1.0,
+            4.0 * z - 1.0,
+        ]
+    if ndof > 4:
+        B += [
+            6 * x * x + e * e + z * z + 6 * x * e + 6 * x * z + 2 * e * z
+            - 6 * x - 2 * e - 2 * z + 1,
+            5 * e * e + z * z + 10 * x * e + 2 * x * z + 6 * e * z
+            - 2 * x - 6 * e - 2 * z + 1,
+            6 * z * z + 12 * x * z + 6 * e * z - 2 * x - e - 7 * z + 1,
+            10 * e * e + z * z + 8 * e * z - 8 * e - 2 * z + 1,
+            6 * z * z + 18 * e * z - 3 * e - 7 * z + 1,
+            15 * z * z - 10 * z + 1,
+        ]
+    return jnp.stack(B)
+
+
 def eval_dbdxi(ndof: int, xi: jnp.ndarray) -> jnp.ndarray:
     """dB/dxi at reference coordinates: (..., ndof, 3), via autodiff."""
     flat = xi.reshape(-1, 3)

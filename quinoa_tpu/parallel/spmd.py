@@ -2,22 +2,23 @@
 
 The distributed counterpart of quinoa_tpu.inciter.DiagCGSolver: the same
 step kernel (inciter.diagcg.diagcg_advance) is wrapped in `shard_map` over
-a 1-D device mesh, and the three node-buffer combine hooks become
+a 1-D device mesh; the three node-buffer combine hooks become
 
-    scatter(local partials -> global boundary buffer)
-      -> psum / pmax / pmin over the shard axis  (rides ICI)
+    gather(local boundary partials -> global boundary buffer)
+      -> psum / pmax / pmin over the shard axis   (rides ICI)
       -> gather(buffer -> local boundary nodes)
 
 replacing the reference's DistFCT/DiagCG per-neighbor point-to-point
 messages (comrhs/comaec/comalw/comlim) and its custom reducers; dt is a
-`pmin`, diagnostics are `psum`/`pmax` with node-ownership masks
-(SURVEY.md §5.8 mapping).
+`pmin`, diagnostics are ownership-masked psum/pmax (SURVEY.md §5.8).
+
+Fields are feature-major: u is (C, Nl) per shard, and the boundary buffer
+(C, nb+1) is built by *gathering* through the rev_slot table (each slot's
+node lives on a shard at most once, so no scatter is ever needed).
 """
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -27,7 +28,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..fct.fct import FCT
 from ..inciter.diagcg import CGState, diagcg_advance
-from ..pde.cg import CGGeom
 from .shard import ShardedCG
 
 AXIS = "shard"
@@ -39,42 +39,38 @@ def _local(tree):
 
 
 class HaloCombiner:
-    """Boundary-node buffer combines over the shard axis."""
+    """Boundary-node buffer combines over the shard axis (gather-based)."""
 
-    def __init__(self, bnd_slot: jnp.ndarray, nb: int):
-        self.slot = bnd_slot  # (Nl,) int32; == nb for non-boundary nodes
+    def __init__(self, bnd_slot, rev_slot, nb: int):
+        self.slot = bnd_slot  # (Nl,); == nb for interior nodes
+        self.rev = rev_slot  # (nb+1,); == Nl for slots not on this shard
         self.nb = nb
-        self.is_bnd = (bnd_slot < nb)[:, None]
+        self.is_bnd = bnd_slot < nb  # (Nl,)
 
-    def _combine(self, x, fill, reduce_op, node_op):
+    def _combine(self, x, fill, reduce_op):
         if self.nb == 0:
             return x
-        # scatter local partials into the boundary buffer (+1 trash row)
-        buf = jnp.full((self.nb + 1, x.shape[-1]), fill, dtype=x.dtype)
-        buf = node_op(buf.at[self.slot], x)
+        C, Nl = x.shape
+        xpad = jnp.concatenate(
+            [x, jnp.full((C, 1), fill, dtype=x.dtype)], axis=1
+        )
+        buf = xpad[:, self.rev]  # (C, nb+1): this shard's partials per slot
         buf = reduce_op(buf, AXIS)
-        g = buf[self.slot]  # trash row read back for interior nodes
-        return jnp.where(self.is_bnd, g, x)
+        g = buf[:, self.slot]  # trash column read back for interior nodes
+        return jnp.where(self.is_bnd[None, :], g, x)
 
     def sum(self, x):
-        return self._combine(x, 0.0, jax.lax.psum, lambda ref, v: ref.add(v))
+        return self._combine(x, 0.0, jax.lax.psum)
 
     def max(self, x):
-        big = jnp.finfo(x.dtype).max
-        return self._combine(x, -big, jax.lax.pmax, lambda ref, v: ref.max(v))
+        return self._combine(x, jnp.finfo(x.dtype).min, jax.lax.pmax)
 
     def min(self, x):
-        big = jnp.finfo(x.dtype).max
-        return self._combine(x, big, jax.lax.pmin, lambda ref, v: ref.min(v))
+        return self._combine(x, jnp.finfo(x.dtype).max, jax.lax.pmin)
 
 
 class SPMDDiagCGSolver:
-    """DiagCG+FCT over a 1-D device mesh via shard_map.
-
-    Parameters mirror DiagCGSolver; `sharded` comes from build_cg_shards and
-    `mesh` is a jax.sharding.Mesh with a single axis named 'shard' whose
-    size equals sharded.nshard.
-    """
+    """DiagCG+FCT over a 1-D device mesh via shard_map."""
 
     def __init__(
         self,
@@ -99,12 +95,10 @@ class SPMDDiagCGSolver:
         self.fct = FCT(ctau=ctau)
         self.use_fct = fct
 
-        # lumped-mass lhs == fully-assembled nodal volume (see DiagCG::lhs +
+        # lumped-mass lhs == fully-assembled nodal volume (DiagCG::lhs +
         # lhsmerge; both equal sum_e J_e/24 over elements around the node)
         self.lhs = sharded.geom.vol
 
-        # state: u sharded over the mesh axis, scalars replicated;
-        # all static tables: sharded on their leading (shard) axis.
         spec_state = CGState(u=P(AXIS), t=P(), it=P(), dt=P())
 
         step = jax.shard_map(
@@ -131,9 +125,8 @@ class SPMDDiagCGSolver:
         lhs_l = _local(lhs)
         u = state.u[0]
 
-        halo = HaloCombiner(sh.bnd_slot, self.sharded.nb)
+        halo = HaloCombiner(sh.bnd_slot, sh.rev_slot, self.sharded.nb)
 
-        # dt: local min then global min (CkReduction::min_double analog)
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=u.dtype)
         else:
@@ -153,28 +146,26 @@ class SPMDDiagCGSolver:
             combine_max=halo.max,
             combine_min=halo.min,
         )
-        return CGState(
-            u=unew[None], t=state.t + dt, it=state.it + 1, dt=dt
-        )
+        return CGState(u=unew[None], t=state.t + dt, it=state.it + 1, dt=dt)
 
     def _diag_local(self, sharded, state):
         """L2(sol), L2(err), Linf(err) with ownership-masked reductions."""
         sh: ShardedCG = _local(sharded)
-        u = state.u[0]
-        w = (sh.geom.vol * sh.owned)[:, None]
+        u = state.u[0]  # (C, Nl)
+        w = (sh.geom.vol * sh.owned)[None, :]
         vol_tot = jax.lax.psum((sh.geom.vol * sh.owned).sum(), AXIS)
-        l2sol = jnp.sqrt(jax.lax.psum((u * u * w).sum(0), AXIS) / vol_tot)
+        l2sol = jnp.sqrt(jax.lax.psum((u * u * w).sum(1), AXIS) / vol_tot)
         a = self.system.analytic(sh.geom.coords, state.t).astype(u.dtype)
-        e = (u - a) * (sh.owned[:, None] > 0)
-        l2err = jnp.sqrt(jax.lax.psum((e * e * w).sum(0), AXIS) / vol_tot)
-        linferr = jax.lax.pmax(jnp.abs(e).max(0), AXIS)
+        e = (u - a) * (sh.owned[None, :] > 0)
+        l2err = jnp.sqrt(jax.lax.psum((e * e * w).sum(1), AXIS) / vol_tot)
+        linferr = jax.lax.pmax(jnp.abs(e).max(1), AXIS)
         return l2sol, l2err, linferr
 
     # -- public API -----------------------------------------------------------
 
     def initial_state(self, t0: float = 0.0) -> CGState:
         dtype = self.sharded.geom.vol.dtype
-        coords = self.sharded.geom.coords  # (S, Nl, 3)
+        coords = self.sharded.geom.coords  # (S, 3, Nl)
         u0 = jax.vmap(lambda c: self.system.initialize(c, t0))(coords)
         u0 = jax.device_put(
             u0.astype(dtype),
@@ -192,8 +183,4 @@ class SPMDDiagCGSolver:
 
     def diagnostics(self, state: CGState):
         l2sol, l2err, linferr = self._diag(state)
-        return (
-            np.asarray(l2sol),
-            np.asarray(l2err),
-            np.asarray(linferr),
-        )
+        return (np.asarray(l2sol), np.asarray(l2err), np.asarray(linferr))

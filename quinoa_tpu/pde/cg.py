@@ -1,14 +1,16 @@
-"""Continuous-Galerkin spatial operators over dense element tables.
+"""Continuous-Galerkin spatial operators (feature-major layout).
 
-The device-side data structure and the CGPDE operator protocol.  Counterpart
-of the reference's CGPDE interface (src/PDE/CGPDE.hpp:43-130) and its
-Transport implementation (src/PDE/Transport/CGTransport.hpp), re-designed as
-pure functions over a static-geometry pytree:
+The device-side data structure and the CGPDE operator protocol.
+Counterpart of the reference's CGPDE interface (src/PDE/CGPDE.hpp:43-130)
+and its Transport implementation (src/PDE/Transport/CGTransport.hpp),
+re-designed as pure functions over static geometry tables with the TPU
+feature-major layout: solution fields are (C, N), coordinates (3, N),
+per-element tables carry the element axis LAST — so every materialized
+array puts its long axis on the 128-lane dimension.
 
-- geometry (Jacobians, P1 shape-function gradients, nodal volumes) is
-  precomputed host-side once per (re)partition and stored as [E,...] tables;
-- per-element gathers/scatters are two XLA segment ops (quinoa_tpu.ops);
-- padded elements are handled with an element mask so all shapes are static.
+Geometry (Jacobians, P1 shape-function gradients, nodal volumes) is
+precomputed host-side in f64 once per (re)partition; assembly is gather-
+based (quinoa_tpu.ops.assembly), never a scatter.
 """
 
 from __future__ import annotations
@@ -22,48 +24,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.geometry import tet_geometry, nodal_volumes
-from ..ops.scatter import gather_nodes, scatter_add_nodes
+from ..ops.assembly import build_nsup, gather_nodes, assemble_add
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["coords", "inpoel", "J", "grad", "vol", "emask"],
+    data_fields=["coords", "inpoelT", "J", "grad", "vol", "emask", "nsup"],
     meta_fields=["nnode"],
 )
 @dataclasses.dataclass(frozen=True)
 class CGGeom:
     """Static per-shard geometry tables for node-centered (CG) solvers.
 
-    Attributes
-    ----------
-    coords : (nnode, 3)      node coordinates
-    inpoel : (nelem, 4) i32  element connectivity (local node ids)
-    J      : (nelem,)        element Jacobian = 6*volume (1.0 for padding)
-    grad   : (nelem, 4, 3)   P1 shape-function gradients (0 for padding)
-    vol    : (nnode,)        nodal volumes, *fully summed* across shards
-    emask  : (nelem,)        1.0 for real elements, 0.0 for padding
-    nnode  : int             static node count (needed by segment ops)
+    coords : (3, nnode)       node coordinates
+    inpoelT: (4, nelem) i32   element connectivity (local node ids)
+    J      : (nelem,)         element Jacobian = 6*volume (1.0 for padding)
+    grad   : (4, 3, nelem)    P1 shape-function gradients (0 for padding)
+    vol    : (nnode,)         nodal volumes, fully summed across shards
+    emask  : (nelem,)         1.0 real element / 0.0 padding
+    nsup   : (D, nnode) i32   assembly gather table (ops.assembly)
+    nnode  : int              static node count
     """
 
     coords: jnp.ndarray
-    inpoel: jnp.ndarray
+    inpoelT: jnp.ndarray
     J: jnp.ndarray
     grad: jnp.ndarray
     vol: jnp.ndarray
     emask: jnp.ndarray
+    nsup: jnp.ndarray
     nnode: int
 
     @property
     def nelem(self) -> int:
-        return self.inpoel.shape[0]
+        return self.inpoelT.shape[1]
 
 
 def make_cggeom(mesh, dtype=None) -> CGGeom:
     """Build single-shard CGGeom from a host UnsMesh (no padding).
 
-    dtype defaults to JAX's current default float dtype (f64 with x64
-    enabled — matching the reference's tk::real — else f32, the TPU
-    performance dtype).  Geometry is always derived in f64 on host.
+    dtype defaults to JAX's current default float dtype (f64 with x64 —
+    matching the reference's tk::real — else f32, the TPU perf dtype).
+    Geometry is always derived in f64 on host.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -71,45 +73,45 @@ def make_cggeom(mesh, dtype=None) -> CGGeom:
     if not (J > 0).all():
         raise ValueError("mesh has non-positive element Jacobians")
     vol = nodal_volumes(mesh.coords, mesh.inpoel, mesh.nnode)
+    nsup, _ = build_nsup(mesh.inpoel, mesh.nnode)
     return CGGeom(
-        coords=jnp.asarray(mesh.coords, dtype=dtype),
-        inpoel=jnp.asarray(mesh.inpoel, dtype=jnp.int32),
+        coords=jnp.asarray(mesh.coords.T, dtype=dtype),
+        inpoelT=jnp.asarray(mesh.inpoel.T, dtype=jnp.int32),
         J=jnp.asarray(J, dtype=dtype),
-        grad=jnp.asarray(grad, dtype=dtype),
+        grad=jnp.asarray(np.transpose(grad, (1, 2, 0)), dtype=dtype),
         vol=jnp.asarray(vol, dtype=dtype),
         emask=jnp.ones(mesh.nelem, dtype=dtype),
+        nsup=jnp.asarray(nsup),
         nnode=int(mesh.nnode),
     )
 
 
 def lumped_mass(geom: CGGeom) -> jnp.ndarray:
-    """Assembled lumped mass 'matrix' diagonal: (nnode,).
+    """Assembled lumped mass diagonal (nnode,): per-shard partial sums.
 
     Each element contributes V/4 = J/24 to each of its four nodes
-    (reference: FluxCorrector::lump, src/Inciter/FluxCorrector.cpp:238-280).
-    NOTE: per-shard partial sums; combine over shards on chare-boundary nodes.
+    (FluxCorrector::lump, src/Inciter/FluxCorrector.cpp:238-280).
     """
     w = (geom.J * geom.emask) / 24.0
-    contrib = jnp.broadcast_to(w[:, None, None], (geom.nelem, 4, 1))
-    return scatter_add_nodes(contrib, geom.inpoel, geom.nnode)[:, 0]
+    contrib = jnp.broadcast_to(w[None, None, :], (4, 1, geom.nelem))
+    return assemble_add(contrib, geom.nsup)[0]
 
 
 class CGTransport:
-    """Scalar advection(-diffusion) with the two-stage Taylor-Galerkin scheme.
+    """Scalar advection(-diffusion), two-stage Taylor-Galerkin.
 
     Semantics match the reference CGTransport (src/PDE/Transport/
-    CGTransport.hpp:183-330 rhs, 331-395 dt): stage 1 forms element-centered
-    intermediates Ue at t+dt/2 from nodal values and prescribed velocities at
-    the nodes; stage 2 scatter-adds element fluxes (velocity at the element
-    center) back to nodes.  Optional isotropic-tensor diffusion follows
-    CGAdvDiff (src/PDE/Transport/Physics/CGAdvDiff.cpp:30-96).
+    CGTransport.hpp:183-330 rhs, 331-395 dt); optional isotropic-tensor
+    diffusion follows CGAdvDiff (Physics/CGAdvDiff.cpp:30-96).
     """
 
     def __init__(self, problem, ncomp: Optional[int] = None):
         self.problem = problem
         self.ncomp = ncomp if ncomp is not None else problem.ncomp
         d = getattr(problem, "diffusivity", ()) or ()
-        self.diffusivity = np.asarray(d, dtype=np.float64).reshape(-1, 3) if len(d) else None
+        self.diffusivity = (
+            np.asarray(d, dtype=np.float64).reshape(-1, 3) if len(d) else None
+        )
 
     # -- CGPDE protocol -----------------------------------------------------
 
@@ -123,52 +125,64 @@ class CGTransport:
         return self.problem.solinc(xyz, t, dt)
 
     def rhs(self, t, dt, geom: CGGeom, U):
-        """Right-hand side, shape (nnode, ncomp): per-shard partial sums."""
-        x = geom.coords
-        un = gather_nodes(U, geom.inpoel)  # (E,4,C)
+        """Right-hand side (C, nnode): per-shard partial sums."""
+        C, E = self.ncomp, geom.nelem
+        un = gather_nodes(U, geom.inpoelT)  # (4, C, E)
 
-        # stage 1: element intermediate at t+dt/2
-        xyz_n = x[geom.inpoel].reshape(-1, 3)  # (E*4,3)
-        vel_n = self.problem.velocity(xyz_n, t).reshape(
-            geom.nelem, 4, self.ncomp, 3
+        # stage 1: element intermediate at t + dt/2
+        # velocity at the four element nodes: (4, C, 3, E)
+        vel_n = jnp.stack(
+            [
+                self.problem.velocity(geom.coords[:, geom.inpoelT[a]], t)
+                for a in range(4)
+            ]
         )
-        # advective term: sum_a grad[a]·v[a,c] * u[a,c]
-        adv = jnp.einsum("eaj,eacj,eac->ec", geom.grad, vel_n, un)
-        ue = un.mean(axis=1) - 0.5 * dt * adv  # (E,C)
+        # advective term: sum_a sum_j grad[a,j] * v[a,c,j] * u[a,c]
+        adv = jnp.zeros((C, E), dtype=U.dtype)
+        for a in range(4):
+            for j in range(3):
+                adv = adv + geom.grad[a, j] * vel_n[a, :, j, :] * un[a]
+        ue = un.mean(axis=0) - 0.5 * dt * adv  # (C, E)
 
-        # stage 2: scatter element fluxes to nodes with center velocity
-        ctr = x[geom.inpoel].mean(axis=1)  # (E,3)
-        vel_c = self.problem.velocity(ctr, t)  # (E,C,3)
+        # stage 2: element fluxes to nodes with center velocity
+        ctr = sum(geom.coords[:, geom.inpoelT[a]] for a in range(4)) / 4.0
+        vel_c = self.problem.velocity(ctr, t)  # (C, 3, E)
         d = dt * geom.J * geom.emask / 6.0  # (E,)
-        contrib = d[:, None, None] * jnp.einsum(
-            "eaj,ecj,ec->eac", geom.grad, vel_c, ue
-        )
+
+        vdotg = [
+            sum(geom.grad[a, j] * vel_c[:, j, :] for j in range(3))
+            for a in range(4)
+        ]  # 4 x (C, E)
+        contrib = jnp.stack([d * g * ue for g in vdotg])  # (4, C, E)
 
         if self.diffusivity is not None:
-            # R_a -= dt*J/6 * D_k * grad[a,k] grad[b,k] u[b]  (AdvDiff physics)
-            D = jnp.asarray(self.diffusivity, dtype=U.dtype)  # (C,3)
-            diff = jnp.einsum(
-                "eak,ck,ebk,ebc->eac", geom.grad, D, geom.grad, un
-            )
-            contrib = contrib - d[:, None, None] * diff
+            # R_a -= dt*J/6 * D_k * grad[a,k] grad[b,k] u[b]
+            D = jnp.asarray(self.diffusivity, dtype=U.dtype)  # (C, 3)
+            diff = []
+            for a in range(4):
+                s = jnp.zeros((C, E), dtype=U.dtype)
+                for k in range(3):
+                    gb = sum(geom.grad[b, k] * un[b] for b in range(4))
+                    s = s + D[:, k][:, None] * geom.grad[a, k] * gb
+                diff.append(s)
+            contrib = contrib - d * jnp.stack(diff)
 
-        return scatter_add_nodes(contrib, geom.inpoel, geom.nnode)
+        return assemble_add(contrib, geom.nsup)
 
     def dt(self, geom: CGGeom, U):
         """Minimum time-step over local elements (before CFL scaling)."""
         L = jnp.cbrt(geom.J / 6.0)
-        xyz_n = geom.coords[geom.inpoel].reshape(-1, 3)
-        vel_n = self.problem.velocity(xyz_n, 0.0).reshape(
-            geom.nelem, 4, self.ncomp, 3
+        speeds = []
+        for a in range(4):
+            v = self.problem.velocity(geom.coords[:, geom.inpoelT[a]], 0.0)
+            speeds.append(jnp.sqrt((v**2).sum(axis=1)).max(axis=0))  # (E,)
+        maxvel = jnp.maximum(
+            jnp.maximum(speeds[0], speeds[1]), jnp.maximum(speeds[2], speeds[3])
         )
-        speed = jnp.sqrt((vel_n**2).sum(-1))  # (E,4,C)
-        maxvel = speed.max(axis=(1, 2))
         adv_dt = L / jnp.maximum(maxvel, 1e-300)
         if self.diffusivity is not None:
-            # dt ~ dx^2/(2D) with the largest diffusivity across components
             dmax = float(self.diffusivity.max())
-            dif_dt = L * L / (2.0 * dmax)
-            elemdt = jnp.minimum(adv_dt, dif_dt)
+            elemdt = jnp.minimum(adv_dt, L * L / (2.0 * dmax))
         else:
             elemdt = adv_dt
         big = jnp.asarray(jnp.finfo(U.dtype).max, dtype=U.dtype)

@@ -1,22 +1,22 @@
-"""Discontinuous-Galerkin core: geometry tables and integral operators.
+"""Discontinuous-Galerkin core: geometry tables and integral operators
+(feature-major layout, gather-based accumulation).
 
 TPU-native re-design of the reference's DG machinery (src/PDE/Integrate/
-{Volume,Surface,Boundary,Mass,Source}.cpp and src/Inciter/DG.cpp): instead
-of per-element/per-face loops that rebuild coordinates, Jacobians, and
-basis values at every Gauss point, everything static is precomputed
-host-side once per (re)partition:
+{Volume,Surface,Boundary,Mass,Source}.cpp and src/Inciter/DG.cpp):
 
-- per-element: volume, Jacobian matrix (dx/dxi), its inverse, node-0 anchor;
-- per-face: left/right elements, unit normal (outward from left), area, and
-  the *reference coordinates* of every face Gauss point in the left and
-  right element frames (so device-side basis evaluation is a few fused
-  polynomial ops, not a coordinate solve);
-- constant tables: volume-rule Gauss points/weights, Dubiner basis and its
-  reference gradients at those points, diagonal mass entries.
-
-The rhs is then three dense passes: a volume contraction, a face pass with
-two scatter-adds (left/right), and the boundary treatment folded into the
-same face pass via per-face BC-type masks.
+- everything static is precomputed host-side per (re)partition: element
+  Jacobians, face normals/areas, and the *reference coordinates* of every
+  face Gauss point in the left/right element frames;
+- LAYOUT: the modal solution is U (C*K, E) with row c*K+k; per-face slabs
+  are (C*K, F); coordinates are (3, n).  The long element/face axis is
+  always LAST so it rides the 128-lane dimension — small feature axes
+  never get tiled into (8,128) padding;
+- ACCUMULATION IS A GATHER: face-flux contributions land in per-face
+  arrays; each element then gathers its four faces through the
+  faces-of-element table `fose` (with an L/R side selector) — no scatter
+  anywhere in the hot path;
+- quadrature loops (<= 11 volume, <= 6 face points) are unrolled in
+  Python: XLA fuses each into one elementwise kernel over (·, E)/(·, F).
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.derived import gen_faces, gen_esuel, _TET_FACES
-from ..ops.basis import eval_basis, eval_dbdxi, mass_diag
+from ..ops.basis import eval_basis, eval_basis_cm, eval_dbdxi, mass_diag
 from ..ops.quadrature import gauss_tet, gauss_tri, ng_vol, ng_face, ng_init
 
 # BC type codes (per boundary face)
@@ -39,46 +39,50 @@ BC_DIRICHLET = 1
 BC_SYMMETRY = 2
 BC_EXTRAPOLATE = 3
 
-# reference-tet vertices
 _REF_NODES = np.array(
     [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
 )
+
+
+class _Tables(dict):
+    """Static (metadata) table dict: identity-hashed so it can live in the
+    meta fields of a registered dataclass."""
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
         "vol", "jacInv", "Jmat", "node0", "emask",
-        "esuf", "fn", "farea", "xi_l", "xi_r", "bctype", "fmask",
-        "esuel", "w_vol", "xi_vol", "B_vol", "dBdxi_vol", "mnorm",
-        "w_face", "xi_selfface",
+        "el", "er", "fn", "farea", "xi_l", "xi_r", "bctype", "fmask",
+        "fose", "fsideR", "esuelT",
     ],
-    meta_fields=["ndof", "nelem_real"],
+    meta_fields=["ndof", "nelem_real", "tables"],
 )
 @dataclasses.dataclass(frozen=True)
 class DGGeom:
     """Static DG geometry tables (single shard; padded in the SPMD build).
 
-    vol     : (E,)      element volumes (1.0 padding)
-    jacInv  : (E,3,3)   d(xi)/dx
-    Jmat    : (E,3,3)   dx/d(xi) (columns = edge vectors from node 0)
-    node0   : (E,3)     coordinates of local node 0
-    emask   : (E,)      1.0 real / 0.0 padding
-    esuf    : (F,2) i32 left/right elements (right == left for boundary)
-    fn      : (F,3)     unit face normal, outward from the left element
-    farea   : (F,)      face area
-    xi_l/r  : (F,G,3)   face Gauss points in left/right element ref coords
-    bctype  : (F,) i32  BC code (interior 0)
-    fmask   : (F,)      1.0 real face / 0.0 padding
-    esuel   : (E,4) i32 face-neighbor elements (-1 = boundary) for limiters
-    w_vol   : (Gv,)     volume-rule weights (sum 1)
-    xi_vol  : (Gv,3)    volume-rule points
-    B_vol   : (Gv,K)    basis at volume points
-    dBdxi_vol:(Gv,K,3)  basis reference-gradients at volume points
-    mnorm   : (K,)      normalized diagonal mass entries
-    w_face  : (G,)      face-rule weights (sum 1)
-    xi_selfface:(4,G,3) face Gauss points of the element's own 4 faces in
-                        its own reference coords (constant; for limiters)
+    vol     : (E,)        element volumes (1.0 padding)
+    jacInv  : (3,3,E)     d(xi)/dx
+    Jmat    : (3,3,E)     dx/d(xi)
+    node0   : (3,E)       coordinates of local node 0
+    emask   : (E,)        1.0 real / 0.0 padding
+    el, er  : (F,) i32    left/right elements (er == el for boundary)
+    fn      : (3,F)       unit face normal, outward from the left element
+    farea   : (F,)        face area
+    xi_l/r  : (3,G,F)     face Gauss points in left/right element ref coords
+    bctype  : (F,) i32    BC code (interior 0)
+    fmask   : (F,)        1.0 real face / 0.0 padding
+    fose    : (4,E) i32   the element's four faces
+    fsideR  : (4,E)       1.0 where the element is the RIGHT of that face
+    esuelT  : (4,E) i32   face-neighbor elements (-1 = boundary), limiters
+    tables  : constant numpy quadrature/basis tables (baked into jit)
     """
 
     vol: jnp.ndarray
@@ -86,44 +90,64 @@ class DGGeom:
     Jmat: jnp.ndarray
     node0: jnp.ndarray
     emask: jnp.ndarray
-    esuf: jnp.ndarray
+    el: jnp.ndarray
+    er: jnp.ndarray
     fn: jnp.ndarray
     farea: jnp.ndarray
     xi_l: jnp.ndarray
     xi_r: jnp.ndarray
     bctype: jnp.ndarray
     fmask: jnp.ndarray
-    esuel: jnp.ndarray
-    w_vol: jnp.ndarray
-    xi_vol: jnp.ndarray
-    B_vol: jnp.ndarray
-    dBdxi_vol: jnp.ndarray
-    mnorm: jnp.ndarray
-    w_face: jnp.ndarray
-    xi_selfface: jnp.ndarray
+    fose: jnp.ndarray
+    fsideR: jnp.ndarray
+    esuelT: jnp.ndarray
     ndof: int
     nelem_real: int
+    tables: dict
 
     @property
     def nelem(self) -> int:
         return self.vol.shape[0]
 
-    def phys_gp(self, elem_ids, xi):
-        """Physical coords of ref points xi (F,G,3) in elements elem_ids."""
-        X0 = self.node0[elem_ids]  # (F,3)
-        Jm = self.Jmat[elem_ids]  # (F,3,3)
-        return X0[:, None, :] + jnp.einsum("fij,fgj->fgi", Jm, xi)
+    @property
+    def nface(self) -> int:
+        return self.farea.shape[0]
 
 
 def _self_face_gauss(ng: int) -> np.ndarray:
-    """Ref coords of the ng face Gauss points on each of the 4 ref-tet faces."""
+    """Ref coords of the ng face Gauss points on the 4 ref-tet faces."""
     pts, _ = gauss_tri(ng)
     shp = np.stack([1.0 - pts[:, 0] - pts[:, 1], pts[:, 0], pts[:, 1]], axis=1)
     out = np.empty((4, ng, 3))
     for lf in range(4):
-        tri = _REF_NODES[_TET_FACES[lf]]
-        out[lf] = shp @ tri
+        out[lf] = shp @ _REF_NODES[_TET_FACES[lf]]
     return out
+
+
+def _make_tables(ndof: int) -> _Tables:
+    ngv = ng_vol(ndof)
+    vp, vw = gauss_tet(ngv)
+    ngf = ng_face(ndof)
+    tp, tw = gauss_tri(ngf)
+    ip, iw = gauss_tet(ng_init(ndof))
+    B_self = np.stack(
+        [
+            np.asarray(eval_basis(ndof, jnp.asarray(_self_face_gauss(ngf)[lf])))
+            for lf in range(4)
+        ]
+    )  # (4, G, K)
+    return _Tables(
+        w_vol=vw,
+        xi_vol=vp,
+        B_vol=np.asarray(eval_basis(ndof, jnp.asarray(vp))),
+        dBdxi_vol=np.asarray(eval_dbdxi(ndof, jnp.asarray(vp))),
+        w_face=tw,
+        w_init=iw,
+        xi_init=ip,
+        B_init=np.asarray(eval_basis(ndof, jnp.asarray(ip))),
+        B_selfface=B_self,
+        mnorm=mass_diag(ndof),
+    )
 
 
 def build_dggeom(
@@ -134,15 +158,14 @@ def build_dggeom(
 ) -> DGGeom:
     """Build single-shard DG geometry from a host UnsMesh.
 
-    bc_sidesets maps side-set id -> BC code (BC_DIRICHLET/SYMMETRY/
-    EXTRAPOLATE); unlisted boundary faces default to extrapolate.
+    bc_sidesets maps side-set id -> BC code; unlisted boundary faces
+    default to extrapolate.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     coords, inpoel = mesh.coords, mesh.inpoel
     E = mesh.nelem
 
-    # element geometry
     n0 = coords[inpoel[:, 0]]
     Jm = np.stack(
         [
@@ -151,16 +174,15 @@ def build_dggeom(
             coords[inpoel[:, 3]] - n0,
         ],
         axis=2,
-    )  # (E,3,3), columns are edges: dx/dxi
+    )  # (E,3,3)
     detJ = np.linalg.det(Jm)
     if not (detJ > 0).all():
         raise ValueError("mesh has non-positive element Jacobians")
     vol = detJ / 6.0
     jacInv = np.linalg.inv(Jm)
 
-    # faces
     fd = gen_faces(inpoel, mesh.nnode)
-    esuf = fd["esuf"].copy()
+    esuf = fd["esuf"]
     inpofa = fd["inpofa"]
     nbfac = fd["nbfac"]
     F = esuf.shape[0]
@@ -168,186 +190,227 @@ def build_dggeom(
     a = coords[inpofa[:, 0]]
     b = coords[inpofa[:, 1]]
     c = coords[inpofa[:, 2]]
-    nvec = np.cross(b - a, c - a)  # outward from left, |n| = 2*area
+    nvec = np.cross(b - a, c - a)
     farea = 0.5 * np.linalg.norm(nvec, axis=1)
     fn = nvec / (2.0 * farea[:, None])
 
-    # face Gauss points: physical, then to L/R reference coords
     ngf = ng_face(ndof)
-    tp, tw = gauss_tri(ngf)
+    tp, _ = gauss_tri(ngf)
     shp = np.stack([1.0 - tp[:, 0] - tp[:, 1], tp[:, 0], tp[:, 1]], axis=1)
     gp = np.einsum("gi,fid->fgd", shp, coords[inpofa])  # (F,G,3)
 
-    el = esuf[:, 0]
-    er = np.where(esuf[:, 1] < 0, el, esuf[:, 1])
+    el = esuf[:, 0].astype(np.int64)
+    er = np.where(esuf[:, 1] < 0, el, esuf[:, 1]).astype(np.int64)
     xi_l = np.einsum("fij,fgj->fgi", jacInv[el], gp - n0[el][:, None, :])
     xi_r = np.einsum("fij,fgj->fgi", jacInv[er], gp - n0[er][:, None, :])
 
-    # boundary types by side set
     bctype = np.zeros(F, dtype=np.int32)
     bctype[:nbfac] = BC_EXTRAPOLATE
     if bc_sidesets:
-        key2f = {}
-        for i in range(nbfac):
-            key2f[tuple(sorted(inpofa[i]))] = i
+        key2f = {tuple(sorted(inpofa[i])): i for i in range(nbfac)}
         for ss, code in bc_sidesets.items():
             for tri in mesh.bface.get(ss, ()):
                 f = key2f.get(tuple(sorted(tri)))
                 if f is not None:
                     bctype[f] = code
 
-    # volume rule tables
-    ngv = ng_vol(ndof)
-    vp, vw = gauss_tet(ngv)
-    B_vol = np.asarray(eval_basis(ndof, jnp.asarray(vp)))
-    dBdxi_vol = np.asarray(eval_dbdxi(ndof, jnp.asarray(vp)))
+    # faces-of-element table with L/R side flags
+    fose = np.zeros((4, E), dtype=np.int32)
+    fsideR = np.zeros((4, E))
+    slot = np.zeros(E, dtype=np.int64)
+    for f in range(F):
+        e = el[f]
+        fose[slot[e], e] = f
+        slot[e] += 1
+        if er[f] != el[f]:
+            e2 = er[f]
+            fose[slot[e2], e2] = f
+            fsideR[slot[e2], e2] = 1.0
+            slot[e2] += 1
+    if not (slot == 4).all():
+        raise AssertionError("every tet must own exactly 4 face slots")
 
     esuel = gen_esuel(inpoel, mesh.nnode)
 
     return DGGeom(
         vol=jnp.asarray(vol, dtype=dtype),
-        jacInv=jnp.asarray(jacInv, dtype=dtype),
-        Jmat=jnp.asarray(Jm, dtype=dtype),
-        node0=jnp.asarray(n0, dtype=dtype),
+        jacInv=jnp.asarray(np.transpose(jacInv, (1, 2, 0)), dtype=dtype),
+        Jmat=jnp.asarray(np.transpose(Jm, (1, 2, 0)), dtype=dtype),
+        node0=jnp.asarray(n0.T, dtype=dtype),
         emask=jnp.ones(E, dtype=dtype),
-        esuf=jnp.asarray(np.stack([el, er], axis=1), dtype=jnp.int32),
-        fn=jnp.asarray(fn, dtype=dtype),
+        el=jnp.asarray(el, dtype=jnp.int32),
+        er=jnp.asarray(er, dtype=jnp.int32),
+        fn=jnp.asarray(fn.T, dtype=dtype),
         farea=jnp.asarray(farea, dtype=dtype),
-        xi_l=jnp.asarray(xi_l, dtype=dtype),
-        xi_r=jnp.asarray(xi_r, dtype=dtype),
+        xi_l=jnp.asarray(np.transpose(xi_l, (2, 1, 0)), dtype=dtype),
+        xi_r=jnp.asarray(np.transpose(xi_r, (2, 1, 0)), dtype=dtype),
         bctype=jnp.asarray(bctype),
         fmask=jnp.ones(F, dtype=dtype),
-        esuel=jnp.asarray(esuel),
-        w_vol=jnp.asarray(vw, dtype=dtype),
-        xi_vol=jnp.asarray(vp, dtype=dtype),
-        B_vol=jnp.asarray(B_vol, dtype=dtype),
-        dBdxi_vol=jnp.asarray(dBdxi_vol, dtype=dtype),
-        mnorm=jnp.asarray(mass_diag(ndof), dtype=dtype),
-        w_face=jnp.asarray(tw, dtype=dtype),
-        xi_selfface=jnp.asarray(_self_face_gauss(ngf), dtype=dtype),
+        fose=jnp.asarray(fose),
+        fsideR=jnp.asarray(fsideR, dtype=dtype),
+        esuelT=jnp.asarray(esuel.T),
         ndof=int(ndof),
         nelem_real=int(E),
+        tables=_make_tables(ndof),
+    )
+
+
+# -- helpers -----------------------------------------------------------------
+
+
+def uview(U, C, K):
+    """(C*K, E) -> (C, K, E) view."""
+    return U.reshape(C, K, U.shape[-1])
+
+
+def eval_state_at(Uv, B):
+    """Modal evaluation: Uv (C,K,n), B (K,n) or (K,) -> (C,n)."""
+    K = Uv.shape[1]
+    s = Uv[:, 0, :] * B[0]
+    for k in range(1, K):
+        s = s + Uv[:, k, :] * B[k]
+    return s
+
+
+def _phys_gp(node0, Jmat, xi):
+    """Physical coords (3, n) of ref point(s) xi ((3,) or (3, n))."""
+    return jnp.stack(
+        [
+            node0[i]
+            + Jmat[i, 0] * xi[0] + Jmat[i, 1] * xi[1] + Jmat[i, 2] * xi[2]
+            for i in range(3)
+        ]
     )
 
 
 # -- operators ---------------------------------------------------------------
 
 
-def eval_state(U, B):
-    """U (E,C,K), B (...,K) -> state (...,C) by dof contraction."""
-    return jnp.einsum("eck,e...k->e...c", U, B)
-
-
 def dg_rhs(system, geom: DGGeom, U, dofmask, t):
     """DG right-hand side: volume + surface + boundary + source integrals.
 
-    U       : (E, C, K) modal solution
-    dofmask : (E, K) 1.0 for active dofs (p-adaptivity), 0.0 otherwise
-    Returns R : (E, C, K) (same layout as U).
+    U (C*K, E); dofmask (K, E).  Returns (C*K, E).
+
+    All quadrature loops are single einsum contractions whose outputs keep
+    the long element/face axis LAST (never letting XLA tile a small
+    trailing pair); the whole rhs is ~20 dots + fused elementwise chains.
     """
-    E, C, K = U.shape
-    Ue = U * dofmask[:, None, :]
+    C = system.ncomp
+    K = geom.ndof
+    E = geom.nelem
+    tb = geom.tables
+    dt_ = U.dtype
 
-    R = jnp.zeros_like(U)
+    Uv = uview(U, C, K) * dofmask[None]
 
-    # ---- volume integral (K > 1 only) ------------------------------------
+    # ---- volume + source integrals ----------------------------------------
+    B_vol = jnp.asarray(tb["B_vol"], dtype=dt_)          # (G,K)
+    xi_vol = jnp.asarray(tb["xi_vol"].T, dtype=dt_)      # (3,G)
+    # weighted reference-gradient table: (G,K,3) * w -> wdB
+    wdB = jnp.asarray(tb["w_vol"][:, None, None] * tb["dBdxi_vol"], dtype=dt_)
+    wB = jnp.asarray(tb["w_vol"][:, None] * tb["B_vol"], dtype=dt_)  # (G,K)
+
+    state = jnp.einsum("gk,cke->cge", B_vol, Uv)         # (C,G,E)
+    gp = (
+        geom.node0[:, None, :]
+        + jnp.einsum("ime,mg->ige", geom.Jmat, xi_vol)
+    )                                                    # (3,G,E)
+
+    Rv = jnp.zeros((C, K, E), dtype=dt_)
     if K > 1:
-        state = jnp.einsum("eck,gk->egc", Ue, geom.B_vol)  # (E,G,C)
-        gp = geom.node0[:, None, :] + jnp.einsum(
-            "eij,gj->egi", geom.Jmat, geom.xi_vol
-        )
-        Fl = system.flux(state, gp, t)  # (E,G,C,3)
-        s = system.src(gp.reshape(-1, 3), t).reshape(E, -1, C)
-        # pull the flux back to reference space first so no intermediate
-        # exceeds (E,G,C,3):  Fref[e,g,c,m] = F[e,g,c,j] jacInv[e,m,j]
-        Fref = jnp.einsum("egcj,emj->egcm", Fl, geom.jacInv)
-        contrib = jnp.einsum("g,egcm,gkm->eck", geom.w_vol, Fref, geom.dBdxi_vol)
-        contrib = contrib + jnp.einsum("g,egc,gk->eck", geom.w_vol, s, geom.B_vol)
-        R = R + (geom.vol * geom.emask)[:, None, None] * contrib
-    else:
-        gp = geom.node0[:, None, :] + jnp.einsum(
-            "eij,gj->egi", geom.Jmat, geom.xi_vol
-        )
-        s = system.src(gp.reshape(-1, 3), t).reshape(E, -1, C)
-        contrib = jnp.einsum("g,egc,gk->eck", geom.w_vol, s, geom.B_vol)
-        R = R + (geom.vol * geom.emask)[:, None, None] * contrib
+        Fj = system.flux_cols(state, gp, t)              # [3] of (C,G,E)
+        Fref = jnp.stack(
+            [
+                sum(Fj[j] * geom.jacInv[m, j] for j in range(3))
+                for m in range(3)
+            ]
+        )                                                # (3,C,G,E)
+        Rv = Rv + jnp.einsum("gkm,mcge->cke", wdB, Fref)
+    if getattr(system, "has_src", True):
+        sarr = system.src(gp, t)                         # (C,G,E)
+        Rv = Rv + jnp.einsum("gk,cge->cke", wB, sarr)
 
-    # ---- surface integral (interior + boundary in one pass) --------------
-    el = geom.esuf[:, 0]
-    er = geom.esuf[:, 1]
-    B_l = eval_basis(geom.ndof, geom.xi_l) * dofmask[el][:, None, :]
-    B_r = eval_basis(geom.ndof, geom.xi_r) * dofmask[er][:, None, :]
-    sL = jnp.einsum("fck,fgk->fgc", Ue[el], B_l)  # (F,G,C)
-    sR = jnp.einsum("fck,fgk->fgc", Ue[er], B_r)
+    Rv = Rv * (geom.vol * geom.emask)
 
-    gpf = geom.phys_gp(el, geom.xi_l)  # (F,G,3)
-    fnb = geom.fn[:, None, :]  # (F,1,3) broadcast over G
+    # ---- face pass (interior + boundary in one sweep) ---------------------
+    interior = geom.bctype == BC_INTERIOR
+    B_l = eval_basis_cm(K, geom.xi_l) * dofmask[:, None, geom.el]  # (K,G,F)
+    B_r = eval_basis_cm(K, geom.xi_r) * dofmask[:, None, geom.er]
+    sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
+    sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
+    gpf = (
+        geom.node0[:, None, geom.el]
+        + jnp.einsum("imf,mgf->igf", geom.Jmat[:, :, geom.el], geom.xi_l)
+    )                                                    # (3,G,F)
+    fnf = geom.fn[:, None, :]                            # (3,1,F)
+    sR = jnp.where(
+        interior,
+        sR,
+        system.bc_state(geom.bctype, sL, fnf, gpf, t),
+    )
+    fl = system.riemann(fnf, sL, sR, gpf, t)             # (C,G,F)
 
-    # boundary ghost states by BC type
-    bt = geom.bctype[:, None, None]  # (F,1,1)
-    sR = jnp.where(bt == BC_INTERIOR, sR, system.bc_state(geom.bctype, sL, fnb, gpf, t))
+    wt = jnp.asarray(tb["w_face"], dtype=dt_)[:, None] * (
+        geom.farea * geom.fmask
+    )                                                    # (G,F)
+    contribL = -jnp.einsum("kgf,gf,cgf->ckf", B_l, wt, fl)
+    contribR = jnp.einsum("kgf,gf,cgf->ckf", B_r, wt, fl)
 
-    fl = system.riemann(jnp.broadcast_to(fnb, sL.shape[:-1] + (3,)), sL, sR, gpf, t)
+    # gather each element's four faces (no scatter)
+    for i in range(4):
+        f = geom.fose[i]
+        side = geom.fsideR[i]
+        Rv = Rv + jnp.where(side > 0, contribR[:, :, f], contribL[:, :, f])
 
-    wt = (geom.w_face[None, :] * geom.farea[:, None] * geom.fmask[:, None])
-    contribL = -jnp.einsum("fg,fgc,fgk->fck", wt, fl, B_l)
-    contribR = jnp.einsum("fg,fgc,fgk->fck", wt, fl, B_r)
-
-    R = R.at[el].add(contribL)
-    # do not scatter to the right element of boundary faces
-    er_scatter = jnp.where(geom.bctype == BC_INTERIOR, er, E)
-    R = R.at[er_scatter].add(contribR, mode="drop")
-
-    return R * dofmask[:, None, :]
+    return (Rv * dofmask[None]).reshape(C * K, E)
 
 
 def dg_dt(system, geom: DGGeom, U, dofmask):
     """Max-characteristic-speed face sweep: min_e vol_e / sum_f dSV
     (DGCompFlow.hpp dt:197-406)."""
-    E = U.shape[0]
-    Ue = U * dofmask[:, None, :]
-    el = geom.esuf[:, 0]
-    er = geom.esuf[:, 1]
-    B_l = eval_basis(geom.ndof, geom.xi_l) * dofmask[el][:, None, :]
-    B_r = eval_basis(geom.ndof, geom.xi_r) * dofmask[er][:, None, :]
-    sL = jnp.einsum("fck,fgk->fgc", Ue[el], B_l)
-    sR = jnp.einsum("fck,fgk->fgc", Ue[er], B_r)
+    C, K = system.ncomp, geom.ndof
+    tb = geom.tables
+    dt_ = U.dtype
+    Uv = uview(U, C, K) * dofmask[None]
+    interior = geom.bctype == BC_INTERIOR
 
-    gpf = geom.phys_gp(el, geom.xi_l)
-    wt = geom.w_face[None, :] * geom.farea[:, None] * geom.fmask[:, None]
-    dSV_l = wt * system.charvel(sL, geom.fn[:, None, :], gpf)  # (F,G)
-    dSV_r = wt * system.charvel(sR, geom.fn[:, None, :], gpf)
+    B_l = eval_basis_cm(K, geom.xi_l) * dofmask[:, None, geom.el]
+    B_r = eval_basis_cm(K, geom.xi_r) * dofmask[:, None, geom.er]
+    sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
+    sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
+    gpf = (
+        geom.node0[:, None, geom.el]
+        + jnp.einsum("imf,mgf->igf", geom.Jmat[:, :, geom.el], geom.xi_l)
+    )
+    fnf = geom.fn[:, None, :]
+    dSV_l = system.charvel(sL, fnf, gpf)                 # (G,F)
+    dSV_r = system.charvel(sR, fnf, gpf)
+    wt = jnp.asarray(tb["w_face"], dtype=dt_)[:, None] * (
+        geom.farea * geom.fmask
+    )
+    mx = (wt * jnp.where(interior, jnp.maximum(dSV_l, dSV_r), dSV_l)).sum(0)
 
-    interior = (geom.bctype == BC_INTERIOR)[:, None]
-    mx = jnp.where(interior, jnp.maximum(dSV_l, dSV_r), dSV_l).sum(axis=1)  # (F,)
-
-    delt = jnp.zeros(E + 1, dtype=U.dtype)
-    delt = delt.at[el].add(mx)
-    er_scatter = jnp.where(geom.bctype == BC_INTERIOR, er, E)
-    delt = delt.at[er_scatter].add(jnp.where(interior[:, 0], mx, 0.0), mode="drop")
-
-    big = jnp.asarray(jnp.finfo(U.dtype).max, dtype=U.dtype)
-    elemdt = geom.vol / jnp.maximum(delt[:E], 1e-300)
+    delt = sum(mx[geom.fose[i]] for i in range(4))
+    big = jnp.asarray(jnp.finfo(dt_).max, dtype=dt_)
+    elemdt = geom.vol / jnp.maximum(delt, 1e-300)
     return jnp.where(geom.emask > 0, elemdt, big).min()
 
 
 def dg_initialize(system, geom: DGGeom, t):
-    """L2 projection of the initial condition onto the modal basis
-    (tk::initialize / eval_init, src/PDE/Integrate/Initialize.cpp)."""
-    K = geom.ndof
-    ngi = ng_init(K)
-    vp, vw = gauss_tet(ngi)
-    vp_j = jnp.asarray(vp, dtype=geom.vol.dtype)
-    vw_j = jnp.asarray(vw, dtype=geom.vol.dtype)
-    B = eval_basis(K, vp_j)  # (G,K)
-    gp = geom.node0[:, None, :] + jnp.einsum("eij,gj->egi", geom.Jmat, vp_j)
-    E = geom.nelem
-    f = system.initialize(gp.reshape(-1, 3), t).reshape(E, -1, system.ncomp)
-    # u_k = int f B_k / M_k ; both integrals carry the same vol factor
-    proj = jnp.einsum("g,egc,gk->eck", vw_j, f, B)
-    return proj / geom.mnorm[None, None, :]
+    """L2 projection of the IC onto the modal basis (tk::initialize /
+    eval_init, src/PDE/Integrate/Initialize.cpp).  Returns (C*K, E)."""
+    C, K, E = system.ncomp, geom.ndof, geom.nelem
+    tb = geom.tables
+    dtype = geom.vol.dtype
+    xi = jnp.asarray(tb["xi_init"].T, dtype=dtype)       # (3,G)
+    gp = geom.node0[:, None, :] + jnp.einsum("ime,mg->ige", geom.Jmat, xi)
+    f = system.initialize(gp, t)                          # (C,G,E)
+    wB = jnp.asarray(tb["w_init"][:, None] * tb["B_init"], dtype=dtype)
+    proj = jnp.einsum("gk,cge->cke", wB, f)
+    mn = jnp.asarray(tb["mnorm"], dtype=dtype)
+    return (proj / mn[None, :, None]).reshape(C * K, E)
 
 
-def dg_cell_avg(U):
-    """Cell averages: the 0th Dubiner dof is the mean."""
-    return U[:, :, 0]
+def dg_cell_avg(U, C, K):
+    """Cell averages (C, E): the 0th Dubiner dof is the mean."""
+    return uview(U, C, K)[:, 0, :]

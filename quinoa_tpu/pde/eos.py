@@ -24,7 +24,7 @@ class StiffenedGas:
         ) - self.pstiff
 
     def pressure_cons(self, U):
-        """Pressure from conservative variables U[..., 5]."""
+        """Pressure from conservative variables U[..., 5] (component-last)."""
         rho = U[..., 0]
         return self.pressure(
             rho,
@@ -33,6 +33,15 @@ class StiffenedGas:
             U[..., 3] / rho,
             U[..., 4],
         )
+
+    def pressure_cons_cm(self, U):
+        """Pressure from component-major conservative variables U (5, ...)."""
+        rho = U[0]
+        return self.pressure(rho, U[1] / rho, U[2] / rho, U[3] / rho, U[4])
+
+    def soundspeed_cons_cm(self, U):
+        p = jnp.maximum(self.pressure_cons_cm(U), 0.0)
+        return self.soundspeed(U[0], p)
 
     def soundspeed(self, rho, p):
         return jnp.sqrt(self.gamma * (p + self.pstiff) / rho)

@@ -1,85 +1,87 @@
-"""Slope limiters for DG(P1): WENO and Superbee.
+"""Slope limiters for DG(P1): WENO and Superbee (feature-major layout).
 
 Vectorized re-implementations of the reference's limiters
 (src/PDE/Limiter.cpp: WENO_P1:29-152, Superbee_P1:154-317): the per-element
-neighbor-stencil loops become gathers over the esuel table with -1
-neighbors masked.
+neighbor-stencil loops become gathers over the esuelT table with -1
+neighbors masked.  U is (C*K, E).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.basis import eval_basis
+from .dg import uview
 
 
-def weno_p1(geom, U, dofmask, cweight: float = 30.0):
-    """WENO limiter on the three P1 dofs of every component.
+def weno_p1(geom, U, dofmask, C, cweight: float = 30.0):
+    """WENO limiter on the three P1 dofs of every component."""
+    K = geom.ndof
+    E = U.shape[-1]
+    Uv = uview(U, C, K)
+    valid = (geom.esuelT >= 0).astype(U.dtype)  # (4,E)
+    nbr = jnp.where(geom.esuelT < 0, 0, geom.esuelT)
 
-    U : (E, C, K>=4).  Returns limited U.
-    """
-    E, C, K = U.shape
-    esuel = geom.esuel  # (E,4), -1 on boundary
-    nbr = jnp.where(esuel < 0, 0, esuel)  # safe gather index
-    valid = (esuel >= 0).astype(U.dtype)  # (E,4)
+    g0 = Uv[:, 1:4, :]  # (C,3,E) primary stencil
+    stencils = [g0]
+    wts = [jnp.full((E,), cweight, dtype=U.dtype)]
+    for i in range(4):
+        stencils.append(g0[:, :, nbr[i]] * valid[i])
+        wts.append(valid[i])
 
-    g0 = U[:, :, 1:4]  # (E,C,3) primary stencil
-    gn = U[nbr][:, :, :, 1:4]  # (E,4,C,3) neighbor stencils
+    osc = [jnp.sqrt((s**2).sum(axis=1)) for s in stencils]  # each (C,E)
+    w = [wt * (1.0e-8 + o) ** -2 for wt, o in zip(wts, osc)]
+    wtot = sum(w)
+    lim = sum(wi[:, None, :] * s for wi, s in zip(w, stencils)) / wtot[:, None, :]
 
-    grads = jnp.concatenate([g0[:, None], gn], axis=1)  # (E,5,C,3)
-    wstencil = jnp.concatenate(
-        [jnp.full((E, 1), cweight, dtype=U.dtype), valid], axis=1
-    )  # (E,5)
-
-    osc = jnp.sqrt((grads**2).sum(-1))  # (E,5,C)
-    wt = wstencil[:, :, None] * (1.0e-8 + osc) ** -2
-    wt = wt / wt.sum(axis=1, keepdims=True)
-
-    lim = (wt[..., None] * grads).sum(axis=1)  # (E,C,3)
-    Unew = U.at[:, :, 1:4].set(lim)
-    return jnp.where(dofmask[:, None, :] > 0, Unew, U)
+    Unew = Uv.at[:, 1:4, :].set(lim)
+    active = dofmask[1] > 0  # (E,)
+    return jnp.where(active, Unew.reshape(C * K, E), U)
 
 
-def superbee_p1(geom, U, dofmask, beta_lim: float = 2.0):
+def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0):
     """Superbee TVD limiter: scale P1 dofs by a per-element, per-component
     coefficient from min/max bounds over face neighbors evaluated at all
     face quadrature points (Limiter.cpp:154-317)."""
-    E, C, K = U.shape
-    esuel = geom.esuel
-    nbr = jnp.where(esuel < 0, 0, esuel)
-    valid = esuel >= 0  # (E,4)
+    K = geom.ndof
+    E = U.shape[-1]
+    Uv = uview(U, C, K)
+    Um = Uv * dofmask[None]
+    valid = geom.esuelT >= 0
+    nbr = jnp.where(geom.esuelT < 0, 0, geom.esuelT)
 
-    u0 = U[:, :, 0]  # (E,C) cell means
-    un = U[nbr][:, :, :, 0]  # (E,4,C)
+    u0 = Uv[:, 0, :]  # (C,E)
     big = jnp.asarray(jnp.finfo(U.dtype).max, dtype=U.dtype)
-    umax = jnp.maximum(u0, jnp.where(valid[:, :, None], un, -big).max(axis=1))
-    umin = jnp.minimum(u0, jnp.where(valid[:, :, None], un, big).min(axis=1))
+    umax, umin = u0, u0
+    for i in range(4):
+        un = u0[:, nbr[i]]
+        umax = jnp.maximum(umax, jnp.where(valid[i], un, -big))
+        umin = jnp.minimum(umin, jnp.where(valid[i], un, big))
 
-    # evaluate own high-order solution at all 4*ng face Gauss points
-    B = eval_basis(geom.ndof, geom.xi_selfface)  # (4,G,K)
-    Ue = U * dofmask[:, None, :]
-    state = jnp.einsum("eck,fgk->efgc", Ue, B)  # (E,4,G,C)
-
-    uNeg = state - u0[:, None, None, :]
+    B = geom.tables["B_selfface"]  # (4, G, K) numpy
     eps = 1.0e-14
-    phi_up = jnp.minimum(
-        1.0, (umax - u0)[:, None, None, :] / (2.0 * jnp.where(uNeg > eps, uNeg, 1.0))
-    )
-    phi_dn = jnp.minimum(
-        1.0, (umin - u0)[:, None, None, :] / (2.0 * jnp.where(uNeg < -eps, uNeg, 1.0))
-    )
-    phi_gp = jnp.where(
-        uNeg > eps, phi_up, jnp.where(uNeg < -eps, phi_dn, 1.0)
-    )
-    phi_gp = jnp.maximum(
-        0.0,
-        jnp.maximum(
-            jnp.minimum(beta_lim * phi_gp, 1.0), jnp.minimum(phi_gp, beta_lim)
-        ),
-    )
-    phi = phi_gp.min(axis=(1, 2))  # (E,C)
+    phi = jnp.ones_like(u0)
+    for lf in range(4):
+        for g in range(B.shape[1]):
+            state = u0 * 0.0
+            for k in range(K):
+                state = state + float(B[lf, g, k]) * Um[:, k, :]
+            uNeg = state - u0
+            up = jnp.minimum(
+                1.0, (umax - u0) / (2.0 * jnp.where(uNeg > eps, uNeg, 1.0))
+            )
+            dn = jnp.minimum(
+                1.0, (umin - u0) / (2.0 * jnp.where(uNeg < -eps, uNeg, 1.0))
+            )
+            phi_gp = jnp.where(uNeg > eps, up, jnp.where(uNeg < -eps, dn, 1.0))
+            phi_gp = jnp.maximum(
+                0.0,
+                jnp.maximum(
+                    jnp.minimum(beta_lim * phi_gp, 1.0),
+                    jnp.minimum(phi_gp, beta_lim),
+                ),
+            )
+            phi = jnp.minimum(phi, phi_gp)
 
-    Unew = U.at[:, :, 1:4].multiply(phi[:, :, None])
-    # only limit p1-active elements
-    active = dofmask[:, 1] > 0
-    return jnp.where(active[:, None, None], Unew, U)
+    Unew = Uv.at[:, 1:4, :].multiply(phi[:, None, :])
+    active = dofmask[1] > 0
+    return jnp.where(active, Unew.reshape(C * K, E), U)

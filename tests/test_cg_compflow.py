@@ -1,8 +1,8 @@
 """CG compressible-flow (Euler) tests: manufactured solutions + Sod.
 
 Mirrors the reference regression coverage (tests/regression/inciter/
-compflow/Euler/{VorticalFlow,TaylorGreen,NLEnergyGrowth,RayleighTaylor,
-SodShocktube}): analytic-error diagnostics after real time stepping.
+compflow/Euler/...): analytic-error diagnostics after real time stepping.
+Layout: all fields component-major (C, N).
 """
 
 import numpy as np
@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from quinoa_tpu.mesh import box_tet_mesh
 from quinoa_tpu.pde.cg import make_cggeom
-from quinoa_tpu.pde.cg_compflow import CGCompFlow, euler_flux
+from quinoa_tpu.pde.cg_compflow import CGCompFlow
 from quinoa_tpu.pde.problems import (
     VorticalFlow,
     TaylorGreen,
@@ -22,38 +22,40 @@ from quinoa_tpu.pde.problems import (
     NLEnergyGrowth,
     RayleighTaylor,
 )
-from quinoa_tpu.pde.problems.compflow import euler_flux_point
+from quinoa_tpu.pde.problems.compflow import euler_flux_dir
 from quinoa_tpu.inciter import DiagCGSolver, Diagnostics
-
-
-def test_euler_flux_consistency():
-    """Batched flux matches the point-wise flux used for autodiff sources."""
-    rng = np.random.default_rng(0)
-    U = rng.uniform(0.5, 2.0, size=(7, 5))
-    U[:, 4] += 5.0  # keep pressure positive
-    prob = VorticalFlow()
-    p = prob.eos.pressure_cons(jnp.asarray(U))
-    F1 = euler_flux(jnp.asarray(U), p)
-    F2 = jax.vmap(lambda u: euler_flux_point(u, prob.eos))(jnp.asarray(U))
-    assert np.allclose(F1, F2, atol=1e-12)
 
 
 def test_taylor_green_autodiff_source():
     """The autodiff source must equal the reference's closed form:
     (0,0,0,0, 3*pi/8*(cos(3pix)cos(piy) - cos(3piy)cos(pix)))
-    (TaylorGreen.cpp:77-90)."""
+    (TaylorGreen.cpp:77-90, gamma=5/3)."""
     prob = TaylorGreen()
     rng = np.random.default_rng(1)
-    xyz = jnp.asarray(rng.uniform(0, 1, size=(20, 3)))
+    xyz = jnp.asarray(rng.uniform(0, 1, size=(3, 20)))
     s = np.asarray(prob.src(xyz, 0.0))
-    x, y = np.asarray(xyz[:, 0]), np.asarray(xyz[:, 1])
+    x, y = np.asarray(xyz[0]), np.asarray(xyz[1])
     se = (
         3.0 * np.pi / 8.0
         * (np.cos(3 * np.pi * x) * np.cos(np.pi * y)
            - np.cos(3 * np.pi * y) * np.cos(np.pi * x))
     )
-    assert np.allclose(s[:, :4], 0.0, atol=1e-10)
-    assert np.allclose(s[:, 4], se, atol=1e-10)
+    assert np.allclose(s[:4], 0.0, atol=1e-10)
+    assert np.allclose(s[4], se, atol=1e-10)
+
+
+def test_euler_flux_dir_consistency():
+    """Flux columns satisfy F_j . n = normal flux identities."""
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.uniform(0.5, 2.0, size=(5, 7)))
+    U = U.at[4].add(5.0)
+    prob = VorticalFlow()
+    p = prob.eos.pressure_cons_cm(U)
+    F0 = np.asarray(euler_flux_dir(U, p, 0))
+    # mass flux in x = x-momentum
+    assert np.allclose(F0[0], np.asarray(U[1]))
+    # energy flux = (E+p) u
+    assert np.allclose(F0[4], np.asarray((U[4] + p) * U[1] / U[0]))
 
 
 @pytest.mark.parametrize(
@@ -65,8 +67,8 @@ def test_taylor_green_autodiff_source():
     ],
 )
 def test_manufactured_stays_on_solution(problem, steps, tol):
-    """Starting from the manufactured solution, the numerical solution must
-    stay near it (relative L2 error per component small on a coarse mesh)."""
+    """Starting from the manufactured solution, the numerical solution
+    must stay near it on a coarse mesh."""
     mesh = box_tet_mesh(6, 6, 6, lo=(-0.5, -0.5, -0.5), hi=(0.5, 0.5, 0.5))
     if isinstance(problem, TaylorGreen):
         mesh = box_tet_mesh(6, 6, 2, hi=(1.0, 1.0, 0.33))
@@ -81,8 +83,6 @@ def test_manufactured_stays_on_solution(problem, steps, tol):
     assert np.isfinite(u).all()
     scale = max(row.l2sol)
     for c in range(5):
-        # zero-norm components (e.g. rho*w in TaylorGreen) are judged
-        # against the overall solution scale
         denom = max(row.l2sol[c], 0.01 * scale)
         assert row.l2err[c] / denom < tol, (c, row.l2err[c], denom)
 
@@ -98,10 +98,8 @@ def test_nleg_runs_finite():
 
 
 def test_sod_shocktube_cg_smoke():
-    """Sod tube on CG: short smoke test only.  The reference runs Sod
-    exclusively with DG schemes (tests/regression/.../SodShocktube has only
-    *_dg.q decks) because CG lacks the symmetry/extrapolation BCs the tube
-    walls need; the strict shock checks live with the DG solver tests."""
+    """Sod on CG: smoke only (the reference runs Sod exclusively with DG
+    because CG lacks the wall BCs the tube needs)."""
     mesh = box_tet_mesh(32, 2, 2, hi=(1.0, 0.0625, 0.0625))
     prob = SodShocktube()
     system = CGCompFlow(prob)
@@ -109,8 +107,8 @@ def test_sod_shocktube_cg_smoke():
     s = solver.nsteps(solver.initial_state(), 10)
     u = np.asarray(s.u)
     assert np.isfinite(u).all()
-    assert u[:, 0].min() > 0.0  # density stays positive
-    assert np.abs(u[:, 1]).max() > 0.02  # flow developed
+    assert u[0].min() > 0.0  # density stays positive
+    assert np.abs(u[1]).max() > 0.02  # flow developed
     assert float(s.t) > 0.01
 
 
@@ -121,4 +119,4 @@ def test_sedov_ignition_finite():
     s = solver.nsteps(solver.initial_state(), 10)
     u = np.asarray(s.u)
     assert np.isfinite(u).all()
-    assert u[:, 0].min() > 0  # positive density
+    assert u[0].min() > 0

@@ -1,0 +1,146 @@
+"""Control-layer tests: parse REAL reference decks and run them end-to-end.
+
+The deck schema is the contract (SURVEY.md §5.6): these tests parse `.q`
+files straight out of the reference regression tree.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from quinoa_tpu.control import parse_deck, load_inciter, load_walker
+from quinoa_tpu.control.config import build_inciter, build_walker
+from quinoa_tpu.control.qparser import first
+from quinoa_tpu.mesh import box_tet_mesh
+
+REF = "/root/reference/tests/regression"
+
+
+def _read(p):
+    return open(p).read()
+
+
+def test_parse_sod_dg_deck():
+    cfg = load_inciter(_read(f"{REF}/inciter/compflow/Euler/SodShocktube/sod_shocktube_dg.q"))
+    assert cfg.title == "Sod shock-tube"
+    assert cfg.nstep == 100
+    assert cfg.dt == 2.0e-3
+    assert cfg.scheme == "dg"
+    assert cfg.pde == "compflow"
+    assert cfg.problem == "sod_shocktube"
+    assert cfg.gamma == 1.4
+    assert cfg.bc_extrapolate == [1, 3]
+    assert cfg.bc_sym == [2, 4, 5, 6]
+    assert cfg.diag_interval == 1
+
+
+def test_parse_slotcyl_fct_deck():
+    cfg = load_inciter(_read(f"{REF}/inciter/transport/SlotCyl/fct/slot_cyl.q"))
+    assert cfg.pde == "transport"
+    assert cfg.problem == "slot_cyl"
+    assert cfg.ctau == 1.0
+    assert cfg.scheme == "diagcg"
+    assert cfg.dt == 0.001
+
+
+def test_parse_sedov_dgp1_deck():
+    cfg = load_inciter(
+        _read(f"{REF}/inciter/compflow/Euler/SedovBlastwave/sedov_blastwave_dgp1.q")
+    )
+    assert cfg.scheme == "dgp1"
+    assert cfg.limiter == "superbeep1"
+    assert cfg.problem == "sedov_blastwave"
+
+
+def test_run_reference_deck_end_to_end():
+    """Build and run the solver directly from a reference deck (on a
+    generated box mesh)."""
+    cfg = load_inciter(_read(f"{REF}/inciter/transport/SlotCyl/fct/slot_cyl.q"))
+    cfg.nstep = 3
+    mesh = box_tet_mesh(6, 6, 2, hi=(1.0, 1.0, 0.33))
+    solver, diag = build_inciter(cfg, mesh)
+    s = solver.initial_state()
+    for _ in range(cfg.nstep):
+        s = solver.step(s)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert abs(float(s.t) - 0.003) < 1e-12  # const dt from the deck
+
+
+def test_parse_and_run_walker_deck():
+    cfg = load_walker(_read(f"{REF}/walker/DiagOrnsteinUhlenbeck/diagou.q"))
+    assert cfg.dt == 0.001
+    assert cfg.npar == 1000
+    assert len(cfg.sdes) == 1
+    sde = cfg.sdes[0]
+    assert type(sde).__name__ == "DiagOrnsteinUhlenbeck"
+    assert sde.sigmasq == (0.25, 1.0)
+    assert sde.mu == (0.0, 1.5)
+    # moments parsed: <o1o1> etc are central (lowercase)
+    assert (("o", 0), ("o", 0)) in cfg.central
+
+    cfg.npar = 4000
+    w = build_walker(cfg, seed=3)
+    P, _ = w.run(100)
+    assert np.isfinite(np.asarray(P)).all()
+
+
+def test_parse_walker_beta_deck_spikes():
+    cfg = load_walker(_read(f"{REF}/walker/Beta/beta.q"))
+    sde = cfg.sdes[0]
+    assert type(sde).__name__ == "Beta"
+    assert len(sde.b) == 5
+    w = build_walker(cfg, seed=1)
+    P0 = w.initialize()
+    x = np.asarray(P0[:, :5])
+    # jointdelta ICs: values only at the spikes 0.01/0.99
+    assert set(np.round(np.unique(x), 2).tolist()) <= {0.01, 0.99}
+
+
+def test_cli_meshconv(tmp_path):
+    from quinoa_tpu.cli import main
+
+    mesh = box_tet_mesh(2, 2, 2)
+    src = str(tmp_path / "in.msh")
+    dst = str(tmp_path / "out.exo")
+    from quinoa_tpu.io import write_gmsh, read_exodus
+
+    write_gmsh(src, mesh)
+    assert main(["meshconv", "-i", src, "-o", dst]) == 0
+    m2 = read_exodus(dst)
+    assert m2.nelem == mesh.nelem
+
+
+def test_cli_inciter_smoke(tmp_path):
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import write_exodus
+
+    mesh = box_tet_mesh(4, 4, 2, hi=(1.0, 1.0, 0.5))
+    mpath = str(tmp_path / "box.exo")
+    write_exodus(mpath, mesh)
+    deck = tmp_path / "run.q"
+    deck.write_text(
+        """
+title "smoke"
+inciter
+  nstep 2
+  dt 0.001
+  ttyi 1
+  transport
+    depvar c
+    physics advection
+    problem slot_cyl
+  end
+  diagnostics
+    interval 1
+  end
+end
+"""
+    )
+    diagp = str(tmp_path / "diag")
+    out = str(tmp_path / "out")
+    rc = main(["inciter", "-c", str(deck), "-i", mpath, "--diag", diagp,
+               "-o", out])
+    assert rc == 0
+    lines = open(diagp).read().splitlines()
+    assert len(lines) >= 3

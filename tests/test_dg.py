@@ -66,9 +66,7 @@ def test_dg_projection_exact_for_linear(small_mesh):
         ncomp = 1
 
         def solution(self, xyz, t):
-            return (1.0 + 2.0 * xyz[:, 0] - 3.0 * xyz[:, 1] + 0.5 * xyz[:, 2])[
-                :, None
-            ]
+            return (1.0 + 2.0 * xyz[0] - 3.0 * xyz[1] + 0.5 * xyz[2])[None]
 
         def initialize(self, xyz, t):
             return self.solution(xyz, t)
@@ -76,10 +74,10 @@ def test_dg_projection_exact_for_linear(small_mesh):
     geom = build_dggeom(small_mesh, ndof=4)
     sys_ = LinField()
     u = dg_initialize(sys_, geom, 0.0)
-    # evaluate at centroid = cell avg
-    ctr = np.asarray(geom.node0) + np.asarray(geom.Jmat).sum(axis=2) / 4.0
-    expect = 1.0 + 2.0 * ctr[:, 0] - 3.0 * ctr[:, 1] + 0.5 * ctr[:, 2]
-    assert np.allclose(np.asarray(dg_cell_avg(u))[:, 0], expect, atol=1e-12)
+    # evaluate at centroid = cell avg (feature-major: node0 (3,E), Jmat (3,3,E))
+    ctr = np.asarray(geom.node0) + np.asarray(geom.Jmat).sum(axis=1) / 4.0
+    expect = 1.0 + 2.0 * ctr[0] - 3.0 * ctr[1] + 0.5 * ctr[2]
+    assert np.allclose(np.asarray(dg_cell_avg(u, 1, 4))[0], expect, atol=1e-12)
 
 
 def test_dg_transport_gausshump_p1(small_mesh):
@@ -113,12 +111,14 @@ def test_dg_sod_p0_and_p1():
         s = solver.nsteps(solver.initial_state(), steps)
         u = np.asarray(s.u)
         assert np.isfinite(u).all(), (ndof, lim)
-        rho = u[:, 0, 0]
+        from quinoa_tpu.pde.dg import dg_cell_avg
+        avg = np.asarray(dg_cell_avg(jnp.asarray(u), 5, ndof))
+        rho = avg[0]
         assert rho.min() > 0.11 and rho.max() < 1.05, (ndof, rho.min(), rho.max())
-        p = np.asarray(prob.eos.pressure_cons(jnp.asarray(u[:, :, 0])))
+        p = np.asarray(prob.eos.pressure_cons_cm(jnp.asarray(avg)))
         assert p.min() > 0.0
         # shock moving right: positive x-momentum developed in the middle
-        assert u[:, 1, 0].max() > 0.1
+        assert avg[1].max() > 0.1
         assert float(s.t) > 0.005
 
 
@@ -149,8 +149,8 @@ def test_dg_sedov_p1_limited():
     s = solver.nsteps(solver.initial_state(), 20)
     u = np.asarray(s.u)
     assert np.isfinite(u).all()
-    assert u[:, 0, 0].min() > 0.0
-    # blast expanding: energy spread beyond the corner cell
+    from quinoa_tpu.pde.dg import dg_cell_avg
+    assert np.asarray(dg_cell_avg(jnp.asarray(u), 5, 4))[0].min() > 0.0
     assert float(s.t) > 0.0
 
 

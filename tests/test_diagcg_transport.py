@@ -30,7 +30,7 @@ def test_initial_condition(slotcyl_setup):
     mesh, geom, system, solver = slotcyl_setup
     s = solver.initial_state()
     u = np.asarray(s.u)
-    assert u.shape == (mesh.nnode, 1)
+    assert u.shape == (1, mesh.nnode)
     assert u.min() >= 0.0 and u.max() <= 0.8
     # cone + hump + slotted cylinder all present
     assert (u > 0.5).any()
@@ -65,9 +65,9 @@ def test_fct_conservative_without_bc():
     geom = make_cggeom(mesh)
     solver = DiagCGSolver(CGTransport(SlotCyl()), geom, cfl=0.5, bcnodes=None)
     s = solver.initial_state()
-    m0 = float((s.u[:, 0] * geom.vol).sum())
+    m0 = float((s.u[0] * geom.vol).sum())
     s = solver.nsteps(s, 10)
-    m = float((s.u[:, 0] * geom.vol).sum())
+    m = float((s.u[0] * geom.vol).sum())
     assert abs(m - m0) / abs(m0) < 1e-12
 
 

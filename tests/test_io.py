@@ -1,0 +1,107 @@
+"""I/O tests: ExodusII/Gmsh/Netgen round trips, reading the reference's
+committed meshes, format detection, and text writers.
+
+Mirrors the reference's meshconv regression suite (format round trips) and
+tests/unit/IO/ ExodusII read coverage.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from quinoa_tpu.mesh import box_tet_mesh, tet_geometry
+from quinoa_tpu.io import (
+    read_exodus,
+    write_exodus,
+    read_gmsh,
+    write_gmsh,
+    read_netgen,
+    write_netgen,
+    read_mesh,
+    write_mesh,
+    detect_format,
+    DiagWriter,
+)
+
+REF_EXO = (
+    "/root/reference/tests/regression/inciter/compflow/Euler/"
+    "SodShocktube/rectangle_01_1.5k.exo"
+)
+
+
+def _same_mesh(a, b, tol=1e-14):
+    assert a.nnode == b.nnode and a.nelem == b.nelem
+    assert np.allclose(a.coords, b.coords, atol=tol)
+    assert np.array_equal(a.inpoel, b.inpoel)
+    assert set(a.bface) == set(b.bface)
+    for ss in a.bface:
+        fa = {tuple(sorted(t)) for t in a.bface[ss].tolist()}
+        fb = {tuple(sorted(t)) for t in b.bface[ss].tolist()}
+        assert fa == fb, ss
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return box_tet_mesh(3, 3, 3)
+
+
+def test_reference_exodus_readable():
+    """Read a mesh committed by the reference project (SEACAS-written)."""
+    m = read_exodus(REF_EXO)
+    assert m.nnode == 491
+    assert m.nelem == 1516  # the TET4 block
+    assert set(m.bface.keys()) == {1, 2, 3, 4, 5, 6}
+    assert m.positive_jacobians()
+    # total volume of the rectangle domain mesh is positive and finite
+    J, _ = tet_geometry(m.coords, m.inpoel)
+    assert J.sum() > 0
+
+
+@pytest.mark.parametrize("fmt,ext", [("exodus", ".exo"), ("gmsh", ".msh"),
+                                     ("netgen", ".mesh")])
+def test_round_trip(mesh, tmp_path, fmt, ext):
+    p = str(tmp_path / f"box{ext}")
+    write_mesh(p, mesh, fmt)
+    m2 = read_mesh(p, fmt)
+    _same_mesh(mesh, m2)
+
+
+def test_detect_and_cross_convert(mesh, tmp_path):
+    """meshconv analog: exodus -> gmsh -> netgen -> exodus round trip."""
+    p1 = str(tmp_path / "a.exo")
+    p2 = str(tmp_path / "b.msh")
+    p3 = str(tmp_path / "c.mesh")
+    p4 = str(tmp_path / "d.exo")
+    write_mesh(p1, mesh)
+    assert detect_format(p1) == "exodus"
+    write_mesh(p2, read_mesh(p1))
+    assert detect_format(p2) == "gmsh"
+    write_mesh(p3, read_mesh(p2))
+    assert detect_format(p3) == "netgen"
+    write_mesh(p4, read_mesh(p3))
+    _same_mesh(mesh, read_mesh(p4))
+
+
+def test_exodus_node_fields(mesh, tmp_path):
+    from quinoa_tpu.io.exodus import read_exodus_fields
+
+    p = str(tmp_path / "fields.exo")
+    rho = np.linspace(0, 1, mesh.nnode)
+    write_exodus(p, mesh, node_fields={"density": rho}, time=0.25)
+    names, times, vals = read_exodus_fields(p)
+    assert names == ["density"]
+    assert np.isclose(times[0], 0.25)
+    assert np.allclose(vals[0, 0], rho)
+
+
+def test_diag_writer(tmp_path):
+    p = str(tmp_path / "diag")
+    w = DiagWriter(p, ncomp=2)
+    w.write(1, 0.1, 0.1, [1.0, 2.0], [0.01, 0.02], [0.1, 0.2])
+    w.write(2, 0.2, 0.1, [1.1, 2.1], [0.02, 0.03], [0.2, 0.3])
+    w.close()
+    lines = open(p).read().splitlines()
+    assert lines[0].startswith("#")
+    assert len(lines) == 3
+    assert len(lines[1].split()) == 3 + 6

@@ -59,7 +59,7 @@ def test_spmd_matches_single_shard(problem_setup, nshard):
     assert np.isclose(float(sN.t), float(s1.t), rtol=1e-12)
 
     uN = gather_global_field(sharded, np.asarray(sN.u))
-    u1 = np.asarray(s1.u)
+    u1 = np.asarray(s1.u)  # (C, N)
     err = np.abs(uN - u1).max()
     assert err < 1e-10, f"max |sharded - single| = {err}"
 
