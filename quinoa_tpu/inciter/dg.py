@@ -78,6 +78,9 @@ class DGSolver:
         self.tolref = tolref
         p = {1: 0.0, 4: 1.0, 10: 2.0}[geom.ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
+        # geometry is passed as a jit ARGUMENT (not captured in the closure)
+        # so the mesh tables are runtime parameters, not giant HLO constants
+        # that would have to be shipped to and folded by the compiler.
         self._step = jax.jit(self._step_impl)
 
     # -- helpers --------------------------------------------------------------
@@ -87,18 +90,18 @@ class DGSolver:
         k = jnp.arange(K)[:, None]
         return (k < ndofel[None, :]).astype(self.geom.vol.dtype)
 
-    def _limit(self, u, dofmask):
+    def _limit(self, geom, u, dofmask):
         C = self.system.ncomp
         if self.limiter == "wenop1":
-            return weno_p1(self.geom, u, dofmask, C, self.cweight)
+            return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
-            return superbee_p1(self.geom, u, dofmask, C)
+            return superbee_p1(geom, u, dofmask, C)
         return u
 
-    def _eval_ndof(self, u):
+    def _eval_ndof(self, geom, u):
         """p-adaptive indicator: keep P1 where any component's gradient
         magnitude exceeds tolref (DG.cpp eval_ndof:1089-1163)."""
-        g = self.geom
+        g = geom
         C, K = self.system.ncomp, g.ndof
         Uv = uview(u, C, K)
         u1, u2, u3 = Uv[:, 1, :], Uv[:, 2, :], Uv[:, 3, :]
@@ -129,25 +132,26 @@ class DGSolver:
         )
 
     def step(self, state: DGState) -> DGState:
-        return self._step(state)
+        return self._step(self.geom, state)
 
     def nsteps(self, state: DGState, n: int) -> DGState:
-        def body(s, _):
-            return self._step_impl(s), None
-
-        out, _ = jax.lax.scan(body, state, None, length=n)
-        return out
+        """n steps by repeated dispatch of the compiled step (async
+        dispatch pipelines on device; a lax.scan would recompile the whole
+        step body as one giant program)."""
+        for _ in range(n):
+            state = self._step(self.geom, state)
+        return state
 
     # -- implementation -------------------------------------------------------
 
-    def _minv(self, dofmask):
-        K = self.geom.ndof
-        mn = jnp.asarray(self.geom.tables["mnorm"], dtype=self.geom.vol.dtype)
-        inv = 1.0 / (self.geom.vol[None, :] * mn[:, None])  # (K,E)
+    def _minv(self, geom, dofmask):
+        K = geom.ndof
+        mn = jnp.asarray(geom.tables["mnorm"], dtype=geom.vol.dtype)
+        inv = 1.0 / (geom.vol[None, :] * mn[:, None])  # (K,E)
         return jnp.tile(inv, (self.system.ncomp, 1))  # (C*K, E)
 
-    def _step_impl(self, state: DGState) -> DGState:
-        g = self.geom
+    def _step_impl(self, geom: DGGeom, state: DGState) -> DGState:
+        g = geom
         un = state.u
         u = state.u
         ndofel = state.ndofel
@@ -155,9 +159,9 @@ class DGSolver:
 
         for s in range(3):
             if s == 0 and self.pref and g.ndof >= 4:
-                ndofel = self._eval_ndof(u)
+                ndofel = self._eval_ndof(g, u)
             dofmask = self._dofmask(ndofel)
-            u = self._limit(u, dofmask)
+            u = self._limit(g, u, dofmask)
             if s == 0:
                 if self.const_dt is not None:
                     dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
@@ -166,7 +170,7 @@ class DGSolver:
                         self.cfl * self.cflscale
                     )
             r = dg_rhs(self.system, g, u, dofmask, state.t)
-            minv = self._minv(dofmask)
+            minv = self._minv(g, dofmask)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
             dmflat = jnp.tile(dofmask, (self.system.ncomp, 1))
             u = jnp.where(dmflat > 0, u, un)

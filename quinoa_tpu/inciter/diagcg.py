@@ -135,6 +135,7 @@ class DiagCGSolver:
         # assembled lumped-mass lhs (DiagCG::lhs + lhsmerge)
         self.lhs = lumped_mass(geom)
 
+        # geometry/lhs/bcmask are jit ARGUMENTS, not closure constants
         self._step = jax.jit(self._step_impl)
 
     # -- public API ---------------------------------------------------------
@@ -150,16 +151,13 @@ class DiagCGSolver:
         )
 
     def step(self, state: CGState) -> CGState:
-        return self._step(state)
+        return self._step(self.geom, self.lhs, self.bcmask, state)
 
     def nsteps(self, state: CGState, n: int) -> CGState:
-        """Run n steps under one lax.scan (single compiled program)."""
-
-        def body(s, _):
-            return self._step_impl(s), None
-
-        out, _ = jax.lax.scan(body, state, None, length=n)
-        return out
+        """n steps by repeated dispatch of the compiled step."""
+        for _ in range(n):
+            state = self._step(self.geom, self.lhs, self.bcmask, state)
+        return state
 
     # -- implementation -------------------------------------------------------
 
@@ -168,15 +166,18 @@ class DiagCGSolver:
             return jnp.asarray(self.const_dt, dtype=self.geom.vol.dtype)
         return self.system.dt(self.geom, u) * self.cfl
 
-    def _step_impl(self, state: CGState) -> CGState:
-        dt = self.compute_dt(state.u)
+    def _step_impl(self, geom, lhs, bcmask, state: CGState) -> CGState:
+        if self.const_dt is not None:
+            dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
+        else:
+            dt = self.system.dt(geom, state.u) * self.cfl
         unew = diagcg_advance(
             self.system,
             self.fct,
             self.use_fct,
-            self.geom,
-            self.lhs,
-            self.bcmask,
+            geom,
+            lhs,
+            bcmask,
             state.u,
             state.t,
             dt,

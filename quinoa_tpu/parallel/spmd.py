@@ -107,7 +107,9 @@ class SPMDDiagCGSolver:
             in_specs=(P(AXIS), P(AXIS), spec_state),
             out_specs=spec_state,
         )
-        self._step = jax.jit(lambda st: step(self.sharded, self.lhs, st))
+        # sharded tables are jit ARGUMENTS, not closure constants (constants
+        # would be baked into the HLO and crush compile times)
+        self._step = jax.jit(step)
 
         diag = jax.shard_map(
             self._diag_local,
@@ -115,7 +117,7 @@ class SPMDDiagCGSolver:
             in_specs=(P(AXIS), spec_state),
             out_specs=(P(), P(), P()),
         )
-        self._diag = jax.jit(lambda st: diag(self.sharded, st))
+        self._diag = jax.jit(diag)
 
     # -- per-shard bodies ---------------------------------------------------
 
@@ -179,8 +181,8 @@ class SPMDDiagCGSolver:
         )
 
     def step(self, state: CGState) -> CGState:
-        return self._step(state)
+        return self._step(self.sharded, self.lhs, state)
 
     def diagnostics(self, state: CGState):
-        l2sol, l2err, linferr = self._diag(state)
+        l2sol, l2err, linferr = self._diag(self.sharded, state)
         return (np.asarray(l2sol), np.asarray(l2err), np.asarray(linferr))
