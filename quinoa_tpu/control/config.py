@@ -64,6 +64,8 @@ class InciterConfig:
     bc_dirichlet: List[int] = dataclasses.field(default_factory=list)
     bc_sym: List[int] = dataclasses.field(default_factory=list)
     bc_extrapolate: List[int] = dataclasses.field(default_factory=list)
+    bc_inlet: List[int] = dataclasses.field(default_factory=list)
+    bc_outlet: List[int] = dataclasses.field(default_factory=list)
     diag_interval: int = 1
     field_interval: int = 10**9
 
@@ -136,6 +138,8 @@ def load_inciter(deck_text: str) -> InciterConfig:
             cfg.bc_dirichlet = _sidesets(first(blk, "bc_dirichlet"))
             cfg.bc_sym = _sidesets(first(blk, "bc_sym"))
             cfg.bc_extrapolate = _sidesets(first(blk, "bc_extrapolate"))
+            cfg.bc_inlet = _sidesets(first(blk, "bc_inlet"))
+            cfg.bc_outlet = _sidesets(first(blk, "bc_outlet"))
             break
 
     diag = first(inc, "diagnostics")
@@ -208,6 +212,7 @@ def build_inciter(cfg: InciterConfig, mesh):
     if cfg.scheme in _SCHEME_NDOF:
         from ..pde.dg import (
             build_dggeom, BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE,
+            BC_INLET, BC_OUTLET,
         )
         from ..pde.dg_compflow import DGCompFlow, DGTransport
         from ..inciter.dg import DGSolver, DGDiagnostics
@@ -219,6 +224,10 @@ def build_inciter(cfg: InciterConfig, mesh):
             bc[ss] = BC_SYMMETRY
         for ss in cfg.bc_extrapolate:
             bc[ss] = BC_EXTRAPOLATE
+        for ss in cfg.bc_inlet:
+            bc[ss] = BC_INLET
+        for ss in cfg.bc_outlet:
+            bc[ss] = BC_OUTLET
         ndof = _SCHEME_NDOF[cfg.scheme]
         geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
         system = (

@@ -38,6 +38,8 @@ BC_INTERIOR = 0
 BC_DIRICHLET = 1
 BC_SYMMETRY = 2
 BC_EXTRAPOLATE = 3
+BC_INLET = 4
+BC_OUTLET = 5
 
 _REF_NODES = np.array(
     [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import riemann as rie
-from .dg import BC_DIRICHLET, BC_SYMMETRY
+from .dg import BC_DIRICHLET, BC_SYMMETRY, BC_INLET
 from .problems.compflow import euler_flux_dir
 
 
@@ -108,8 +108,14 @@ class DGTransport:
         return rie.upwind(fn, sL, sR, vel)
 
     def bc_state(self, bctype, sL, fn, gp, t):
+        """Dirichlet: analytic solution; Inlet: zero; Outlet/Extrapolate:
+        copy (DGTransport.hpp:340-400)."""
         dirich = self.problem.solution(gp, t)
-        return jnp.where(bctype == BC_DIRICHLET, dirich, sL)
+        return jnp.where(
+            bctype == BC_DIRICHLET,
+            dirich,
+            jnp.where(bctype == BC_INLET, 0.0, sL),
+        )
 
     def charvel(self, state, fn, gp=None):
         """max over components of |v.n| for the dt face sweep."""
