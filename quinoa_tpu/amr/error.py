@@ -1,0 +1,86 @@
+"""AMR error estimators and edge tagging.
+
+Counterpart of the reference's Error class (src/Inciter/AMR/Error.cpp):
+- jump:    |u_a - u_b| / |u_a + u_b|          (error_jump:55-76)
+- hessian: normalized second difference along the edge using nodal
+           gradients (error_hessian), both mapped to [0, 1].
+
+And Refiner's tagging modes (src/Inciter/Refiner.cpp:360-414): by error
+threshold, by coordinate half-spaces (coordref), or all edges (uniform).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..mesh.derived import gen_inpoed
+from ..mesh.geometry import nodal_volumes, node_gradients
+
+
+def edge_errors(
+    mesh, u: np.ndarray, comp: int = 0, method: str = "jump"
+) -> np.ndarray:
+    """Error indicator in [0,1] for every unique mesh edge.
+
+    u : (C, N) nodal solution.
+    """
+    edges = gen_inpoed(mesh.inpoel)
+    a, b = edges[:, 0], edges[:, 1]
+    ua, ub = u[comp, a], u[comp, b]
+    if method == "jump":
+        norm = np.abs(ua + ub)
+        err = np.where(norm < np.finfo(float).eps, 0.0, np.abs(ua - ub) / np.where(norm > 0, norm, 1.0))
+        return np.clip(err, 0.0, 1.0)
+    if method == "hessian":
+        vol = nodal_volumes(mesh.coords, mesh.inpoel, mesh.nnode)
+        grad = node_gradients(mesh.coords, mesh.inpoel, vol, u.T)  # (N,C,3)
+        dx = mesh.coords[b] - mesh.coords[a]
+        # second difference: (grad_b - grad_a) . dx vs |u_a|+|u_b|
+        d2 = np.abs(((grad[b, comp] - grad[a, comp]) * dx).sum(axis=1))
+        norm = np.abs(ua) + np.abs(ub) + np.finfo(float).eps
+        return np.clip(d2 / norm, 0.0, 1.0)
+    raise ValueError(f"unknown AMR error method {method!r}")
+
+
+def tag_edges_by_error(
+    mesh, u, comp=0, method="jump", tol: float = 0.2
+) -> np.ndarray:
+    """Edges whose indicator exceeds tol (Refiner::errorRefine analog)."""
+    edges = gen_inpoed(mesh.inpoel)
+    err = edge_errors(mesh, u, comp, method)
+    return edges[err > tol].astype(np.int64)
+
+
+def tag_edges_by_coords(
+    mesh,
+    xminus: Optional[float] = None,
+    xplus: Optional[float] = None,
+    yminus: Optional[float] = None,
+    yplus: Optional[float] = None,
+    zminus: Optional[float] = None,
+    zplus: Optional[float] = None,
+) -> np.ndarray:
+    """Edges whose BOTH endpoints satisfy the half-space constraints
+    (Refiner coordref / `initial coords` mode)."""
+    edges = gen_inpoed(mesh.inpoel)
+    x = mesh.coords
+    keep = np.ones(len(edges), dtype=bool)
+
+    def both(pred):
+        return pred(edges[:, 0]) & pred(edges[:, 1])
+
+    if xminus is not None:
+        keep &= both(lambda n: x[n, 0] < xminus)
+    if xplus is not None:
+        keep &= both(lambda n: x[n, 0] > xplus)
+    if yminus is not None:
+        keep &= both(lambda n: x[n, 1] < yminus)
+    if yplus is not None:
+        keep &= both(lambda n: x[n, 1] > yplus)
+    if zminus is not None:
+        keep &= both(lambda n: x[n, 2] < zminus)
+    if zplus is not None:
+        keep &= both(lambda n: x[n, 2] > zplus)
+    return edges[keep].astype(np.int64)

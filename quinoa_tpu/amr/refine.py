@@ -1,0 +1,253 @@
+"""Tetrahedral refinement: compatibility closure + 1:2/1:4/1:8 templates.
+
+Counterpart of the reference's refinement classes and compatibility
+algorithm (src/Inciter/AMR/mesh_adapter.hpp:23-96, refinement.hpp): an
+element whose tagged-edge set is not one of the admissible patterns
+
+    1 edge            -> 1:2
+    3 edges, one face -> 1:4
+    6 edges           -> 1:8
+
+gets all six edges tagged (upgrade toward 1:8), iterated to a fixed point
+— the same closure Refiner::correctref converges by chare-boundary
+iteration, done here as a vectorized host loop.
+
+New nodes are edge midpoints (the reference derives child node ids by
+hashing parent edge endpoints, node_connectivity; here they are rows of a
+midpoint table).  Boundary triangles are subdivided with the same edge
+midpoints, so side sets stay consistent with the volume subdivision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..mesh.unsmesh import UnsMesh
+from ..mesh.derived import _TET_EDGES, gen_inpoed
+
+# local faces (by their 3 local edge ids) — used for the 1:4 pattern.
+# edges: 0:(0,1) 1:(1,2) 2:(2,0) 3:(0,3) 4:(1,3) 5:(2,3)
+_FACE_EDGES = np.array(
+    [[0, 1, 2], [0, 4, 3], [1, 5, 4], [2, 3, 5]], dtype=np.int64
+)
+# the local node opposite each of those faces (face (0,1,2)->node 3 etc.)
+_FACE_OPP = np.array([3, 2, 0, 1], dtype=np.int64)
+_FACE_NODES = np.array(
+    [[0, 1, 2], [0, 1, 3], [1, 2, 3], [2, 0, 3]], dtype=np.int64
+)
+
+_EDGE_MASKS = (1 << np.arange(6)).astype(np.int64)
+_FACE_MASKS = np.array(
+    [int(_EDGE_MASKS[f].sum()) for f in _FACE_EDGES], dtype=np.int64
+)
+
+
+@dataclasses.dataclass
+class RefineMap:
+    """Bookkeeping of one refinement event.
+
+    mid_edges : (nmid, 2) parent node ids of each new (midpoint) node,
+                in order; new node i has id nnode_old + i.
+    parent    : (nelem_new,) parent element id of each child.
+    nnode_old : node count before refinement.
+    """
+
+    mid_edges: np.ndarray
+    parent: np.ndarray
+    nnode_old: int
+
+
+def _edge_key(a, b):
+    lo = np.minimum(a, b).astype(np.int64)
+    hi = np.maximum(a, b).astype(np.int64)
+    return lo << 32 | hi
+
+
+def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
+    """Close a tagged-edge set under the admissible patterns.
+
+    tagged : (n,2) node pairs.  Returns the closed set as (m,2) pairs.
+    """
+    tags = set(_edge_key(tagged[:, 0], tagged[:, 1]).tolist()) if len(tagged) else set()
+    E = inpoel.shape[0]
+    eA = inpoel[:, _TET_EDGES[:, 0]]  # (E,6)
+    eB = inpoel[:, _TET_EDGES[:, 1]]
+    keys = _edge_key(eA, eB)  # (E,6)
+
+    while True:
+        isin = np.isin(keys, np.fromiter(tags, dtype=np.int64) if tags else np.zeros(0, np.int64))
+        mask = (isin * _EDGE_MASKS).sum(axis=1)
+        cnt = isin.sum(axis=1)
+        ok = (
+            (cnt == 0)
+            | (cnt == 1)
+            | ((cnt == 3) & np.isin(mask, _FACE_MASKS))
+            | (cnt == 6)
+        )
+        bad = ~ok
+        if not bad.any():
+            break
+        # upgrade offending elements to full 1:8
+        tags.update(keys[bad].ravel().tolist())
+
+    if not tags:
+        return np.zeros((0, 2), dtype=np.int64)
+    arr = np.fromiter(tags, dtype=np.int64)
+    return np.stack([arr >> 32, arr & 0xFFFFFFFF], axis=1)
+
+
+def _orient(children: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Fix inverted child tets by swapping their last two nodes."""
+    a, b, c, d = (coords[children[:, i]] for i in range(4))
+    j = np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)
+    flip = j < 0
+    out = children.copy()
+    out[flip, 2], out[flip, 3] = children[flip, 3], children[flip, 2]
+    return out
+
+
+def refine_mesh(
+    mesh: UnsMesh, tagged: np.ndarray
+) -> Tuple[UnsMesh, RefineMap]:
+    """Refine mesh with the (already-compatible or not) tagged edge set."""
+    inpoel = mesh.inpoel.astype(np.int64)
+    tagged = compatible_tags(inpoel, np.asarray(tagged, dtype=np.int64))
+    if len(tagged) == 0:
+        return mesh, RefineMap(
+            mid_edges=np.zeros((0, 2), np.int64),
+            parent=np.arange(mesh.nelem),
+            nnode_old=mesh.nnode,
+        )
+
+    # midpoint node table
+    keys = _edge_key(tagged[:, 0], tagged[:, 1])
+    order = np.argsort(keys)
+    tagged = tagged[order]
+    keys = keys[order]
+    mid_id = {int(k): mesh.nnode + i for i, k in enumerate(keys)}
+    midcoords = 0.5 * (mesh.coords[tagged[:, 0]] + mesh.coords[tagged[:, 1]])
+    coords = np.concatenate([mesh.coords, midcoords], axis=0)
+
+    def mid(a, b):
+        return mid_id[int(_edge_key(np.int64(a), np.int64(b)))]
+
+    eA = inpoel[:, _TET_EDGES[:, 0]]
+    eB = inpoel[:, _TET_EDGES[:, 1]]
+    ek = _edge_key(eA, eB)
+    isin = np.isin(ek, keys)
+    cnt = isin.sum(axis=1)
+    maskbits = (isin * _EDGE_MASKS).sum(axis=1)
+
+    children = []
+    parents = []
+    for e in range(inpoel.shape[0]):
+        n = inpoel[e]
+        c = cnt[e]
+        if c == 0:
+            children.append([n.tolist()])
+        elif c == 1:
+            le = int(np.nonzero(isin[e])[0][0])
+            a, b = n[_TET_EDGES[le]]
+            others = [x for x in n if x != a and x != b]
+            m = mid(a, b)
+            children.append(
+                [[m, int(b), others[0], others[1]],
+                 [int(a), m, others[0], others[1]]]
+            )
+        elif c == 3:
+            lf = int(np.nonzero(_FACE_MASKS == maskbits[e])[0][0])
+            fa, fb, fc = n[_FACE_NODES[lf]]
+            d = n[_FACE_OPP[lf]]
+            mab, mbc, mca = mid(fa, fb), mid(fb, fc), mid(fc, fa)
+            children.append(
+                [
+                    [int(fa), mab, mca, int(d)],
+                    [int(fb), mbc, mab, int(d)],
+                    [int(fc), mca, mbc, int(d)],
+                    [mab, mbc, mca, int(d)],
+                ]
+            )
+        else:  # 1:8 regular subdivision
+            a, b, cc, d = (int(x) for x in n)
+            e_, f_, g_ = mid(a, b), mid(b, cc), mid(cc, a)
+            h_, i_, j_ = mid(a, d), mid(b, d), mid(cc, d)
+            children.append(
+                [
+                    # corner tets + octahedron split about the AC-BD
+                    # diagonal, matching the reference template
+                    # (src/Inciter/AMR/refinement.hpp:526-534)
+                    [a, e_, g_, h_],
+                    [b, f_, e_, i_],
+                    [cc, g_, f_, j_],
+                    [d, h_, j_, i_],
+                    [f_, j_, g_, i_],
+                    [e_, i_, g_, h_],
+                    [e_, f_, g_, i_],
+                    [g_, i_, j_, h_],
+                ]
+            )
+        parents += [e] * len(children[-1])
+
+    newinpoel = _orient(
+        np.asarray([t for ch in children for t in ch], dtype=np.int64), coords
+    )
+
+    # boundary triangles: subdivide with the same midpoints
+    newbface: Dict[int, np.ndarray] = {}
+    for ss, tris in mesh.bface.items():
+        out = []
+        for tri in tris.astype(np.int64):
+            a, b, c = (int(x) for x in tri)
+            tags3 = [
+                mid_id.get(int(_edge_key(np.int64(a), np.int64(b)))),
+                mid_id.get(int(_edge_key(np.int64(b), np.int64(c)))),
+                mid_id.get(int(_edge_key(np.int64(c), np.int64(a)))),
+            ]
+            nt = sum(x is not None for x in tags3)
+            if nt == 0:
+                out.append([a, b, c])
+            elif nt == 3:
+                mab, mbc, mca = tags3
+                out += [[a, mab, mca], [b, mbc, mab], [c, mca, mbc],
+                        [mab, mbc, mca]]
+            elif nt == 1:
+                k = tags3.index(next(x for x in tags3 if x is not None))
+                m = tags3[k]
+                v = [a, b, c]
+                p, q = v[k], v[(k + 1) % 3]
+                r = v[(k + 2) % 3]
+                out += [[p, m, r], [m, q, r]]
+            else:  # 2 tagged edges: split into 3
+                k = tags3.index(None)
+                v = [a, b, c]
+                # untagged edge is (v[k], v[k+1]); tagged: others
+                p, q, r = v[k], v[(k + 1) % 3], v[(k + 2) % 3]
+                mqr = mid(q, r)
+                mrp = mid(r, p)
+                out += [[p, q, mqr], [p, mqr, mrp], [mrp, mqr, r]]
+        newbface[ss] = np.asarray(out, dtype=np.int32)
+
+    newmesh = UnsMesh(coords=coords, inpoel=newinpoel.astype(np.int32))
+    newmesh.bface = newbface
+    newmesh.bnode = newmesh.bnode_from_bface()
+    return newmesh, RefineMap(
+        mid_edges=tagged,
+        parent=np.asarray(parents, dtype=np.int64),
+        nnode_old=mesh.nnode,
+    )
+
+
+def uniform_refine(mesh: UnsMesh) -> Tuple[UnsMesh, RefineMap]:
+    """1:8 refinement of every element (amr initial uniform)."""
+    return refine_mesh(mesh, gen_inpoed(mesh.inpoel).astype(np.int64))
+
+
+def transfer_cg(refmap: RefineMap, u: np.ndarray) -> np.ndarray:
+    """Transfer a nodal field (C, N_old) to the refined mesh: midpoint
+    nodes get the P1-interpolated (edge-average) value — exact for the
+    linear finite-element representation."""
+    mids = 0.5 * (u[:, refmap.mid_edges[:, 0]] + u[:, refmap.mid_edges[:, 1]])
+    return np.concatenate([u, mids], axis=1)

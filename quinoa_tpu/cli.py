@@ -23,9 +23,8 @@ def _cmd_inciter(argv):
 
     import numpy as np
 
-    from .control.config import load_inciter, build_inciter
+    from .control.config import load_inciter, build_inciter, apply_t0ref
     from .io import read_mesh, write_exodus, DiagWriter
-    from .pde.dg import dg_cell_avg
 
     cfg = load_inciter(open(args.control).read())
     mesh = read_mesh(args.input)
@@ -34,15 +33,45 @@ def _cmd_inciter(argv):
         print(f"  mesh: {mesh.nnode} nodes, {mesh.nelem} tets")
         print(f"  scheme={cfg.scheme} pde={cfg.pde} problem={cfg.problem}")
 
+    if cfg.t0ref and cfg.amr_initial:
+        n0 = mesh.nelem
+        mesh = apply_t0ref(cfg, mesh)
+        if args.verbose:
+            print(f"  t0ref: {n0} -> {mesh.nelem} tets")
+
     solver, diag = build_inciter(cfg, mesh)
     state = solver.initial_state()
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
+    dtref_on = cfg.dtref and cfg.scheme in ("diagcg", "alecg")
     t0 = time.perf_counter()
     it = 0
     while it < cfg.nstep and float(state.t) < cfg.term:
         state = solver.step(state)
         it = int(state.it)
+        if dtref_on and it % cfg.dtfreq == 0:
+            from .amr import refine_mesh, tag_edges_by_error, uniform_refine
+            from .amr.refine import transfer_cg
+            from .control.config import build_inciter as _rebuild
+            import jax.numpy as jnp
+
+            if cfg.dtref_uniform:
+                mesh2, rmap = uniform_refine(mesh)
+            else:
+                tags = tag_edges_by_error(
+                    mesh, np.asarray(state.u), method=cfg.amr_error,
+                    tol=cfg.amr_tol,
+                )
+                mesh2, rmap = refine_mesh(mesh, tags)
+            if mesh2.nelem > mesh.nelem:
+                u2 = transfer_cg(rmap, np.asarray(state.u))
+                mesh = mesh2
+                solver, diag = _rebuild(cfg, mesh)
+                st = solver.initial_state(t0=float(state.t))
+                state = type(st)(u=jnp.asarray(u2), t=st.t,
+                                 it=state.it, dt=state.dt)
+                if args.verbose:
+                    print(f"  dtref @it={it}: -> {mesh.nelem} tets")
         if it % cfg.diag_interval == 0:
             row = diag.compute(state)
             if isinstance(row, tuple):

@@ -68,6 +68,16 @@ class InciterConfig:
     bc_outlet: List[int] = dataclasses.field(default_factory=list)
     diag_interval: int = 1
     field_interval: int = 10**9
+    # AMR (amr block: src/Control/Inciter/InputDeck + Refiner options)
+    t0ref: bool = False
+    amr_initial: List[str] = dataclasses.field(default_factory=list)
+    coordref: Dict[str, float] = dataclasses.field(default_factory=dict)
+    dtref: bool = False
+    dtref_uniform: bool = False
+    dtfreq: int = 3
+    amr_error: str = "jump"
+    amr_tol: float = 0.2
+    partitioner: str = "sfc"  # partitioning block: rcb/rib -> rcb, else sfc
 
 
 _SCHEME_NDOF = {"dg": 1, "p0p1": 4, "dgp1": 4, "dgp2": 10, "pdg": 4}
@@ -141,6 +151,25 @@ def load_inciter(deck_text: str) -> InciterConfig:
             cfg.bc_inlet = _sidesets(first(blk, "bc_inlet"))
             cfg.bc_outlet = _sidesets(first(blk, "bc_outlet"))
             break
+
+    part = first(inc, "partitioning")
+    if part is not None:
+        alg = first(part, "algorithm", "mj")
+        cfg.partitioner = "rcb" if alg in ("rcb", "rib") else "sfc"
+
+    amr = first(inc, "amr")
+    if amr is not None:
+        cfg.t0ref = first(amr, "t0ref", "false") == "true"
+        cfg.amr_initial = occurrences(amr, "initial")
+        cfg.dtref = first(amr, "dtref", "false") == "true"
+        cfg.dtref_uniform = first(amr, "dtref_uniform", "false") == "true"
+        cfg.dtfreq = _i(amr, "dtfreq", 3)
+        cfg.amr_error = first(amr, "error", "jump")
+        cfg.amr_tol = _f(amr, "tol_refine", 0.2)
+        for hs in ("x-", "x+", "y-", "y+", "z-", "z+"):
+            v = _f(amr, hs)
+            if v is not None:
+                cfg.coordref[hs] = v
 
     diag = first(inc, "diagnostics")
     if diag is not None:
@@ -427,3 +456,39 @@ def build_walker(cfg: WalkerConfig, seed: int = 0, mesh=None):
         central=cfg.central,
         mesh=mesh,
     )
+
+
+def apply_t0ref(cfg: InciterConfig, mesh, problem=None):
+    """Initial (t<0) adaptive refinement passes (Refiner t0ref analog).
+
+    Applies each `initial ...` mode in deck order; returns the refined
+    mesh (uniform_derefine is a no-op: derefinement is not implemented).
+    """
+    from ..amr import (
+        refine_mesh, uniform_refine, tag_edges_by_error, tag_edges_by_coords,
+    )
+    import jax.numpy as jnp
+
+    for mode in cfg.amr_initial:
+        if mode == "uniform":
+            mesh, _ = uniform_refine(mesh)
+        elif mode == "coords":
+            kw = {}
+            names = {"x-": "xminus", "x+": "xplus", "y-": "yminus",
+                     "y+": "yplus", "z-": "zminus", "z+": "zplus"}
+            for k, v in cfg.coordref.items():
+                kw[names[k]] = v
+            tags = tag_edges_by_coords(mesh, **kw)
+            mesh, _ = refine_mesh(mesh, tags)
+        elif mode == "ic":
+            if problem is None:
+                raise ValueError("initial-conditions t0ref needs a problem")
+            u = np.asarray(problem.solution(jnp.asarray(mesh.coords.T), 0.0))
+            tags = tag_edges_by_error(mesh, u, method=cfg.amr_error,
+                                      tol=cfg.amr_tol)
+            mesh, _ = refine_mesh(mesh, tags)
+        elif mode == "uniform_derefine":
+            continue  # derefinement not implemented yet
+        else:
+            raise ValueError(f"unknown amr initial mode {mode!r}")
+    return mesh

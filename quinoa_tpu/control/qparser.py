@@ -36,6 +36,7 @@ BLOCK_PARENTS = {
     "compflow": {"inciter"},
     "multimat": {"inciter"},
     "amr": {"inciter"},
+    "partitioning": {"inciter"},
     "pref": {"inciter"},
     "diagnostics": {"inciter"},
     "plotvar": {"inciter"},
@@ -86,7 +87,7 @@ _SDE_BLOCKS = {
 
 #: keywords whose value is a list of tokens terminated by `end`
 LISTS = {
-    "sideset", "gamma", "pstiff", "cv",
+    "sideset", "gamma", "pstiff", "cv", "refvar",
     "sigmasq", "theta", "mu", "b", "S", "kappa", "bprime", "kappaprime",
     "rho2", "rcomma", "r", "rho", "cij", "omega", "T", "lambda", "u0",
     "diffusivity", "spike", "betapdf", "gaussian",

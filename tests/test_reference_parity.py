@@ -92,3 +92,25 @@ def test_sod_dg_p0_diag_parity():
             assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6, atol=1e-10), (
                 r, c, l2sol[c], std[r, 3 + c],
             )
+
+
+def test_t0ref_uniform_dg_diag_parity():
+    """Initial uniform 1:8 AMR + DG(P0) transport reproduces the
+    reference's committed post-refinement diagnostics exactly (the 1:8
+    octahedron split uses the reference's AC-BD diagonal)."""
+    from quinoa_tpu.control.config import apply_t0ref
+
+    base = f"{REF}/inciter/mesh_refinement/t0ref/"
+    cfg = load_inciter(open(base + "gauss_hump_dg.q").read())
+    mesh = read_exodus(base + "unitsquare_01_955_ss3.exo")
+    mesh = apply_t0ref(cfg, mesh)
+    assert mesh.nelem == 955 * 8
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_gauss_hump_dg.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, l2err, _ = diag.compute(s)
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
+        assert np.isclose(l2err[0], std[r, 4], rtol=1e-5)
