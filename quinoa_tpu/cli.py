@@ -18,6 +18,11 @@ def _cmd_inciter(argv):
     ap.add_argument("-i", "--input", required=True, help="input mesh file")
     ap.add_argument("-o", "--output", default="out", help="field output basename")
     ap.add_argument("--diag", default="diag", help="diagnostics file")
+    ap.add_argument("-r", "--rsfreq", type=int, default=0,
+                    help="checkpoint every N steps (0 = off)")
+    ap.add_argument("--restart", default=None,
+                    help="restart from a checkpoint directory")
+    ap.add_argument("--checkpoint-dir", default="restart")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -41,6 +46,13 @@ def _cmd_inciter(argv):
 
     solver, diag = build_inciter(cfg, mesh)
     state = solver.initial_state()
+    if args.restart:
+        from .inciter.checkpoint import load_checkpoint
+
+        state, ck = load_checkpoint(args.restart, type(state))
+        if args.verbose:
+            print(f"  restarted from {args.restart} at it={int(state.it)} "
+                  f"t={float(state.t):.6e}")
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
     dtref_on = cfg.dtref and cfg.scheme in ("diagcg", "alecg")
@@ -84,6 +96,11 @@ def _cmd_inciter(argv):
             print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
         if it % cfg.field_interval == 0:
             _write_fields(args.output, it, cfg, solver, state, mesh)
+        if args.rsfreq and it % args.rsfreq == 0:
+            from .inciter.checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint_dir, state,
+                            {"it": it, "t": float(state.t)})
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0
@@ -178,10 +195,31 @@ def _cmd_meshconv(argv):
     return 0
 
 
+def _cmd_rngtest(argv):
+    ap = argparse.ArgumentParser(prog="quinoa_tpu rngtest")
+    ap.add_argument("-c", "--control", default=None,
+                    help=".q control file (optional; defaults to smallcrush)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--impl", default="threefry2x32",
+                    help="jax PRNG implementation (threefry2x32, rbg, ...)")
+    args = ap.parse_args(argv)
+
+    from .rngtest import run_battery
+
+    results, failed = run_battery(seed=args.seed, impl=args.impl)
+    print(f"SmallCrush battery, rng={args.impl}, seed={args.seed}")
+    for r in results:
+        print(f"  {r.name:20s} p-value {r.pvalue:8.5f}  "
+              f"{'pass' if r.passed else 'FAIL'}")
+    print(f"{len(results) - len(failed)}/{len(results)} tests passed")
+    return 1 if failed else 0
+
+
 _COMMANDS = {
     "inciter": _cmd_inciter,
     "walker": _cmd_walker,
     "meshconv": _cmd_meshconv,
+    "rngtest": _cmd_rngtest,
 }
 
 
@@ -189,7 +227,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in _COMMANDS:
         print(
-            "usage: python -m quinoa_tpu {inciter|walker|meshconv} [options]",
+            "usage: python -m quinoa_tpu {inciter|walker|meshconv|rngtest} [options]",
             file=sys.stderr,
         )
         return 2

@@ -24,19 +24,20 @@ import numpy as np
 
 
 def build_nsup(inpoel: np.ndarray, nnode: int):
-    """Slots-surrounding-node table.
+    """Slots-surrounding-node table for any incidence table.
 
+    inpoel is (E, A) — A slots per entity (4 for tets, 2 for edges).
     Returns (nsup (D, N) int32, D): nsup[d, p] indexes the flattened
-    contribution slot a*E + e (local node a of element e) that scatters
-    into node p, or 4*E (a zero pad slot) when node p has fewer than D
+    contribution slot a*E + e (local slot a of entity e) that scatters
+    into node p, or A*E (a zero pad slot) when node p has fewer than D
     incident slots.
     """
-    E = inpoel.shape[0]
+    E, A = inpoel.shape
     flat = inpoel.T.ravel()  # slot id s = a*E + e holds node inpoel[e, a]
     order = np.argsort(flat, kind="stable")
     counts = np.bincount(flat, minlength=nnode)
     D = int(counts.max()) if len(counts) else 0
-    nsup = np.full((D, nnode), 4 * E, dtype=np.int32)
+    nsup = np.full((D, nnode), A * E, dtype=np.int32)
     pos = np.zeros(nnode + 1, dtype=np.int64)
     np.cumsum(counts, out=pos[1:])
     # column-fill: for node p, its slots are order[pos[p]:pos[p+1]]

@@ -169,6 +169,17 @@ class CGTransport:
 
         return assemble_add(contrib, geom.nsup)
 
+    # -- ALECG callbacks ----------------------------------------------------
+
+    def flux_at_nodes(self, u, xyz):
+        """F_j = v_j(x) u at nodal states u (C, n)."""
+        vel = self.problem.velocity(xyz, 0.0)  # (C, 3, n)
+        return [vel[:, j, :] * u for j in range(3)]
+
+    def charspeed(self, u, xyz):
+        vel = self.problem.velocity(xyz, 0.0)
+        return jnp.sqrt((vel**2).sum(axis=1)).max(axis=0)
+
     def dt(self, geom: CGGeom, U):
         """Minimum time-step over local elements (before CFL scaling)."""
         L = jnp.cbrt(geom.J / 6.0)

@@ -77,6 +77,20 @@ class CGCompFlow:
 
         return assemble_add(contrib, geom.nsup)
 
+    # -- ALECG callbacks ----------------------------------------------------
+
+    def flux_at_nodes(self, u, xyz):
+        """Three flux columns at nodal states u (5, n)."""
+        p = self.eos.pressure_cons_cm(u)
+        return [euler_flux_dir(u, p, j) for j in range(3)]
+
+    def charspeed(self, u, xyz):
+        """|v| + c at nodal states (for edge Rusanov dissipation)."""
+        rho = u[0]
+        p = jnp.maximum(self.eos.pressure_cons_cm(u), 0.0)
+        c = self.eos.soundspeed(rho, p)
+        return jnp.sqrt(u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho + c
+
     def dt(self, geom: CGGeom, U):
         """Min over elements of L / max_nodes(|v| + c) (before CFL)."""
         un = gather_nodes(U, geom.inpoelT)  # (4, 5, E)

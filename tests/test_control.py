@@ -144,3 +144,32 @@ end
     assert rc == 0
     lines = open(diagp).read().splitlines()
     assert len(lines) >= 3
+
+
+def test_checkpoint_restart_roundtrip(tmp_path):
+    """Run, checkpoint, restart, continue: the restarted run continues
+    exactly (the reference's CHECKPOINT-chained regression pattern)."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.pde.cg import CGTransport, make_cggeom
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter import DiagCGSolver
+    from quinoa_tpu.inciter.checkpoint import save_checkpoint, load_checkpoint
+
+    mesh = box_tet_mesh(5, 5, 2, hi=(1.0, 1.0, 0.4))
+    solver = DiagCGSolver(CGTransport(SlotCyl()), make_cggeom(mesh),
+                          const_dt=1e-3)
+    s = solver.nsteps(solver.initial_state(), 4)
+    ck = str(tmp_path / "restart")
+    save_checkpoint(ck, s, {"it": int(s.it)})
+    s_cont = solver.nsteps(s, 3)
+
+    s2, meta = load_checkpoint(ck, type(s))
+    assert meta["it"] == 4
+    assert int(s2.it) == 4
+    s2 = solver.nsteps(s2, 3)
+    assert np.allclose(np.asarray(s_cont.u), np.asarray(s2.u), atol=0)
+    # double-checkpoint slots alternate
+    save_checkpoint(ck, s2)
+    save_checkpoint(ck, s2)
+    s3, meta3 = load_checkpoint(ck, type(s))
+    assert int(s3.it) == 7

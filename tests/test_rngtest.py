@@ -1,0 +1,67 @@
+"""rngtest battery: jax's counter-based RNG passes; a deliberately weak
+generator fails — validating the battery has statistical power (the
+reference's rngtest role, SURVEY.md §2.8)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from quinoa_tpu.rngtest import run_battery, SmallCrush
+from quinoa_tpu.rngtest import battery as bat
+
+
+def test_threefry_passes_smallcrush():
+    results, failed = run_battery(seed=7)
+    assert not failed, failed
+    assert len(results) == len(SmallCrush)
+
+
+def test_weak_generator_fails():
+    """Feed the battery a low-quality LCG (RANDU-like) through a shim: the
+    equidistribution tests must flag it."""
+
+    class FakeKeyRandom:
+        """Monkeypatch shim: RANDU via numpy, ignoring jax keys."""
+
+        def __init__(self):
+            self.state = 1
+
+        def _next(self, n):
+            out = np.empty(n, dtype=np.float64)
+            s = self.state
+            for i in range(n):
+                s = (65539 * s) % 2**31  # RANDU
+                out[i] = s / 2**31
+            self.state = s
+            return out
+
+    shim = FakeKeyRandom()
+    orig_uniform = jax.random.uniform
+    orig_randint = jax.random.randint
+
+    def fake_uniform(key, shape, dtype=None, **kw):
+        import jax.numpy as jnp
+        n = int(np.prod(shape))
+        return jnp.asarray(shim._next(n).reshape(shape))
+
+    def fake_randint(key, shape, lo, hi, dtype=None, **kw):
+        import jax.numpy as jnp
+        n = int(np.prod(shape))
+        vals = (shim._next(n) * (hi - lo) + lo).astype(np.int64)
+        return jnp.asarray(vals.reshape(shape))
+
+    jax.random.uniform = fake_uniform
+    jax.random.randint = fake_randint
+    try:
+        # matrix-rank/birthday tests are expensive through the python shim;
+        # run the cheap equidistribution subset
+        subset = [bat.gap, bat.max_of_t, bat.weight_distrib, bat.random_walk,
+                  bat.ks_uniform, bat.hamming_indep]
+        results, failed = run_battery(seed=0, battery=subset)
+    finally:
+        jax.random.uniform = orig_uniform
+        jax.random.randint = orig_randint
+
+    # RANDU's lattice structure must trip at least one test
+    assert failed, [r.pvalue for r in results]
