@@ -11,6 +11,8 @@ at exactly the points where the reference exchanged messages.
 from .partition import morton_partition, rcb_partition, partition_elements
 from .shard import ShardedCG, build_cg_shards
 from .spmd import SPMDDiagCGSolver
+from .dg_shard import ShardedDG, build_dg_shards
+from .dg_spmd import SPMDDGSolver
 
 __all__ = [
     "morton_partition",
@@ -19,4 +21,7 @@ __all__ = [
     "ShardedCG",
     "build_cg_shards",
     "SPMDDiagCGSolver",
+    "ShardedDG",
+    "build_dg_shards",
+    "SPMDDGSolver",
 ]
