@@ -1,0 +1,116 @@
+// quinoa_tpu native host kernels.
+//
+// The reference implements its host/runtime layer in C++ (Charm++ chares,
+// Zoltan partitioning, DerivedData connectivity generators); the TPU build
+// keeps the compute path in XLA but implements the per-(re)partition host
+// kernels natively too: derived connectivity (the analog of
+// src/Mesh/DerivedData.hpp genEsuel/genEsup), the assembly gather-table
+// builder, and Morton codes for the space-filling-curve partitioner (the
+// Zoltan2 HSFC analog, src/LoadBalance/ZoltanInterOp.cpp).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// Elements surrounding elements across faces: esuel[e*4+f] = neighbor or -1.
+// Face f of a tet is opposite local node f (lpofa convention of
+// src/Mesh/DerivedData.hpp).
+void qn_gen_esuel(int64_t nelem, const int32_t* inpoel, int32_t* esuel) {
+  static const int F[4][3] = {{1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
+  std::unordered_map<uint64_t, int64_t> open;  // face key -> (elem*4+f)
+  open.reserve(static_cast<size_t>(nelem) * 2);
+  std::fill(esuel, esuel + nelem * 4, -1);
+
+  auto key = [](int64_t a, int64_t b, int64_t c) -> uint64_t {
+    // sort three <2^21 node ids and pack
+    if (a > b) std::swap(a, b);
+    if (b > c) std::swap(b, c);
+    if (a > b) std::swap(a, b);
+    return (static_cast<uint64_t>(a) << 42) |
+           (static_cast<uint64_t>(b) << 21) | static_cast<uint64_t>(c);
+  };
+
+  for (int64_t e = 0; e < nelem; ++e) {
+    const int32_t* n = inpoel + e * 4;
+    for (int f = 0; f < 4; ++f) {
+      uint64_t k = key(n[F[f][0]], n[F[f][1]], n[F[f][2]]);
+      auto it = open.find(k);
+      if (it == open.end()) {
+        open.emplace(k, e * 4 + f);
+      } else {
+        int64_t of = it->second;
+        esuel[e * 4 + f] = static_cast<int32_t>(of / 4);
+        esuel[of] = static_cast<int32_t>(e);
+        open.erase(it);
+      }
+    }
+  }
+}
+
+// Max slots per node for the assembly gather table (returns D).
+int64_t qn_nsup_degree(int64_t nent, int64_t width, int64_t nnode,
+                       const int32_t* incid) {
+  std::vector<int32_t> cnt(nnode, 0);
+  for (int64_t i = 0; i < nent * width; ++i) cnt[incid[i]]++;
+  int32_t d = 0;
+  for (int64_t p = 0; p < nnode; ++p) d = std::max(d, cnt[p]);
+  return d;
+}
+
+// Fill the (D, nnode) gather table with flattened slot ids a*nent + e
+// (pad = width*nent), matching ops.assembly.build_nsup.
+void qn_build_nsup(int64_t nent, int64_t width, int64_t nnode,
+                   const int32_t* incid, int64_t D, int32_t* nsup) {
+  const int32_t pad = static_cast<int32_t>(width * nent);
+  std::fill(nsup, nsup + D * nnode, pad);
+  std::vector<int32_t> fill(nnode, 0);
+  // slot id = a*nent + e for incid[e*width + a] — iterate a-major to match
+  // the numpy (stable, slot-ordered) fill
+  for (int64_t a = 0; a < width; ++a) {
+    for (int64_t e = 0; e < nent; ++e) {
+      int32_t p = incid[e * width + a];
+      nsup[static_cast<int64_t>(fill[p]) * nnode + p] =
+          static_cast<int32_t>(a * nent + e);
+      fill[p]++;
+    }
+  }
+}
+
+// Morton codes over quantized 3-D points (21 bits per axis).
+void qn_morton_codes(int64_t n, const double* pts, uint64_t* codes) {
+  double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = 0; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], pts[i * 3 + d]);
+      hi[d] = std::max(hi[d], pts[i * 3 + d]);
+    }
+  double span[3];
+  for (int d = 0; d < 3; ++d) {
+    span[d] = hi[d] - lo[d];
+    if (span[d] == 0.0) span[d] = 1.0;
+  }
+  auto spread = [](uint64_t x) {
+    x &= 0x1FFFFF;
+    x = (x | (x << 32)) & 0x1F00000000FFFFULL;
+    x = (x | (x << 16)) & 0x1F0000FF0000FFULL;
+    x = (x | (x << 8)) & 0x100F00F00F00F00FULL;
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3ULL;
+    x = (x | (x << 2)) & 0x1249249249249249ULL;
+    return x;
+  };
+  const double s = (1 << 21) - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t q[3];
+    for (int d = 0; d < 3; ++d)
+      q[d] = static_cast<uint64_t>((pts[i * 3 + d] - lo[d]) / span[d] * s);
+    codes[i] = spread(q[0]) | (spread(q[1]) << 1) | (spread(q[2]) << 2);
+  }
+}
+
+}  // extern "C"

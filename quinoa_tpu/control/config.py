@@ -136,6 +136,11 @@ def load_inciter(deck_text: str) -> InciterConfig:
                 g = _floats(mat, "gamma", (1.4,))
                 cfg.gamma = g[0]
                 cfg.pstiff = _floats(mat, "pstiff", (0.0,))[0]
+                cfg.params["gammas"] = g
+                cfg.params["cvs"] = _floats(mat, "cv", (717.5,) * len(g))
+            nm = _i(blk, "nmat")
+            if nm is not None:
+                cfg.params["nmat"] = nm
             for p in ("alpha", "beta", "p0", "r0", "ce", "kappa",
                       "betax", "betay", "betaz"):
                 v = _f(blk, p)
@@ -237,6 +242,44 @@ def build_inciter(cfg: InciterConfig, mesh):
             bcnodes=bcnodes,
         )
         return solver, Diagnostics(system, geom)
+
+    if cfg.pde == "multimat":
+        from ..pde.dg import (
+            build_dggeom, BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE,
+        )
+        from ..pde.multimat import MultiMatSystem, MultiMatSolver
+        from ..pde.problems.multimat import MMInterfaceAdvection, MMSodShocktube
+        from ..pde.eos import StiffenedGas
+
+        nmat = cfg.params.get("nmat", 2)
+        eos = tuple(
+            StiffenedGas(gamma=g, cv=cv)
+            for g, cv in zip(cfg.params.get("gammas", (1.4,) * nmat),
+                             cfg.params.get("cvs", (717.5,) * nmat))
+        )
+        if cfg.problem == "interface_advection":
+            problem = MMInterfaceAdvection(nmat=nmat, eos=eos)
+        elif cfg.problem == "sod_shocktube":
+            problem = MMSodShocktube(nmat=nmat, eos=eos)
+        else:
+            raise ValueError(f"unknown multimat problem {cfg.problem!r}")
+        bc = {}
+        for ss in cfg.bc_dirichlet:
+            bc[ss] = BC_DIRICHLET
+        for ss in cfg.bc_sym:
+            bc[ss] = BC_SYMMETRY
+        for ss in cfg.bc_extrapolate:
+            bc[ss] = BC_EXTRAPOLATE
+        geom = build_dggeom(mesh, ndof=1, bc_sidesets=bc)
+        system = MultiMatSystem(problem)
+        solver = MultiMatSolver(
+            system, geom,
+            cfl=cfg.cfl if cfg.cfl is not None else 0.5,
+            const_dt=cfg.dt,
+        )
+        from ..inciter.dg import DGDiagnostics
+
+        return solver, DGDiagnostics(system, geom)
 
     if cfg.scheme in _SCHEME_NDOF:
         from ..pde.dg import (

@@ -98,7 +98,13 @@ def gen_esuel(inpoel: np.ndarray, nnode: int) -> np.ndarray:
 
     Entry (e, f) is the element sharing face f of element e (the face
     opposite local node f), or -1 if that face is on the domain boundary.
+    Uses the native C++ kernel when available (native/quinoa_native.cpp).
     """
+    from ..native import gen_esuel as _native
+
+    out = _native(inpoel)
+    if out is not None:
+        return out
     nelem = inpoel.shape[0]
     keys = _face_keys(inpoel)
     owner = np.repeat(np.arange(nelem, dtype=np.int64), 4)

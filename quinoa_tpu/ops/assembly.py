@@ -32,6 +32,12 @@ def build_nsup(inpoel: np.ndarray, nnode: int):
     into node p, or A*E (a zero pad slot) when node p has fewer than D
     incident slots.
     """
+    from ..native import build_nsup as _native
+
+    nat = _native(np.asarray(inpoel), nnode)
+    if nat is not None:
+        return nat
+
     E, A = inpoel.shape
     flat = inpoel.T.ravel()  # slot id s = a*E + e holds node inpoel[e, a]
     order = np.argsort(flat, kind="stable")

@@ -46,9 +46,16 @@ def _morton_codes(pts: np.ndarray, bits: int = 21) -> np.ndarray:
 
 
 def morton_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
-    """Equal-count SFC partition: sort by Morton code, chunk contiguously."""
+    """Equal-count SFC partition: sort by Morton code, chunk contiguously.
+
+    Uses the native Morton-code kernel when available."""
+    from ..native import morton_codes as _native
+
     n = centroids.shape[0]
-    order = np.argsort(_morton_codes(centroids), kind="stable")
+    codes = _native(centroids)
+    if codes is None:
+        codes = _morton_codes(centroids)
+    order = np.argsort(codes, kind="stable")
     part = np.empty(n, dtype=np.int32)
     # equal-count split (differ by at most 1)
     bounds = (np.arange(1, nparts) * n) // nparts
