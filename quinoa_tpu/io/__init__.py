@@ -11,6 +11,9 @@ the reference tool chain (exodiff, ParaView).
 from .exodus import read_exodus, write_exodus
 from .gmsh import read_gmsh, write_gmsh
 from .netgen import read_netgen, write_netgen
+from .asc import read_asc
+from .stl import read_stl, STLMesh
+from .h5part import H5PartWriter
 from .meshfactory import read_mesh, write_mesh, detect_format
 from .diagwriter import DiagWriter
 from .statwriter import TxtStatWriter
@@ -23,6 +26,10 @@ __all__ = [
     "write_gmsh",
     "read_netgen",
     "write_netgen",
+    "read_asc",
+    "read_stl",
+    "STLMesh",
+    "H5PartWriter",
     "read_mesh",
     "write_mesh",
     "detect_format",

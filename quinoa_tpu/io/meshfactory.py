@@ -13,6 +13,7 @@ import os
 from .exodus import read_exodus, write_exodus
 from .gmsh import read_gmsh, write_gmsh
 from .netgen import read_netgen, write_netgen
+from .asc import read_asc
 
 
 def detect_format(path: str) -> str:
@@ -27,6 +28,8 @@ def detect_format(path: str) -> str:
         raise ValueError(f"unrecognized (binary, non-NetCDF) mesh: {path}")
     if text.lstrip().startswith("$MeshFormat"):
         return "gmsh"
+    if text.lstrip().startswith("*ndim"):
+        return "asc"
     # Netgen neutral starts with an integer count on its own line
     first = text.split()[0] if text.split() else ""
     if first.isdigit():
@@ -34,7 +37,7 @@ def detect_format(path: str) -> str:
     raise ValueError(f"cannot detect mesh format of {path}")
 
 
-_READERS = {"exodus": read_exodus, "gmsh": read_gmsh, "netgen": read_netgen}
+_READERS = {"exodus": read_exodus, "gmsh": read_gmsh, "netgen": read_netgen, "asc": read_asc}
 _WRITERS = {"exodus": write_exodus, "gmsh": write_gmsh, "netgen": write_netgen}
 
 _EXT2FMT = {
@@ -42,6 +45,7 @@ _EXT2FMT = {
     ".e": "exodus",
     ".g": "exodus",
     ".msh": "gmsh",
+    ".asc": "asc",
     ".mesh": "netgen",
     ".neu": "netgen",
 }

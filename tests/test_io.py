@@ -105,3 +105,57 @@ def test_diag_writer(tmp_path):
     assert lines[0].startswith("#")
     assert len(lines) == 3
     assert len(lines[1].split()) == 3 + 6
+
+
+def test_asc_reader(tmp_path):
+    """ASC format per src/IO/ASCMeshReader.cpp (1-based ids, node 2/3 swap)."""
+    p = tmp_path / "m.asc"
+    p.write_text(
+        "*ndim 3\n*numNodeSets 0\n*numSideSets 0\n"
+        "*nodes 4\n"
+        "1 0 0 0\n2 1 0 0\n3 0 1 0\n4 0 0 1\n"
+        "*cells 1\n"
+        "1 0 0 4 1 3 2\n"  # negatively-oriented input: the reference's
+        # node-2/3 swap restores positive volume
+    )
+    from quinoa_tpu.io import read_asc
+
+    m = read_asc(str(p))
+    assert m.nnode == 4 and m.nelem == 1
+    assert m.positive_jacobians()
+
+
+def test_stl_reader(tmp_path):
+    p = tmp_path / "t.stl"
+    p.write_text(
+        "solid box\n"
+        "facet normal 0 0 1\nouter loop\n"
+        "vertex 0 0 0\nvertex 1 0 0\nvertex 0 1 0\n"
+        "endloop\nendfacet\n"
+        "facet normal 0 0 1\nouter loop\n"
+        "vertex 1 0 0\nvertex 1 1 0\nvertex 0 1 0\n"
+        "endloop\nendfacet\n"
+        "endsolid box\n"
+    )
+    from quinoa_tpu.io import read_stl
+
+    s = read_stl(str(p))
+    assert s.tri.shape == (2, 3)
+    assert s.coords.shape[0] == 4  # welded shared vertices
+
+
+def test_h5part_writer(tmp_path):
+    import h5py
+    from quinoa_tpu.io import H5PartWriter
+
+    p = str(tmp_path / "traj.h5part")
+    w = H5PartWriter(p)
+    xyz = np.random.default_rng(0).normal(size=(100, 3))
+    w.write(xyz, fields={"vx": xyz[:, 0] * 2}, time=0.1)
+    w.write(xyz + 1.0, time=0.2)
+    w.close()
+    with h5py.File(p) as f:
+        assert set(f.keys()) == {"Step#0", "Step#1"}
+        assert np.allclose(f["Step#0"]["x"][:], xyz[:, 0])
+        assert np.allclose(f["Step#0"]["vx"][:], xyz[:, 0] * 2)
+        assert f["Step#1"].attrs["TimeValue"] == 0.2
