@@ -162,14 +162,30 @@ def _cmd_walker(argv):
     P = w.initialize()
     nsteps = min(cfg.nstep, int(cfg.term / cfg.dt + 1e-9))
     done = 0
+
+    def dump_pdfs():
+        from .io import write_pdf_txt, write_pdf_gmsh, write_pdf_exodus
+
+        writers = {"txt": (write_pdf_txt, "txt"),
+                   "gmshtxt": (write_pdf_gmsh, "msh"),
+                   "exodusii": (write_pdf_exodus, "exo")}
+        fn, ext = writers.get(cfg.pdf_filetype, (write_pdf_txt, "txt"))
+        for name, term, bins, extents in cfg.pdfs:
+            pdf = w.pdf(P, term, bins, extents)
+            fn(f"{name}.{ext}", pdf)
+
     while done < nsteps:
         chunk = min(cfg.stat_interval, nsteps - done)
         P, _ = w.run(chunk, P=P)
         done += chunk
         mom = estimate_moments(P, w.offsets, cfg.ordinary, cfg.central)
         sw.write(done, done * cfg.dt, {k: float(v) for k, v in mom.items()})
+        if cfg.pdf_interval and done % cfg.pdf_interval < cfg.stat_interval:
+            dump_pdfs()
         if args.verbose and done % cfg.ttyi == 0:
             print(f"  it={done} t={done * cfg.dt:.6e}")
+    if cfg.pdfs:
+        dump_pdfs()
     sw.close()
     return 0
 

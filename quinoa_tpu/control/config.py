@@ -339,9 +339,32 @@ class WalkerConfig:
     ordinary: List[Tuple] = dataclasses.field(default_factory=list)
     central: List[Tuple] = dataclasses.field(default_factory=list)
     sdes: List[Any] = dataclasses.field(default_factory=list)
+    pdf_interval: int = 0
+    pdf_filetype: str = "txt"
+    #: list of (name, term, binsizes, extents-or-None)
+    pdfs: List[Tuple] = dataclasses.field(default_factory=list)
 
 
 _MOM_RE = re.compile(r"([A-Za-z])(\d+)")
+
+
+def _parse_pdf_spec(spec: str):
+    """'f2( o1 o2 : 0.2 0.2 ; -2 2 -4 4 )' ->
+    (name, term, binsizes, extents or None)."""
+    name = spec.split("(", 1)[0].strip()
+    body = spec.split("(", 1)[1].rsplit(")", 1)[0]
+    if ";" in body:
+        main, ext = body.split(";", 1)
+        nums = [float(x) for x in ext.split()]
+        extents = [(nums[2 * i], nums[2 * i + 1]) for i in range(len(nums) // 2)]
+    else:
+        main, extents = body, None
+    vars_, bins = main.split(":")
+    term = tuple(
+        (m[0].lower(), int(m[1]) - 1) for m in _MOM_RE.findall(vars_)
+    )
+    binsizes = [float(x) for x in bins.split()]
+    return (name, term, binsizes, extents)
 
 
 def _parse_moment(m: str) -> Tuple[bool, Tuple]:
@@ -477,6 +500,13 @@ def load_walker(deck_text: str) -> WalkerConfig:
         for m in occurrences(stats, "_moments"):
             central, term = _parse_moment(m)
             (cfg.central if central else cfg.ordinary).append(term)
+
+    pdfs = first(w, "pdfs")
+    if pdfs is not None:
+        cfg.pdf_interval = _i(pdfs, "interval", 1)
+        cfg.pdf_filetype = first(pdfs, "filetype", "txt")
+        for spec in occurrences(pdfs, "_pdfs"):
+            cfg.pdfs.append(_parse_pdf_spec(spec))
 
     from .qparser import _SDE_BLOCKS
 

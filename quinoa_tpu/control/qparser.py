@@ -157,6 +157,13 @@ def parse_deck(text: str) -> Dict[str, Any]:
                 store(key, vals)
             elif key.startswith("<"):
                 store("_moments", key)
+            elif name == "pdfs" and (key.endswith("(") or "(" in key):
+                # pdf spec: name( v1 v2 : b1 b2 [; lo1 hi1 lo2 hi2] )
+                spec = [key]
+                while pos < len(toks) and ")" not in toks[pos - 1]:
+                    spec.append(toks[pos])
+                    pos += 1
+                store("_pdfs", " ".join(spec))
             elif key.startswith('"'):
                 store("_strings", key.strip('"'))
             else:

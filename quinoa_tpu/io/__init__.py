@@ -17,7 +17,7 @@ from .h5part import H5PartWriter
 from .meshfactory import read_mesh, write_mesh, detect_format
 from .diagwriter import DiagWriter
 from .statwriter import TxtStatWriter
-from .pdfwriter import write_pdf_txt
+from .pdfwriter import write_pdf_txt, write_pdf_gmsh, write_pdf_exodus
 
 __all__ = [
     "read_exodus",
@@ -36,4 +36,6 @@ __all__ = [
     "DiagWriter",
     "TxtStatWriter",
     "write_pdf_txt",
+    "write_pdf_gmsh",
+    "write_pdf_exodus",
 ]

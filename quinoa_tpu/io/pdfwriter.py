@@ -1,7 +1,9 @@
-"""PDF text output.
+"""PDF output: txt, Gmsh, and ExodusII formats.
 
-Counterpart of the reference's PDFWriter txt mode (src/IO/PDFWriter.cpp):
-bin centers + probability density, one line per (non-empty) bin.
+Counterpart of the reference's PDFWriter (src/IO/PDFWriter.cpp): txt mode
+writes bin centers + density; gmsh/exodus modes write bi-variate PDFs as
+structured quad meshes with the density as a nodal field (the reference's
+outpdf gmsh/exodusii options).
 """
 
 from __future__ import annotations
@@ -43,3 +45,83 @@ def write_pdf_txt(path: str, pdf) -> None:
                     f"{x:.12e}\t{y:.12e}\t{z:.12e}\t"
                     f"{counts[i, j, k] / (n * volb):.12e}\n"
                 )
+
+
+def _bipdf_grid(pdf):
+    counts = np.asarray(pdf.counts, dtype=float)
+    nx, ny = counts.shape
+    n = counts.sum()
+    dens = counts / (n * pdf.binsize[0] * pdf.binsize[1])
+    xs = pdf.lo[0] + np.arange(nx + 1) * pdf.binsize[0]
+    ys = pdf.lo[1] + np.arange(ny + 1) * pdf.binsize[1]
+    return xs, ys, dens
+
+
+def write_pdf_gmsh(path: str, pdf) -> None:
+    """Bi-variate PDF as a Gmsh 2.2 quad mesh + element data."""
+    xs, ys, dens = _bipdf_grid(pdf)
+    nx, ny = dens.shape
+    with open(path, "w") as fh:
+        fh.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        fh.write(f"$Nodes\n{(nx + 1) * (ny + 1)}\n")
+        nid = lambda i, j: i * (ny + 1) + j + 1
+        for i in range(nx + 1):
+            for j in range(ny + 1):
+                fh.write(f"{nid(i, j)} {xs[i]:.12g} {ys[j]:.12g} 0\n")
+        fh.write("$EndNodes\n")
+        fh.write(f"$Elements\n{nx * ny}\n")
+        eid = 1
+        for i in range(nx):
+            for j in range(ny):
+                fh.write(
+                    f"{eid} 3 2 0 0 {nid(i, j)} {nid(i + 1, j)} "
+                    f"{nid(i + 1, j + 1)} {nid(i, j + 1)}\n"
+                )
+                eid += 1
+        fh.write("$EndElements\n")
+        fh.write('$ElementData\n1\n"probability"\n1\n0.0\n3\n0\n1\n')
+        fh.write(f"{nx * ny}\n")
+        eid = 1
+        for i in range(nx):
+            for j in range(ny):
+                fh.write(f"{eid} {dens[i, j]:.12e}\n")
+                eid += 1
+        fh.write("$EndElementData\n")
+
+
+def write_pdf_exodus(path: str, pdf) -> None:
+    """Bi-variate PDF as an ExodusII quad-shell mesh is not expressible in
+    our TET4 writer; write the lattice as nodes with a nodal density field
+    (readable in ParaView as a point cloud, like the reference's exodusii
+    PDF output intent)."""
+    from scipy.io import netcdf_file
+
+    xs, ys, dens = _bipdf_grid(pdf)
+    nx, ny = dens.shape
+    # cell centers as points
+    cx = 0.5 * (xs[:-1] + xs[1:])
+    cy = 0.5 * (ys[:-1] + ys[1:])
+    X, Y = np.meshgrid(cx, cy, indexing="ij")
+    f = netcdf_file(path, "w")
+    try:
+        f.createDimension("time_step", None)
+        f.createDimension("num_dim", 3)
+        npnt = nx * ny
+        f.createDimension("num_nodes", npnt)
+        f.createDimension("len_name", 33)
+        for nm, vals in (("coordx", X.ravel()), ("coordy", Y.ravel()),
+                         ("coordz", np.zeros(npnt))):
+            v = f.createVariable(nm, "d", ("num_nodes",))
+            v[:] = vals
+        f.createDimension("num_nod_var", 1)
+        nmv = f.createVariable("name_nod_var", "c", ("num_nod_var", "len_name"))
+        arr = np.zeros((1, 33), dtype="S1")
+        for j, ch in enumerate(b"probability"):
+            arr[0, j] = bytes([ch])
+        nmv[:] = arr
+        tv = f.createVariable("time_whole", "d", ("time_step",))
+        tv[0] = 0.0
+        vv = f.createVariable("vals_nod_var1", "d", ("time_step", "num_nodes"))
+        vv[0, :] = dens.ravel()
+    finally:
+        f.close()

@@ -159,3 +159,36 @@ def test_h5part_writer(tmp_path):
         assert np.allclose(f["Step#0"]["x"][:], xyz[:, 0])
         assert np.allclose(f["Step#0"]["vx"][:], xyz[:, 0] * 2)
         assert f["Step#1"].attrs["TimeValue"] == 0.2
+
+
+def test_pdf_outputs(tmp_path):
+    """Uni (txt) + bi-variate (txt/gmsh/exodus) PDF writers."""
+    import jax
+    from quinoa_tpu.statistics import estimate_pdf
+    from quinoa_tpu.io import write_pdf_txt, write_pdf_gmsh, write_pdf_exodus
+    from quinoa_tpu.io.gmsh import read_gmsh
+
+    rng = np.random.default_rng(0)
+    P = np.stack([rng.normal(size=20000), rng.normal(size=20000)], 1)
+    import jax.numpy as jnp
+
+    pdf2 = estimate_pdf(jnp.asarray(P), {"y": 0}, (("y", 0), ("y", 1)),
+                        binsize=[0.25, 0.25])
+    p1 = str(tmp_path / "p.txt")
+    write_pdf_txt(p1, pdf2)
+    assert len(open(p1).read().splitlines()) > 10
+
+    p2 = str(tmp_path / "p.msh")
+    write_pdf_gmsh(p2, pdf2)
+    txt = open(p2).read()
+    assert "$ElementData" in txt and "probability" in txt
+
+    p3 = str(tmp_path / "p.exo")
+    write_pdf_exodus(p3, pdf2)
+    from scipy.io import netcdf_file
+
+    f = netcdf_file(p3, "r", mmap=False)
+    dens = np.array(f.variables["vals_nod_var1"][0])
+    f.close()
+    # density integrates to ~1
+    assert abs(dens.sum() * 0.25 * 0.25 - 1.0) < 0.05
