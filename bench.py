@@ -35,7 +35,7 @@ def main():
     mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
-    system = DGCompFlow(SedovBlastwave(rcorner=0.05), riemann_flux="hllc")
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
     solver = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
     state = solver.initial_state()
 

@@ -171,8 +171,11 @@ class SedovBlastwave(CompFlowProblem):
     """Sedov blast wave ICs: high-pressure corner region
     (SedovBlastwave.cpp:28-100)."""
 
-    p1: float = 783.4112
-    p0: float = 1.0e-6
+    #: source-region and ambient pressures are hard-coded in the reference
+    #: (SedovBlastwave.cpp:55) and deliberately NOT deck-controlled: decks
+    #: carry stray alpha/beta/p0 lines the reference ignores.
+    p_hot: float = 783.4112
+    p_ambient: float = 1.0e-6
     rcorner: float = 0.05
     eos: StiffenedGas = StiffenedGas(gamma=1.4)
 
@@ -180,7 +183,7 @@ class SedovBlastwave(CompFlowProblem):
         x, y = xyz[0], xyz[1]
         hot = (x < self.rcorner) & (y < self.rcorner)
         r = jnp.ones_like(x)
-        pr = jnp.where(hot, self.p1, self.p0).astype(x.dtype)
+        pr = jnp.where(hot, self.p_hot, self.p_ambient).astype(x.dtype)
         u = jnp.zeros_like(x)
         rE = self.eos.totalenergy(r, u, u, u, pr)
         z = jnp.zeros_like(x)

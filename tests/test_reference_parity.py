@@ -114,3 +114,46 @@ def test_t0ref_uniform_dg_diag_parity():
         l2sol, l2err, _ = diag.compute(s)
         assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
         assert np.isclose(l2err[0], std[r, 4], rtol=1e-5)
+
+
+def test_vortical_flow_diagcg_diag_parity():
+    """DiagCG VorticalFlow (the only compflow scheme the reference
+    regression-tests on DiagCG): dt sequence and L2/err rows match
+    diag_diagcg.std at CFL-based stepping."""
+    base = f"{REF}/inciter/compflow/Euler/VorticalFlow/"
+    gh = f"{REF}/inciter/transport/GaussHump/"
+    cfg = load_inciter(open(base + "vortical_flow_diagcg.q").read())
+    mesh = read_exodus(gh + "unitcube_1k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_diagcg.std")
+    s = solver.initial_state()
+    for r in range(3):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        row = diag.compute(s)
+        assert np.isclose(float(s.dt), std[r, 2], rtol=1e-6)
+        for c in range(5):
+            assert np.isclose(row.l2sol[c], std[r, 3 + c], rtol=1e-6,
+                              atol=1e-12), (r, c)
+            assert np.isclose(row.l2err[c], std[r, 8 + c], rtol=1e-4,
+                              atol=1e-10), (r, c)
+
+
+def test_sedov_dgp1_diag_parity():
+    """The flagship config: Sedov DG(P1)+Superbee at CFL 0.3 vs
+    diag_dgp1.std.  Tolerances are looser than the smooth cases: the
+    CFL-fed shock/limiter cascade amplifies fp-order differences (dt to
+    ~1e-4 rel, L2(E) to ~1e-3)."""
+    base = f"{REF}/inciter/compflow/Euler/SedovBlastwave/"
+    cfg = load_inciter(open(base + "sedov_blastwave_dgp1.q").read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_dgp1.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, l2err, _ = diag.compute(s)
+        assert np.isclose(float(s.dt), std[r, 2], rtol=1e-3)
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-5)  # density
+        assert np.isclose(l2sol[4], std[r, 7], rtol=2e-3)  # energy
