@@ -251,3 +251,18 @@ def transfer_cg(refmap: RefineMap, u: np.ndarray) -> np.ndarray:
     linear finite-element representation."""
     mids = 0.5 * (u[:, refmap.mid_edges[:, 0]] + u[:, refmap.mid_edges[:, 1]])
     return np.concatenate([u, mids], axis=1)
+
+
+def transfer_dg(refmap: RefineMap, u: np.ndarray, ncomp: int,
+                ndof: int) -> np.ndarray:
+    """Transfer DG dofs (C*K, E_old) to the refined mesh: each child
+    inherits its parent's cell average (dof 0) — exact for DG(P0), the
+    scheme the reference's dtref decks use — with higher-order dofs
+    injected as zero (the reference's during-timestepping AMR likewise
+    transfers cell data to children; src/Inciter/DG.cpp resizePostAMR).
+    """
+    u = u.reshape(ncomp, ndof, -1)
+    out = u[:, :, refmap.parent].copy()
+    if ndof > 1:
+        out[:, 1:, :] = 0.0
+    return out.reshape(ncomp * ndof, -1)

@@ -55,35 +55,16 @@ def _cmd_inciter(argv):
                   f"t={float(state.t):.6e}")
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
-    dtref_on = cfg.dtref and cfg.scheme in ("diagcg", "alecg")
+    cg_scheme = cfg.scheme in ("diagcg", "alecg")
     t0 = time.perf_counter()
     it = 0
     while it < cfg.nstep and float(state.t) < cfg.term:
         state = solver.step(state)
         it = int(state.it)
-        if dtref_on and it % cfg.dtfreq == 0:
-            from .amr import refine_mesh, tag_edges_by_error, uniform_refine
-            from .amr.refine import transfer_cg
-            from .control.config import build_inciter as _rebuild
-            import jax.numpy as jnp
-
-            if cfg.dtref_uniform:
-                mesh2, rmap = uniform_refine(mesh)
-            else:
-                tags = tag_edges_by_error(
-                    mesh, np.asarray(state.u), method=cfg.amr_error,
-                    tol=cfg.amr_tol,
-                )
-                mesh2, rmap = refine_mesh(mesh, tags)
-            if mesh2.nelem > mesh.nelem:
-                u2 = transfer_cg(rmap, np.asarray(state.u))
-                mesh = mesh2
-                solver, diag = _rebuild(cfg, mesh)
-                st = solver.initial_state(t0=float(state.t))
-                state = type(st)(u=jnp.asarray(u2), t=st.t,
-                                 it=state.it, dt=state.dt)
-                if args.verbose:
-                    print(f"  dtref @it={it}: -> {mesh.nelem} tets")
+        # diagnostics BEFORE any same-step dtref remesh: the reference
+        # writes the diag row for step `it`, then refines going into the
+        # next step (its dtref baselines show the pre-refinement row at
+        # the final step).
         if it % cfg.diag_interval == 0:
             row = diag.compute(state)
             if isinstance(row, tuple):
@@ -92,6 +73,51 @@ def _cmd_inciter(argv):
                          linferr)
             else:
                 dw.write(it, row.t, row.dt, row.l2sol, row.l2err, row.linferr)
+        if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
+                and it < cfg.nstep:
+            from .amr import refine_mesh, tag_edges_by_error, uniform_refine
+            from .amr.refine import transfer_cg, transfer_dg
+            from .control.config import build_inciter as _rebuild
+            import jax.numpy as jnp
+
+            if cfg.dtref_uniform:
+                mesh2, rmap = uniform_refine(mesh)
+            else:
+                if cg_scheme:
+                    uerr = np.asarray(state.u)
+                else:
+                    from .pde.dg import dg_cell_avg
+
+                    avg = np.asarray(dg_cell_avg(
+                        state.u, solver.system.ncomp, solver.geom.ndof))
+                    # error indicator needs nodal data: volume-average
+                    # adjacent cells onto nodes
+                    uerr = np.zeros((avg.shape[0], mesh.nnode))
+                    cnt = np.zeros(mesh.nnode)
+                    for a in range(4):
+                        np.add.at(cnt, mesh.inpoel[:, a], 1.0)
+                        for c in range(avg.shape[0]):
+                            np.add.at(uerr[c], mesh.inpoel[:, a], avg[c])
+                    uerr /= np.maximum(cnt, 1.0)
+                tags = tag_edges_by_error(
+                    mesh, uerr, method=cfg.amr_error, tol=cfg.amr_tol,
+                )
+                mesh2, rmap = refine_mesh(mesh, tags)
+            if mesh2.nelem > mesh.nelem:
+                if cg_scheme:
+                    u2 = transfer_cg(rmap, np.asarray(state.u))
+                else:
+                    u2 = transfer_dg(rmap, np.asarray(state.u),
+                                     solver.system.ncomp, solver.geom.ndof)
+                mesh = mesh2
+                solver, diag = _rebuild(cfg, mesh)
+                import dataclasses as _dc
+
+                st = solver.initial_state(t0=float(state.t))
+                state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
+                                    dt=state.dt)
+                if args.verbose:
+                    print(f"  dtref @it={it}: -> {mesh.nelem} tets")
         if args.verbose and it % cfg.ttyi == 0:
             print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
         if it % cfg.field_interval == 0:

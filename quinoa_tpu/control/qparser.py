@@ -95,6 +95,17 @@ LISTS = {
     "r123_philox", "r123_threefry",
 }
 
+#: keys that are LIST-valued in walker SDE blocks but SCALAR in these
+#: inciter pde blocks (the reference grammar is context-sensitive the same
+#: way: `kappa` is kw::pde_kappa, a single parameter, under compflow —
+#: Grammar.hpp:729 — but a coefficient vector under the beta SDEs)
+_SCALAR_IN = {
+    "kappa": {"compflow", "multimat", "transport"},
+    "b": {"compflow", "multimat", "transport"},
+    "S": {"compflow", "multimat", "transport"},
+    "r": {"compflow", "multimat", "transport"},
+}
+
 _TOKEN_RE = re.compile(r"<[^>]*>|\"[^\"]*\"|\S+")
 
 
@@ -148,7 +159,8 @@ def parse_deck(text: str) -> Dict[str, Any]:
                 continue
             if _opens_block(key, name):
                 store(key, parse_block(key, depth + 1))
-            elif key in LISTS and name != "rngs":
+            elif key in LISTS and name != "rngs" \
+                    and name not in _SCALAR_IN.get(key, ()):
                 vals = []
                 while pos < len(toks) and toks[pos] != "end":
                     vals.append(toks[pos])

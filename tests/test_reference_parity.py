@@ -157,3 +157,52 @@ def test_sedov_dgp1_diag_parity():
         assert np.isclose(float(s.dt), std[r, 2], rtol=1e-3)
         assert np.isclose(l2sol[0], std[r, 3], rtol=1e-5)  # density
         assert np.isclose(l2sol[4], std[r, 7], rtol=2e-3)  # energy
+
+
+def test_dtref_uniform_dg_diag_parity(tmp_path, monkeypatch):
+    """During-timestepping uniform AMR (dtref) + DG(P0) transport: the
+    full inciter CLI loop (refine every 5 steps, transfer the DG solution
+    to children, rebuild, continue) reproduces gauss_hump_dg.std — note
+    the reference baseline's L2-error jump at it=6 from the coarse-to-fine
+    solution transfer, which this reproduces to rel 1e-6."""
+    from quinoa_tpu.cli import main
+
+    base = f"{REF}/inciter/mesh_refinement/dtref/"
+    std = _load_std_diag(base + "gauss_hump_dg.std")
+    monkeypatch.chdir(tmp_path)
+    rc = main(["inciter", "-c", base + "gauss_hump.q",
+               "-i", base + "unitcube_01_112_ss3.exo"])
+    assert rc == 0
+    ours = _load_std_diag(str(tmp_path / "diag"))
+    assert ours.shape[0] == std.shape[0]
+    for r in range(std.shape[0]):
+        assert int(ours[r, 0]) == int(std[r, 0])
+        # it t dt L2(c0) L2(c0-IC): reference ndiff tolerance is rel 1e-7
+        for c in (1, 2, 3, 4):
+            assert np.isclose(ours[r, c], std[r, c], rtol=1e-6), (
+                r, c, ours[r, c], std[r, c],
+            )
+
+
+def test_dtref_uniform_diagcg_nleg_diag_parity(tmp_path, monkeypatch):
+    """dtref + DiagCG on NLEnergyGrowth (Euler, CFL-based dt, Dirichlet
+    BCs on all sidesets): 10 CLI steps with a uniform refine at it=5
+    reproduce nleg_diagcg_amr.std — including the CFL dt halving on the
+    refined mesh (1.8556e-2 -> 9.2633e-3) and the CG midpoint-transfer
+    error jump at it=6."""
+    from quinoa_tpu.cli import main
+
+    base = f"{REF}/inciter/mesh_refinement/dtref/"
+    std = _load_std_diag(base + "nleg_diagcg_amr.std")
+    monkeypatch.chdir(tmp_path)
+    rc = main(["inciter", "-c", base + "nleg_diagcg_amr.q",
+               "-i", base + "unitcube_1k.exo"])
+    assert rc == 0
+    ours = _load_std_diag(str(tmp_path / "diag"))
+    assert ours.shape[0] == std.shape[0]
+    for r in range(std.shape[0]):
+        assert int(ours[r, 0]) == int(std[r, 0])
+        # columns: it t dt L2(r..re) L2(*-IC); ours adds Linf at the end
+        for c in range(1, 13):
+            assert np.isclose(ours[r, c], std[r, c], rtol=1e-6,
+                              atol=1e-12), (r, c, ours[r, c], std[r, c])
