@@ -8,11 +8,16 @@ transfer, implemented as vectorized host-side (re)mesh events — refining
 triggers a rebuild of the static device tables, the TPU analog of the
 reference's migration+resize path (SURVEY.md §5.7).
 
-Derefinement is not implemented yet (uniform_derefine decks fall back to
-no-op), matching this round's scope.
+Derefinement (derefine_mesh) collapses fully-flagged sibling groups back
+to their parent, subject to conformity locks iterated to a fixed point —
+the reference's derefinement_algorithm counterpart — with exactly
+conservative DG transfer and subset CG transfer.
 """
 
-from .refine import compatible_tags, refine_mesh, uniform_refine, RefineMap
+from .refine import (
+    compatible_tags, refine_mesh, uniform_refine, RefineMap,
+    derefine_mesh, transfer_cg_derefine, transfer_dg_derefine,
+)
 from .error import edge_errors, tag_edges_by_error, tag_edges_by_coords
 
 __all__ = [
@@ -20,6 +25,9 @@ __all__ = [
     "refine_mesh",
     "uniform_refine",
     "RefineMap",
+    "derefine_mesh",
+    "transfer_cg_derefine",
+    "transfer_dg_derefine",
     "edge_errors",
     "tag_edges_by_error",
     "tag_edges_by_coords",

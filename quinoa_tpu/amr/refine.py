@@ -253,6 +253,173 @@ def transfer_cg(refmap: RefineMap, u: np.ndarray) -> np.ndarray:
     return np.concatenate([u, mids], axis=1)
 
 
+def derefine_mesh(
+    coarse_mesh: UnsMesh, refmap: RefineMap, request: np.ndarray
+) -> Tuple[UnsMesh, RefineMap, np.ndarray]:
+    """Coarsen a refined mesh back toward its parent, one level.
+
+    Counterpart of the reference's derefinement side of mesh_adapter
+    (src/Inciter/AMR/mesh_adapter.hpp derefinement_algorithm): parents
+    whose children are all flagged for coarsening collapse back to the
+    parent tet, subject to conformity — a parent may only collapse if
+    none of its refined-edge midpoints is still needed by a neighboring
+    parent that stays refined (the reference's deactivation locks).  The
+    lock set is iterated to a fixed point, mirroring compatible_tags on
+    the refinement side.
+
+    coarse_mesh : the mesh BEFORE the refinement event
+    refmap      : the RefineMap produced by that refinement
+    request     : bool (nelem_coarse,), True = want this parent coarsened
+
+    Returns (new_mesh, new_refmap, coarsened) where new_refmap maps
+    coarse_mesh -> new_mesh (the surviving refinement) and coarsened
+    marks the parents whose child count strictly decreased.  A midpoint
+    survives iff some incident parent did NOT request coarsening; the
+    compatible_tags closure inside refine_mesh then upgrades parents left
+    with inadmissible partial edge sets — that closure IS the transition
+    layer between coarsened and kept regions (a requesting parent next to
+    a staying one keeps its shared edges and becomes 1:2/1:4 instead of
+    staying 1:8).  Rebuilding with refine_mesh keeps subdivision
+    templates, orientation, and boundary-triangle handling identical to
+    the refinement path.  Returns (None, refmap, zeros) when nothing
+    changes.
+    """
+    ncoarse = coarse_mesh.nelem
+    request = np.asarray(request, dtype=bool)
+    child_cnt = np.bincount(refmap.parent, minlength=ncoarse)
+    refined = child_cnt > 1
+    if len(refmap.mid_edges) == 0 or not (request & refined).any():
+        # nothing to do: the surviving refinement is the input refinement
+        return None, refmap, np.zeros(ncoarse, dtype=bool)
+
+    # tagged-edge incidence: which coarse parents touch which midpoint edge
+    tag_keys = _edge_key(refmap.mid_edges[:, 0], refmap.mid_edges[:, 1])
+    order = np.argsort(tag_keys)
+    tag_keys_sorted = tag_keys[order]
+    inpoel = coarse_mesh.inpoel.astype(np.int64)
+    ek = _edge_key(inpoel[:, _TET_EDGES[:, 0]], inpoel[:, _TET_EDGES[:, 1]])
+    pos = np.searchsorted(tag_keys_sorted, ek)
+    pos = np.clip(pos, 0, len(tag_keys_sorted) - 1)
+    is_tag = tag_keys_sorted[pos] == ek  # (E,6)
+    par_idx, loc = np.nonzero(is_tag)
+    edge_idx = pos[par_idx, loc]  # sorted-tag index per incidence
+    M = len(tag_keys_sorted)
+
+    # an edge midpoint survives while any incident parent stays refined
+    edge_kept = np.zeros(M, dtype=bool)
+    edge_kept[edge_idx[~request[par_idx]]] = True
+    if edge_kept.all():  # every tagged edge is still needed
+        return None, refmap, np.zeros(ncoarse, dtype=bool)
+
+    kept = refmap.mid_edges[order][edge_kept]
+    newmesh, newmap = refine_mesh(coarse_mesh, kept)
+    new_cnt = np.bincount(newmap.parent, minlength=ncoarse)
+    return newmesh, newmap, new_cnt < child_cnt
+
+
+def _child_blocks(refmap: RefineMap, ncoarse: int):
+    cnt = np.bincount(refmap.parent, minlength=ncoarse)
+    start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    return cnt, start
+
+
+def transfer_cg_derefine(
+    refmap_old: RefineMap, refmap_new: RefineMap, u: np.ndarray
+) -> np.ndarray:
+    """Nodal field (C, N_fine) -> derefined mesh: original coarse nodes
+    keep their values; surviving midpoints are gathered by edge key;
+    midpoints the compatibility closure introduced fresh (not present in
+    the fine mesh) get the linear edge-endpoint average."""
+    n0 = refmap_old.nnode_old
+    if len(refmap_new.mid_edges) == 0:
+        return u[:, :n0].copy()
+    ok = _edge_key(refmap_old.mid_edges[:, 0], refmap_old.mid_edges[:, 1])
+    oorder = np.argsort(ok)
+    oks = ok[oorder]
+    # refine_mesh stores mid_edges sorted by key and assigns midpoint ids
+    # in that order, so row i of mid_edges IS node n0+i
+    nk = _edge_key(refmap_new.mid_edges[:, 0], refmap_new.mid_edges[:, 1])
+    assert (np.diff(nk) > 0).all(), "mid_edges not in id order"
+    if len(oks):
+        idx = np.clip(np.searchsorted(oks, nk), 0, len(oks) - 1)
+        found = oks[idx] == nk
+    else:
+        idx = np.zeros(len(nk), np.int64)
+        found = np.zeros(len(nk), dtype=bool)
+    mids = np.empty((u.shape[0], len(nk)), dtype=u.dtype)
+    mids[:, found] = u[:, n0 + oorder[idx[found]]]
+    if (~found).any():
+        ed = refmap_new.mid_edges[~found]
+        mids[:, ~found] = 0.5 * (u[:, ed[:, 0]] + u[:, ed[:, 1]])
+    return np.concatenate([u[:, :n0], mids], axis=1)
+
+
+def _parent_tag_sets(coarse_inpoel: np.ndarray, mid_edges: np.ndarray):
+    """(parent, edge-key) incidence rows, lex-sorted, for pattern tests."""
+    inpoel = coarse_inpoel.astype(np.int64)
+    ek = _edge_key(inpoel[:, _TET_EDGES[:, 0]], inpoel[:, _TET_EDGES[:, 1]])
+    keys = np.sort(_edge_key(mid_edges[:, 0], mid_edges[:, 1]))
+    if len(keys) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pos = np.clip(np.searchsorted(keys, ek), 0, len(keys) - 1)
+    hit = keys[pos] == ek
+    par, loc = np.nonzero(hit)
+    key = ek[par, loc]
+    s = np.lexsort((key, par))
+    return par[s], key[s]
+
+
+def transfer_dg_derefine(
+    coarse_mesh: UnsMesh, refmap_old: RefineMap, refmap_new: RefineMap,
+    u: np.ndarray, vol_old: np.ndarray, ncomp: int, ndof: int,
+) -> np.ndarray:
+    """DG dofs (C*K, E_fine) -> derefined mesh.  Children of parents whose
+    subdivision pattern is unchanged carry over 1:1 (identical template
+    order); parents whose pattern changed (collapsed, or re-templated by
+    the compatibility closure) get the volume-weighted average of their
+    old children's cell means — exactly conservative — with higher dofs
+    zeroed."""
+    ncoarse = coarse_mesh.nelem
+    ocnt, ostart = _child_blocks(refmap_old, ncoarse)
+    ncnt, nstart = _child_blocks(refmap_new, ncoarse)
+
+    # pattern equality per parent: identical tagged-edge key multisets
+    opar, okey = _parent_tag_sets(coarse_mesh.inpoel, refmap_old.mid_edges)
+    npar_, nkey = _parent_tag_sets(coarse_mesh.inpoel, refmap_new.mid_edges)
+    tagsA = np.bincount(opar, minlength=ncoarse)
+    tagsB = np.bincount(npar_, minlength=ncoarse)
+    same_pattern = tagsA == tagsB
+    selA = same_pattern[opar]
+    selB = same_pattern[npar_]
+    mism = okey[selA] != nkey[selB]  # aligned: equal counts per parent
+    if mism.any():
+        bad = np.zeros(ncoarse, dtype=bool)
+        bad[opar[selA][mism]] = True
+        same_pattern &= ~bad
+
+    u = u.reshape(ncomp, ndof, -1)
+    enew = len(refmap_new.parent)
+    out = np.zeros((ncomp, ndof, enew), dtype=u.dtype)
+
+    newpar = refmap_new.parent
+    off = np.arange(enew) - nstart[newpar]
+    same = same_pattern[newpar]
+    src = ostart[newpar] + off
+    out[:, :, same] = u[:, :, src[same]]
+
+    coll = ~same
+    if coll.any():
+        cp = newpar[coll]
+        oldpar = refmap_old.parent
+        wsum = np.zeros((ncomp, ncoarse), dtype=u.dtype)
+        vsum = np.zeros(ncoarse, dtype=u.dtype)
+        np.add.at(vsum, oldpar, vol_old)
+        for c in range(ncomp):
+            np.add.at(wsum[c], oldpar, u[c, 0] * vol_old)
+        out[:, 0, coll] = wsum[:, cp] / vsum[cp]
+    return out.reshape(ncomp * ndof, enew)
+
+
 def transfer_dg(refmap: RefineMap, u: np.ndarray, ncomp: int,
                 ndof: int) -> np.ndarray:
     """Transfer DG dofs (C*K, E_old) to the refined mesh: each child

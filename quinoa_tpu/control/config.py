@@ -77,6 +77,7 @@ class InciterConfig:
     dtfreq: int = 3
     amr_error: str = "jump"
     amr_tol: float = 0.2
+    amr_tolderef: float = 0.05
     partitioner: str = "sfc"  # partitioning block: rcb/rib -> rcb, else sfc
 
 
@@ -171,6 +172,7 @@ def load_inciter(deck_text: str) -> InciterConfig:
         cfg.dtfreq = _i(amr, "dtfreq", 3)
         cfg.amr_error = first(amr, "error", "jump")
         cfg.amr_tol = _f(amr, "tol_refine", 0.2)
+        cfg.amr_tolderef = _f(amr, "tol_derefine", 0.05)
         for hs in ("x-", "x+", "y-", "y+", "z-", "z+"):
             v = _f(amr, hs)
             if v is not None:
@@ -535,16 +537,21 @@ def apply_t0ref(cfg: InciterConfig, mesh, problem=None):
     """Initial (t<0) adaptive refinement passes (Refiner t0ref analog).
 
     Applies each `initial ...` mode in deck order; returns the refined
-    mesh (uniform_derefine is a no-op: derefinement is not implemented).
+    mesh.  uniform_derefine undoes the most recent refinement pass (the
+    reference's Refiner applies it against the current refinement level).
     """
     from ..amr import (
         refine_mesh, uniform_refine, tag_edges_by_error, tag_edges_by_coords,
+        derefine_mesh,
     )
     import jax.numpy as jnp
 
+    hist = []  # (coarse mesh, refmap) per applied refinement pass
     for mode in cfg.amr_initial:
         if mode == "uniform":
-            mesh, _ = uniform_refine(mesh)
+            coarse = mesh
+            mesh, rmap = uniform_refine(mesh)
+            hist.append((coarse, rmap))
         elif mode == "coords":
             kw = {}
             names = {"x-": "xminus", "x+": "xplus", "y-": "yminus",
@@ -552,16 +559,24 @@ def apply_t0ref(cfg: InciterConfig, mesh, problem=None):
             for k, v in cfg.coordref.items():
                 kw[names[k]] = v
             tags = tag_edges_by_coords(mesh, **kw)
-            mesh, _ = refine_mesh(mesh, tags)
+            coarse = mesh
+            mesh, rmap = refine_mesh(mesh, tags)
+            hist.append((coarse, rmap))
         elif mode == "ic":
             if problem is None:
                 raise ValueError("initial-conditions t0ref needs a problem")
             u = np.asarray(problem.solution(jnp.asarray(mesh.coords.T), 0.0))
             tags = tag_edges_by_error(mesh, u, method=cfg.amr_error,
                                       tol=cfg.amr_tol)
-            mesh, _ = refine_mesh(mesh, tags)
+            coarse = mesh
+            mesh, rmap = refine_mesh(mesh, tags)
+            hist.append((coarse, rmap))
         elif mode == "uniform_derefine":
-            continue  # derefinement not implemented yet
+            if hist:
+                coarse, rmap = hist.pop()
+                new, _, _ = derefine_mesh(
+                    coarse, rmap, np.ones(coarse.nelem, dtype=bool))
+                mesh = coarse if new is None else new
         else:
             raise ValueError(f"unknown amr initial mode {mode!r}")
     return mesh

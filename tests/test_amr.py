@@ -131,3 +131,122 @@ def test_dtref_cycle_slotcyl():
     u = np.asarray(s2.u)
     assert np.isfinite(u).all()
     assert u.min() > -1e-8 and u.max() < 0.6 + 1e-8  # FCT bounds survive
+
+
+def test_derefine_full_roundtrip():
+    """Uniform 1:8 refine then coarsen everything -> the original mesh
+    (element count, node count, volume, and boundary side sets)."""
+    from quinoa_tpu.amr import derefine_mesh
+
+    mesh = box_tet_mesh(3, 3, 3)
+    fine, rmap = uniform_refine(mesh)
+    assert fine.nelem == mesh.nelem * 8
+
+    new, nmap, collapsed = derefine_mesh(mesh, rmap,
+                                         np.ones(mesh.nelem, bool))
+    assert collapsed.all()
+    assert new.nelem == mesh.nelem and new.nnode == mesh.nnode
+    assert np.array_equal(new.inpoel, mesh.inpoel)
+    assert set(new.bface) == set(mesh.bface)
+    for ss in mesh.bface:
+        assert len(new.bface[ss]) == len(mesh.bface[ss])
+    assert len(nmap.mid_edges) == 0
+
+
+def test_derefine_conformity_locks():
+    """Request coarsening for only half the parents: the fixed point may
+    veto locked parents but the result must stay a conforming positive
+    mesh with conserved volume."""
+    from quinoa_tpu.amr import derefine_mesh
+
+    mesh = box_tet_mesh(4, 4, 4)
+    fine, rmap = uniform_refine(mesh)
+    cen = mesh.coords[mesh.inpoel].mean(axis=1)
+    req = cen[:, 0] < 0.5  # coarsen the left half-domain
+
+    new, nmap, collapsed = derefine_mesh(mesh, rmap, req)
+    assert collapsed.any() and not collapsed.all()
+    assert (~collapsed[~req]).all()  # never coarsen unasked
+    assert new.positive_jacobians()
+    J, _ = tet_geometry(mesh.coords, mesh.inpoel)
+    Jn, _ = tet_geometry(new.coords, new.inpoel)
+    assert np.isclose(Jn.sum(), J.sum())
+    # conforming: esuel face matching must succeed (raises on hanging)
+    gen_esuel(new.inpoel, new.nnode)
+    # coarsened parents lost children; parents that didn't ask keep all 8;
+    # requesting parents at the interface become 1:2/1:4 transitions
+    cnt = np.bincount(nmap.parent, minlength=mesh.nelem)
+    assert (cnt[collapsed] < 8).all()
+    assert (cnt[~req] == 8).all()
+    assert (cnt == 1).sum() > 0  # interior of the region fully coarsens
+    assert np.isin(cnt, [1, 2, 4, 8]).all()
+
+
+def test_derefine_transfer_conservation():
+    """DG transfer back to collapsed parents is exactly conservative;
+    CG transfer preserves surviving node values."""
+    from quinoa_tpu.amr import (derefine_mesh, transfer_cg_derefine,
+                                transfer_dg_derefine)
+    from quinoa_tpu.amr.refine import transfer_cg, transfer_dg
+
+    mesh = box_tet_mesh(3, 3, 3)
+    fine, rmap = uniform_refine(mesh)
+    Jf, _ = tet_geometry(fine.coords, fine.inpoel)
+    volf = np.asarray(Jf) / 6.0
+
+    rng = np.random.default_rng(3)
+    uf = rng.normal(size=(2, fine.nelem))  # DG(P0), 2 comps
+
+    cen = mesh.coords[mesh.inpoel].mean(axis=1)
+    req = cen[:, 0] < 0.5
+    new, nmap, collapsed = derefine_mesh(mesh, rmap, req)
+    un = transfer_dg_derefine(mesh, rmap, nmap, uf, volf, ncomp=2, ndof=1)
+    Jn, _ = tet_geometry(new.coords, new.inpoel)
+    voln = np.asarray(Jn) / 6.0
+    for c in range(2):
+        assert np.isclose((uf[c] * volf).sum(), (un[c] * voln).sum())
+
+    # CG: refine a linear nodal field, coarsen, values must be the exact
+    # restriction (midpoint values were the linear interpolant)
+    ucg = mesh.coords.T[0:1] + 2.0 * mesh.coords.T[1:2]
+    ufine = transfer_cg(rmap, ucg)
+    ucoarse = transfer_cg_derefine(rmap, nmap, ufine)
+    assert ucoarse.shape[1] == new.nnode
+    assert np.allclose(ucoarse[:, : mesh.nnode], ucg)
+
+
+def test_derefine_noop_when_vetoed():
+    """No refined parents requested -> explicit no-change signal."""
+    from quinoa_tpu.amr import derefine_mesh
+
+    mesh = box_tet_mesh(2, 2, 2)
+    fine, rmap = uniform_refine(mesh)
+    new, nmap, collapsed = derefine_mesh(mesh, rmap,
+                                         np.zeros(mesh.nelem, bool))
+    assert new is None and not collapsed.any()
+    assert nmap is rmap
+
+
+def test_t0ref_uniform_derefine_roundtrip():
+    """`initial uniform` + `initial uniform_derefine` in a deck restores
+    the input mesh (the reference's Refiner applies t0ref ops in order)."""
+    from quinoa_tpu.control.config import load_inciter, apply_t0ref
+
+    deck = """
+    inciter
+      scheme dg
+      transport physics advection problem gauss_hump ncomp 1 end
+      amr
+        t0ref true
+        initial uniform
+        initial uniform
+        initial uniform_derefine
+      end
+    end
+    """
+    cfg = load_inciter(deck)
+    assert cfg.amr_initial == ["uniform", "uniform", "uniform_derefine"]
+    mesh = box_tet_mesh(2, 2, 2)
+    out = apply_t0ref(cfg, mesh)
+    # two uniforms then one derefine -> net one uniform level
+    assert out.nelem == mesh.nelem * 8
