@@ -206,6 +206,8 @@ def build_inciter(cfg: InciterConfig, mesh):
             if "diffusivity" in cfg.params:
                 kwargs["diffusivity"] = cfg.params["diffusivity"]
         problem = cls(ncomp=cfg.ncomp, **kwargs) if kwargs or True else cls()
+    elif cfg.pde == "multimat":
+        problem = None  # constructed in the multimat branch below
     else:
         cls = getattr(prob_mod, _PROBLEMS_COMPFLOW[cfg.problem])
         fields = {f.name for f in dataclasses.fields(cls)}

@@ -206,3 +206,44 @@ def test_dtref_uniform_diagcg_nleg_diag_parity(tmp_path, monkeypatch):
         for c in range(1, 13):
             assert np.isclose(ours[r, c], std[r, c], rtol=1e-6,
                               atol=1e-12), (r, c, ours[r, c], std[r, c])
+
+
+def test_multimat_sod_dg_diag_parity():
+    """Multi-material Sod shocktube DG(P0)+AUSM+up (veleq, nmat=2): all 9
+    component L2 rows match diag_dg.std."""
+    base = f"{REF}/inciter/multimat/SodShocktube/"
+    cfg = load_inciter(open(base + "sod_shocktube_dg.q").read())
+    mesh = read_exodus(base + "rectangle_01_1.5k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_dg.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        out = diag.compute(s)
+        l2sol = np.array(out[0] if isinstance(out, tuple) else out.l2sol)
+        assert int(s.it) == int(std[r, 0])
+        for c in range(9):
+            assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6,
+                              atol=1e-12), (r, c, l2sol[c], std[r, 3 + c])
+
+
+def test_multimat_interface_advection_dg_diag_parity():
+    """Material interface advection DG(P0) (veleq, nmat=3, per-material
+    cv): 12 component L2 rows match diag_dg.std (z-momentum is machine
+    zero in this 2D setup — absolute floor)."""
+    base = f"{REF}/inciter/multimat/InterfaceAdvection/"
+    cfg = load_inciter(open(base + "interface_advection_dg.q").read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_dg.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        out = diag.compute(s)
+        l2sol = np.array(out[0] if isinstance(out, tuple) else out.l2sol)
+        assert int(s.it) == int(std[r, 0])
+        for c in range(12):
+            assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6,
+                              atol=1e-11), (r, c, l2sol[c], std[r, 3 + c])
