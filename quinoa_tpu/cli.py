@@ -23,6 +23,9 @@ def _cmd_inciter(argv):
     ap.add_argument("--restart", default=None,
                     help="restart from a checkpoint directory")
     ap.add_argument("--checkpoint-dir", default="restart")
+    ap.add_argument("--pieces", type=int, default=0,
+                    help="write field output as N per-partition exodus "
+                         "pieces (MeshWriter chare-group analog)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -121,7 +124,8 @@ def _cmd_inciter(argv):
         if args.verbose and it % cfg.ttyi == 0:
             print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
         if it % cfg.field_interval == 0:
-            _write_fields(args.output, it, cfg, solver, state, mesh)
+            _write_fields(args.output, it, cfg, solver, state, mesh,
+                          pieces=args.pieces)
         if args.rsfreq and it % args.rsfreq == 0:
             from .inciter.checkpoint import save_checkpoint
 
@@ -131,16 +135,18 @@ def _cmd_inciter(argv):
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
-    _write_fields(args.output, it, cfg, solver, state, mesh)
+    _write_fields(args.output, it, cfg, solver, state, mesh,
+                  pieces=args.pieces)
     return 0
 
 
-def _write_fields(base, it, cfg, solver, state, mesh):
+def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
     import numpy as np
-    from .io import write_exodus
+    from .io import write_exodus, write_exodus_pieces
 
     u = np.asarray(state.u)
     fields = {}
+    elem_fields = None
     if cfg.scheme in ("diagcg", "alecg"):
         for c in range(u.shape[0]):
             fields[f"u{c}"] = u[c]
@@ -151,7 +157,9 @@ def _write_fields(base, it, cfg, solver, state, mesh):
         avg = np.asarray(
             dg_cell_avg(jnp.asarray(u), solver.system.ncomp, solver.geom.ndof)
         )
-        # cell fields projected to nodes for output simplicity
+        # element (cell-average) fields, as the reference's DG MeshWriter
+        # output does, plus a nodal projection for point-probe viewing
+        elem_fields = {f"u{c}": avg[c] for c in range(avg.shape[0])}
         nodal = np.zeros((avg.shape[0], mesh.nnode))
         cnt = np.zeros(mesh.nnode)
         for a in range(4):
@@ -161,8 +169,17 @@ def _write_fields(base, it, cfg, solver, state, mesh):
         nodal /= np.maximum(cnt, 1.0)
         for c in range(avg.shape[0]):
             fields[f"u{c}"] = nodal[c]
-    write_exodus(f"{base}.e-s.{it}.exo", mesh, node_fields=fields,
-                 time=float(state.t))
+    if pieces > 1:
+        from .parallel.partition import partition_elements
+
+        parts = partition_elements(mesh.coords, mesh.inpoel, pieces,
+                                   algorithm=cfg.partitioner)
+        write_exodus_pieces(base, mesh, parts, node_fields=fields,
+                            elem_fields=elem_fields, time=float(state.t),
+                            it=it)
+    else:
+        write_exodus(f"{base}.e-s.{it}.exo", mesh, node_fields=fields,
+                     elem_fields=elem_fields, time=float(state.t))
 
 
 def _cmd_walker(argv):

@@ -8,7 +8,10 @@ the SEACAS exodus library — so meshes and field output interoperate with
 the reference tool chain (exodiff, ParaView).
 """
 
-from .exodus import read_exodus, write_exodus
+from .exodus import (
+    read_exodus, write_exodus, read_exodus_elem_fields, read_exodus_maps,
+)
+from .pieces import write_exodus_pieces, join_exodus_pieces, extract_piece
 from .gmsh import read_gmsh, write_gmsh
 from .netgen import read_netgen, write_netgen
 from .asc import read_asc
@@ -22,6 +25,11 @@ from .pdfwriter import write_pdf_txt, write_pdf_gmsh, write_pdf_exodus
 __all__ = [
     "read_exodus",
     "write_exodus",
+    "read_exodus_elem_fields",
+    "read_exodus_maps",
+    "write_exodus_pieces",
+    "join_exodus_pieces",
+    "extract_piece",
     "read_gmsh",
     "write_gmsh",
     "read_netgen",

@@ -138,14 +138,64 @@ def read_exodus_fields(path: str):
         f.close()
 
 
+def read_exodus_elem_fields(path: str):
+    """Read element variables of block 1: (names, times, values
+    (ntime, nvar, nelem)) — the layout the reference's DG output uses
+    (vals_elem_var{i}eb1)."""
+    f = netcdf_file(path, "r", mmap=False)
+    try:
+        if "name_elem_var" not in f.variables:
+            return [], np.zeros(0), np.zeros((0, 0, 0))
+        raw = f.variables["name_elem_var"][:]
+        names = [
+            b"".join(row.tolist()).decode().rstrip("\x00 ").strip()
+            for row in raw
+        ]
+        times = np.array(f.variables["time_whole"][:])
+        vals = np.stack(
+            [
+                np.array(f.variables[f"vals_elem_var{i + 1}eb1"][:])
+                for i in range(len(names))
+            ],
+            axis=1,
+        )
+        return names, times, vals
+    finally:
+        f.close()
+
+
+def read_exodus_maps(path: str):
+    """Read the (node_num_map, elem_num_map) global-id maps (0-based), or
+    (None, None) when the file has no maps (a serial write)."""
+    f = netcdf_file(path, "r", mmap=False)
+    try:
+        nm = (
+            np.array(f.variables["node_num_map"][:]).astype(np.int64) - 1
+            if "node_num_map" in f.variables else None
+        )
+        em = (
+            np.array(f.variables["elem_num_map"][:]).astype(np.int64) - 1
+            if "elem_num_map" in f.variables else None
+        )
+        return nm, em
+    finally:
+        f.close()
+
+
 def write_exodus(
     path: str,
     mesh: UnsMesh,
     node_fields: Optional[Dict[str, np.ndarray]] = None,
+    elem_fields: Optional[Dict[str, np.ndarray]] = None,
     time: float = 0.0,
     title: str = "quinoa_tpu",
+    node_num_map: Optional[np.ndarray] = None,
+    elem_num_map: Optional[np.ndarray] = None,
 ) -> None:
-    """Write a TET4 ExodusII file with side sets and optional nodal fields."""
+    """Write a TET4 ExodusII file with side sets and optional nodal/element
+    fields.  node_num_map/elem_num_map (0-based global ids) mark the file
+    as a piece of a partitioned mesh (the ExodusII number-map convention
+    the joiner in io/pieces.py consumes)."""
     f = netcdf_file(path, "w")
     try:
         f.title = title.encode()
@@ -244,5 +294,30 @@ def write_exodus(
                     f"vals_nod_var{i + 1}", "d", ("time_step", "num_nodes")
                 )
                 v[0, :] = np.asarray(node_fields[n], dtype=np.float64)
+
+        if elem_fields:
+            names = list(elem_fields.keys())
+            f.createDimension("num_elem_var", len(names))
+            nm = f.createVariable(
+                "name_elem_var", "c", ("num_elem_var", "len_name")
+            )
+            arr = np.zeros((len(names), 33), dtype="S1")
+            for i, n in enumerate(names):
+                for j, ch in enumerate(n.encode()[:32]):
+                    arr[i, j] = bytes([ch])
+            nm[:] = arr
+            for i, n in enumerate(names):
+                v = f.createVariable(
+                    f"vals_elem_var{i + 1}eb1", "d",
+                    ("time_step", "num_el_in_blk1"),
+                )
+                v[0, :] = np.asarray(elem_fields[n], dtype=np.float64)
+
+        if node_num_map is not None:
+            v = f.createVariable("node_num_map", "i", ("num_nodes",))
+            v[:] = (np.asarray(node_num_map) + 1).astype(np.int32)
+        if elem_num_map is not None:
+            v = f.createVariable("elem_num_map", "i", ("num_elem",))
+            v[:] = (np.asarray(elem_num_map) + 1).astype(np.int32)
     finally:
         f.close()

@@ -247,3 +247,40 @@ def test_multimat_interface_advection_dg_diag_parity():
         for c in range(12):
             assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6,
                               atol=1e-11), (r, c, l2sol[c], std[r, 3 + c])
+
+
+def test_multimat_sod_field_pieces_parity(tmp_path, monkeypatch):
+    """Full-run field parity through partitioned output: 100 CLI steps of
+    the multimat Sod deck writing 4 exodus pieces, joined back via the
+    number maps, reproduce the reference's committed field baseline
+    (sod_shocktube_dg.std.exo) to machine precision in the primitive
+    variables."""
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import join_exodus_pieces
+    from quinoa_tpu.io.exodus import read_exodus_elem_fields
+
+    base = f"{REF}/inciter/multimat/SodShocktube/"
+    monkeypatch.chdir(tmp_path)
+    rc = main(["inciter", "-c", base + "sod_shocktube_dg.q",
+               "-i", base + "rectangle_01_1.5k.exo", "--pieces", "4"])
+    assert rc == 0
+    m, nf, ef, t = join_exodus_pieces(
+        [str(tmp_path / f"out.e-s.100.4.{p}") for p in range(4)])
+    assert m.nelem == 1516 and np.isclose(t, 0.02)
+
+    names, times, vals = read_exodus_elem_fields(
+        base + "sod_shocktube_dg.std.exo")
+    ref = {n: vals[-1, i] for i, n in enumerate(names)}
+    assert np.isclose(times[-1], 0.02)
+    rho = ef["u2"] + ef["u3"]  # bulk density = sum of material densities
+    checks = {
+        "volfrac1_numerical": ef["u0"],
+        "volfrac2_numerical": ef["u1"],
+        "density_numerical": rho,
+        "x-velocity_numerical": ef["u4"] / rho,
+        "y-velocity_numerical": ef["u5"] / rho,
+        "z-velocity_numerical": ef["u6"] / rho,
+        "total_energy_density_numerical": ef["u7"] + ef["u8"],
+    }
+    for name, ours in checks.items():
+        assert np.abs(ours - ref[name]).max() < 1e-12, name
