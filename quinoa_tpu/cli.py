@@ -144,12 +144,15 @@ def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
     import numpy as np
     from .io import write_exodus, write_exodus_pieces
 
+    from .inciter.fieldout import plot_fields
+
     u = np.asarray(state.u)
-    fields = {}
+    fields = None
     elem_fields = None
     if cfg.scheme in ("diagcg", "alecg"):
-        for c in range(u.shape[0]):
-            fields[f"u{c}"] = u[c]
+        # nodal plot variables with the reference's names
+        fields = plot_fields(cfg.pde, solver.system, u, mesh.coords.T,
+                             float(state.t))
     else:
         from .pde.dg import dg_cell_avg
         import jax.numpy as jnp
@@ -157,18 +160,19 @@ def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
         avg = np.asarray(
             dg_cell_avg(jnp.asarray(u), solver.system.ncomp, solver.geom.ndof)
         )
-        # element (cell-average) fields, as the reference's DG MeshWriter
-        # output does, plus a nodal projection for point-probe viewing
-        elem_fields = {f"u{c}": avg[c] for c in range(avg.shape[0])}
-        nodal = np.zeros((avg.shape[0], mesh.nnode))
-        cnt = np.zeros(mesh.nnode)
-        for a in range(4):
-            np.add.at(cnt, mesh.inpoel[:, a], 1.0)
-            for c in range(avg.shape[0]):
-                np.add.at(nodal[c], mesh.inpoel[:, a], avg[c])
-        nodal /= np.maximum(cnt, 1.0)
-        for c in range(avg.shape[0]):
-            fields[f"u{c}"] = nodal[c]
+        # element (cell-average) plot variables, as the reference's DG
+        # MeshWriter output does (analytic vars sampled at centroids)
+        cen = mesh.coords[mesh.inpoel].mean(axis=1).T
+        exact_mean = None
+        if cfg.pde == "transport":
+            from .pde.dg import dg_initialize
+
+            ua = np.asarray(dg_initialize(solver.system, solver.geom,
+                                          float(state.t)))
+            exact_mean = ua.reshape(solver.system.ncomp,
+                                    solver.geom.ndof, -1)[:, 0, :]
+        elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
+                                  float(state.t), exact_mean=exact_mean)
     if pieces > 1:
         from .parallel.partition import partition_elements
 
