@@ -25,7 +25,8 @@ def _bc_sod():
 
 
 @pytest.mark.parametrize("nshard,limiter", [(2, None), (4, "superbeep1"),
-                                            (8, None)])
+                                            (8, None), (8, "superbeep1"),
+                                            (8, "wenop1")])
 def test_spmd_dg_matches_single(nshard, limiter):
     mesh = box_tet_mesh(10, 3, 3, hi=(1.0, 0.3, 0.3))
     prob = SodShocktube()
