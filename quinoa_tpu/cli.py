@@ -265,12 +265,28 @@ def _cmd_rngtest(argv):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--impl", default="threefry2x32",
                     help="jax PRNG implementation (threefry2x32, rbg, ...)")
+    ap.add_argument("--battery", default=None,
+                    choices=["smallcrush", "crush"],
+                    help="battery scale (overrides the deck block)")
     args = ap.parse_args(argv)
 
-    from .rngtest import run_battery
+    from .rngtest import run_battery, SmallCrush, Crush
 
-    results, failed = run_battery(seed=args.seed, impl=args.impl)
-    print(f"SmallCrush battery, rng={args.impl}, seed={args.seed}")
+    name = args.battery
+    if name is None and args.control:
+        from .control.qparser import parse_deck, first
+
+        tree = parse_deck(open(args.control).read())
+        rt = first(tree, "rngtest") or tree  # battery block may be at root
+        name = ("crush" if "crush" in rt else
+                "bigcrush" if "bigcrush" in rt else "smallcrush")
+        if name == "bigcrush":
+            name = "crush"  # BigCrush-scale runs map to the crush battery
+    name = name or "smallcrush"
+    battery = Crush if name == "crush" else SmallCrush
+    results, failed = run_battery(seed=args.seed, impl=args.impl,
+                                  battery=battery)
+    print(f"{name} battery, rng={args.impl}, seed={args.seed}")
     for r in results:
         print(f"  {r.name:20s} p-value {r.pvalue:8.5f}  "
               f"{'pass' if r.passed else 'FAIL'}")

@@ -73,9 +73,11 @@ BLOCK_PARENTS = {
     "icgaussian": {"*sde*"},
     "icjointgaussian": {"*sde*"},
     "icgamma": {"*sde*"},
-    "smallcrush": {"rngtest"},
-    "crush": {"rngtest"},
-    "bigcrush": {"rngtest"},
+    # the reference's rngtest decks put the battery block at root
+    # (tests/regression/rngtest/Crush_r123_threefry.q)
+    "smallcrush": {"rngtest", "<root>"},
+    "crush": {"rngtest", "<root>"},
+    "bigcrush": {"rngtest", "<root>"},
 }
 
 _SDE_BLOCKS = {
@@ -147,9 +149,10 @@ def parse_deck(text: str) -> Dict[str, Any]:
                     raise ValueError("unexpected 'end' at top level")
                 return out
             key = t
-            if name == "rngs":
+            if name in ("rngs", "smallcrush", "crush", "bigcrush"):
                 # each entry: rng name followed by its options until `end`
-                # (e.g. `r123_philox seed 1 end`)
+                # (e.g. `r123_philox seed 1 end`; battery blocks list the
+                # rngs to subject to the battery the same way)
                 vals = []
                 while pos < len(toks) and toks[pos] != "end":
                     vals.append(toks[pos])

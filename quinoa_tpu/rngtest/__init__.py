@@ -1,3 +1,3 @@
-from .battery import SmallCrush, run_battery, TestResult
+from .battery import SmallCrush, Crush, run_battery, TestResult
 
-__all__ = ["SmallCrush", "run_battery", "TestResult"]
+__all__ = ["SmallCrush", "Crush", "run_battery", "TestResult"]

@@ -223,6 +223,45 @@ def ks_uniform(key, n=2**16):
     return TestResult("KSUniform", float(stats.kstest(u, "uniform").pvalue))
 
 
+def permutation(key, n=2**15, t=5):
+    """sknuth_Permutation: order patterns of non-overlapping t-tuples are
+    uniform over the t! permutations (exact multinomial chi2)."""
+    import math
+
+    u = np.asarray(jax.random.uniform(key, (n, t)))
+    idx = np.argsort(u, axis=1)
+    # Lehmer code -> permutation index
+    code = np.zeros(n, dtype=np.int64)
+    for j in range(t):
+        smaller = (idx[:, j + 1:] < idx[:, j:j + 1]).sum(axis=1)
+        code = code * (t - j) + smaller
+    nperm = math.factorial(t)
+    obs = np.bincount(code, minlength=nperm)
+    return TestResult("Permutation", _chi2_p(obs, np.full(nperm, n / nperm)))
+
+
+def serial_pairs(key, n=2**16, d=64):
+    """smultin_Serial (non-overlapping pairs): (u_{2i}, u_{2i+1}) cells in
+    a d x d grid are uniform (exact chi2 with d^2-1 dof)."""
+    v = np.asarray(
+        jax.random.randint(key, (2 * n,), 0, d, dtype=jnp.int32)
+    ).astype(np.int64)
+    cells = v[0::2] * d + v[1::2]
+    obs = np.bincount(cells, minlength=d * d)
+    return TestResult("SerialPairs", _chi2_p(obs, np.full(d * d, n / (d * d))))
+
+
+def autocorrelation(key, n=2**18, lag=1):
+    """sstring_AutoCor: lag-k autocorrelation of the bit stream is
+    asymptotically normal with mean n/2 and variance n/4."""
+    bits = np.asarray(
+        jax.random.randint(key, (n + lag,), 0, 2, dtype=jnp.int32)
+    ).astype(np.int64)
+    a = (bits[:-lag] ^ bits[lag:]).sum()
+    z = (2.0 * a - n) / np.sqrt(n)
+    return TestResult("AutoCorrelation", float(2.0 * stats.norm.sf(abs(z))))
+
+
 SmallCrush: List[Callable] = [
     birthday_spacings,
     collision,
@@ -235,6 +274,30 @@ SmallCrush: List[Callable] = [
     hamming_indep,
     random_walk,
     ks_uniform,
+    permutation,
+    serial_pairs,
+    autocorrelation,
+]
+
+#: Crush-scale battery: the same exact-law tests at ~16-64x the sample
+#: sizes (the reference's Crush option scales TestU01 the same way;
+#: src/RNGTest/Crush.cpp).  Runtime is minutes, not hours: generation is
+#: on-device and each test reduces to counts.
+Crush: List[Callable] = [
+    lambda k: birthday_spacings(k, n=2**12, d=2**30, reps=64),
+    lambda k: collision(k, n=2**16, d=2**26, reps=32),
+    lambda k: gap(k, n=2**22),
+    lambda k: simp_poker(k, n=2**20),
+    lambda k: coupon_collector(k, n=2**20),
+    lambda k: max_of_t(k, n=2**19, t=8, bins=64),
+    lambda k: weight_distrib(k, n=2**19),
+    lambda k: matrix_rank(k, n=1024, dim=64),
+    lambda k: hamming_indep(k, n=2**17),
+    lambda k: random_walk(k, n=2**16, steps=256),
+    lambda k: ks_uniform(k, n=2**20),
+    lambda k: permutation(k, n=2**19, t=6),
+    lambda k: serial_pairs(k, n=2**20, d=128),
+    lambda k: autocorrelation(k, n=2**22),
 ]
 
 

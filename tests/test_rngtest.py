@@ -65,3 +65,13 @@ def test_weak_generator_fails():
 
     # RANDU's lattice structure must trip at least one test
     assert failed, [r.pvalue for r in results]
+
+
+def test_crush_battery_scales():
+    """The Crush-scale battery (bigger streams, same exact laws) passes
+    for threefry and its lambdas are properly seeded per test."""
+    from quinoa_tpu.rngtest import run_battery, Crush
+
+    results, failed = run_battery(seed=1, battery=Crush)
+    assert len(results) == len(Crush) == 14
+    assert not failed, failed
