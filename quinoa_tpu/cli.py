@@ -60,7 +60,7 @@ def _cmd_inciter(argv):
 
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
     t0 = time.perf_counter()
-    it = 0
+    it = int(state.it)  # nonzero when restarted from a checkpoint
     while it < cfg.nstep and float(state.t) < cfg.term:
         state = solver.step(state)
         it = int(state.it)

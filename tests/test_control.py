@@ -173,3 +173,48 @@ def test_checkpoint_restart_roundtrip(tmp_path):
     save_checkpoint(ck, s2)
     s3, meta3 = load_checkpoint(ck, type(s))
     assert int(s3.it) == 7
+
+
+def test_cli_checkpoint_restart(tmp_path, monkeypatch):
+    """End-to-end CLI restart: run 10 steps writing a checkpoint at step
+    5, then restart from it — the continued run's diagnostics match the
+    uninterrupted run exactly."""
+    import numpy as np
+    from quinoa_tpu.cli import main
+
+    deck = tmp_path / "d.q"
+    deck.write_text("""
+    inciter
+      nstep 10
+      dt 1.0e-3
+      scheme dg
+      transport
+        physics advection problem gauss_hump ncomp 1 depvar c
+        bc_extrapolate sideset 1 end end
+        bc_inlet sideset 2 end end
+        bc_outlet sideset 3 end end
+      end
+      diagnostics interval 1 error l2 end
+    end
+    """)
+    mesh = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+            "dtref/unitcube_01_112_ss3.exo")
+    monkeypatch.chdir(tmp_path)
+
+    def rows(path):
+        return np.array([[float(x) for x in l.split()]
+                         for l in open(path) if not l.startswith("#")])
+
+    # rsfreq 7 -> exactly one checkpoint (at it=7) within 10 steps
+    assert main(["inciter", "-c", str(deck), "-i", mesh,
+                 "--diag", "diag_full", "-r", "7",
+                 "--checkpoint-dir", "ck"]) == 0
+    full = rows("diag_full")
+    assert full.shape[0] == 10
+
+    # nstep 10 caps the restarted run at it=10 (3 more steps)
+    assert main(["inciter", "-c", str(deck), "-i", mesh,
+                 "--diag", "diag_rest", "--restart", "ck"]) == 0
+    rest = rows("diag_rest")
+    assert rest.shape[0] == 3 and int(rest[0, 0]) == 8
+    assert np.allclose(rest, full[7:], rtol=1e-13, atol=1e-15)
