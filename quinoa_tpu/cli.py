@@ -59,6 +59,8 @@ def _cmd_inciter(argv):
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
+    amr_base = None  # adaptive-dtref base mesh + its current refinement
+    amr_rmap = None
     t0 = time.perf_counter()
     it = int(state.it)  # nonzero when restarted from a checkpoint
     while it < cfg.nstep and float(state.t) < cfg.term:
@@ -78,49 +80,90 @@ def _cmd_inciter(argv):
                 dw.write(it, row.t, row.dt, row.l2sol, row.l2err, row.linferr)
         if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
                 and it < cfg.nstep:
-            from .amr import refine_mesh, tag_edges_by_error, uniform_refine
-            from .amr.refine import transfer_cg, transfer_dg
-            from .control.config import build_inciter as _rebuild
+            import dataclasses as _dc
             import jax.numpy as jnp
 
+            from .amr import refine_mesh, tag_edges_by_error, uniform_refine
+            from .amr.refine import (
+                transfer_cg, transfer_dg,
+                transfer_cg_derefine, transfer_dg_derefine, RefineMap,
+            )
+            from .control.config import build_inciter as _rebuild
+
             if cfg.dtref_uniform:
+                # compounding uniform refinement (the reference's
+                # dtref_uniform regression behavior)
                 mesh2, rmap = uniform_refine(mesh)
+                if mesh2.nelem > mesh.nelem:
+                    if cg_scheme:
+                        u2 = transfer_cg(rmap, np.asarray(state.u))
+                    else:
+                        u2 = transfer_dg(rmap, np.asarray(state.u),
+                                         solver.system.ncomp,
+                                         solver.geom.ndof)
+                    mesh = mesh2
+                    solver, diag = _rebuild(cfg, mesh)
+                    st = solver.initial_state(t0=float(state.t))
+                    state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
+                                        dt=state.dt)
+                    if args.verbose:
+                        print(f"  dtref @it={it}: -> {mesh.nelem} tets")
             else:
+                # adaptive dtref, one level above the base mesh: retag
+                # every dtfreq steps and rebuild refine_mesh(base, tags).
+                # Regions no longer tagged coarsen automatically (the
+                # transfer between two sibling refinements of the base is
+                # the derefine transfer: identical parents copy, refined
+                # parents inherit the parent mean / midpoint interpolant,
+                # collapsed parents get the conservative child average).
+                if amr_base is None:
+                    amr_base = mesh
+                    amr_rmap = RefineMap(
+                        mid_edges=np.zeros((0, 2), np.int64),
+                        parent=np.arange(mesh.nelem),
+                        nnode_old=mesh.nnode,
+                    )
+                nb = amr_base.nnode  # base nodes prefix every refinement
                 if cg_scheme:
-                    uerr = np.asarray(state.u)
+                    uerr = np.asarray(state.u)[:, :nb]
+                    vol_cur = None
                 else:
                     from .pde.dg import dg_cell_avg
 
                     avg = np.asarray(dg_cell_avg(
                         state.u, solver.system.ncomp, solver.geom.ndof))
-                    # error indicator needs nodal data: volume-average
-                    # adjacent cells onto nodes
-                    uerr = np.zeros((avg.shape[0], mesh.nnode))
+                    unod = np.zeros((avg.shape[0], mesh.nnode))
                     cnt = np.zeros(mesh.nnode)
                     for a in range(4):
                         np.add.at(cnt, mesh.inpoel[:, a], 1.0)
                         for c in range(avg.shape[0]):
-                            np.add.at(uerr[c], mesh.inpoel[:, a], avg[c])
-                    uerr /= np.maximum(cnt, 1.0)
+                            np.add.at(unod[c], mesh.inpoel[:, a], avg[c])
+                    unod /= np.maximum(cnt, 1.0)
+                    uerr = unod[:, :nb]
+                    vol_cur = np.asarray(solver.geom.vol)
                 tags = tag_edges_by_error(
-                    mesh, uerr, method=cfg.amr_error, tol=cfg.amr_tol,
+                    amr_base, uerr, method=cfg.amr_error, tol=cfg.amr_tol,
                 )
-                mesh2, rmap = refine_mesh(mesh, tags)
-            if mesh2.nelem > mesh.nelem:
-                if cg_scheme:
-                    u2 = transfer_cg(rmap, np.asarray(state.u))
-                else:
-                    u2 = transfer_dg(rmap, np.asarray(state.u),
-                                     solver.system.ncomp, solver.geom.ndof)
-                mesh = mesh2
-                solver, diag = _rebuild(cfg, mesh)
-                import dataclasses as _dc
-
-                st = solver.initial_state(t0=float(state.t))
-                state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
-                                    dt=state.dt)
-                if args.verbose:
-                    print(f"  dtref @it={it}: -> {mesh.nelem} tets")
+                mesh2, rmap2 = refine_mesh(amr_base, tags)
+                cur_keys = {tuple(e) for e in
+                            np.sort(amr_rmap.mid_edges, 1).tolist()}
+                new_keys = {tuple(e) for e in
+                            np.sort(rmap2.mid_edges, 1).tolist()}
+                if new_keys != cur_keys:
+                    if cg_scheme:
+                        u2 = transfer_cg_derefine(amr_rmap, rmap2,
+                                                  np.asarray(state.u))
+                    else:
+                        u2 = transfer_dg_derefine(
+                            amr_base, amr_rmap, rmap2, np.asarray(state.u),
+                            vol_cur, solver.system.ncomp, solver.geom.ndof)
+                    mesh, amr_rmap = mesh2, rmap2
+                    solver, diag = _rebuild(cfg, mesh)
+                    st = solver.initial_state(t0=float(state.t))
+                    state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
+                                        dt=state.dt)
+                    if args.verbose:
+                        print(f"  dtref @it={it}: -> {mesh.nelem} tets")
         if args.verbose and it % cfg.ttyi == 0:
             print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
         if it % cfg.field_interval == 0:
