@@ -241,3 +241,22 @@ def test_exodus_pieces_round_trip(tmp_path):
         a = {tuple(sorted(t)) for t in mesh.bface[ss].tolist()}
         b = {tuple(sorted(t)) for t in m2.bface[ss].tolist()}
         assert a == b
+
+
+def test_gmsh_binary_round_trip(mesh, tmp_path):
+    """msh 2.2 binary write/read + cross ascii/binary equivalence (the
+    reference's GmshMeshReader handles both file types)."""
+    from quinoa_tpu.io.gmsh import write_gmsh, read_gmsh
+
+    pb = str(tmp_path / "b.msh")
+    pa = str(tmp_path / "a.msh")
+    write_gmsh(pb, mesh, binary=True)
+    write_gmsh(pa, mesh, binary=False)
+    _same_mesh(mesh, read_gmsh(pb))
+    mb, ma = read_gmsh(pb), read_gmsh(pa)
+    assert np.allclose(mb.coords, ma.coords)
+    assert np.array_equal(mb.inpoel, ma.inpoel)
+    # binary is detected by the same magic ($MeshFormat header is text)
+    assert detect_format(pb) == "gmsh"
+    from quinoa_tpu.io import read_mesh
+    _same_mesh(mesh, read_mesh(pb))
