@@ -233,7 +233,8 @@ def _cmd_walker(argv):
     ap = argparse.ArgumentParser(prog="quinoa_tpu walker")
     ap.add_argument("-c", "--control", required=True)
     ap.add_argument("--stat", default="stat.txt")
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="RNG seed (default: the deck's rngs seed, or 0)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -242,7 +243,8 @@ def _cmd_walker(argv):
     from .statistics.stats import estimate_moments
 
     cfg = load_walker(open(args.control).read())
-    w = build_walker(cfg, seed=args.seed)
+    seed = args.seed if args.seed is not None else (cfg.rng_seed or 0)
+    w = build_walker(cfg, seed=seed)
     if args.verbose:
         print(f"quinoa_tpu walker: {cfg.title!r}")
         print(f"  npar={cfg.npar} dt={cfg.dt} systems="

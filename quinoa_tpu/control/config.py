@@ -347,6 +347,8 @@ class WalkerConfig:
     pdf_filetype: str = "txt"
     #: list of (name, term, binsizes, extents-or-None)
     pdfs: List[Tuple] = dataclasses.field(default_factory=list)
+    #: seed from the deck's rngs block (`<rng> seed N end`), or None
+    rng_seed: Optional[int] = None
 
 
 _MOM_RE = re.compile(r"([A-Za-z])(\d+)")
@@ -497,6 +499,15 @@ def load_walker(deck_text: str) -> WalkerConfig:
     cfg.dt = _f(w, "dt", 0.01)
     cfg.npar = _i(w, "npar", 1000)
     cfg.ttyi = _i(w, "ttyi", 1)
+
+    rngs = first(w, "rngs")
+    if rngs:
+        # entries are `<rng-name> [seed N | *_method m ...] end`; the
+        # stream is jax threefry either way, but the deck seed is honored
+        for opts in rngs.values():
+            for toks in opts:
+                if "seed" in toks:
+                    cfg.rng_seed = int(toks[toks.index("seed") + 1])
 
     stats = first(w, "statistics")
     if stats is not None:

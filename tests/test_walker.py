@@ -231,3 +231,31 @@ def test_walker_sharded_matches_serial():
 
     # identical keys -> identical trajectories regardless of sharding
     assert np.allclose(np.asarray(P1[:, 0]), np.asarray(P8[:, 0]), atol=1e-12)
+
+
+def test_deck_rng_seed_honored():
+    """`<rng> seed N end` in the rngs block seeds the stream: different
+    deck seeds give different trajectories, same seed reproduces."""
+    from quinoa_tpu.control.config import load_walker, build_walker
+    import numpy as np
+
+    base = """
+    walker
+      term 0.05  dt 0.01  npar 200
+      rngs  r123_philox seed %d end  end
+      diag_ou
+        depvar o  ncomp 2  init zero  coeff const
+        sigmasq 0.25 1.0 end  theta 1.0 1.0 end  mu 0.0 1.5 end
+      end
+      statistics interval 1 <o1o1> end
+    end
+    """
+    outs = {}
+    for sd in (1, 2, 1):
+        cfg = load_walker(base % sd)
+        assert cfg.rng_seed == sd
+        w = build_walker(cfg, seed=cfg.rng_seed)
+        P, _ = w.run(3, P=w.initialize())
+        outs.setdefault(sd, []).append(np.asarray(P))
+    assert np.allclose(outs[1][0], outs[1][1])  # reproducible
+    assert not np.allclose(outs[1][0], outs[2][0])  # seed matters
