@@ -15,6 +15,7 @@ from .pieces import write_exodus_pieces, join_exodus_pieces, extract_piece
 from .gmsh import read_gmsh, write_gmsh
 from .netgen import read_netgen, write_netgen
 from .asc import read_asc
+from .hypermesh import read_hypermesh
 from .stl import read_stl, STLMesh
 from .h5part import H5PartWriter
 from .meshfactory import read_mesh, write_mesh, detect_format
@@ -35,6 +36,7 @@ __all__ = [
     "read_netgen",
     "write_netgen",
     "read_asc",
+    "read_hypermesh",
     "read_stl",
     "STLMesh",
     "H5PartWriter",

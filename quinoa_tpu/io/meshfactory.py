@@ -14,6 +14,7 @@ from .exodus import read_exodus, write_exodus
 from .gmsh import read_gmsh, write_gmsh
 from .netgen import read_netgen, write_netgen
 from .asc import read_asc
+from .hypermesh import read_hypermesh
 
 
 def detect_format(path: str) -> str:
@@ -30,6 +31,8 @@ def detect_format(path: str) -> str:
         return "gmsh"
     if text.lstrip().startswith("*ndim"):
         return "asc"
+    if text.lstrip().startswith("<"):
+        return "hypermesh"
     # Netgen neutral starts with an integer count on its own line
     first = text.split()[0] if text.split() else ""
     if first.isdigit():
@@ -37,7 +40,7 @@ def detect_format(path: str) -> str:
     raise ValueError(f"cannot detect mesh format of {path}")
 
 
-_READERS = {"exodus": read_exodus, "gmsh": read_gmsh, "netgen": read_netgen, "asc": read_asc}
+_READERS = {"exodus": read_exodus, "gmsh": read_gmsh, "netgen": read_netgen, "asc": read_asc, "hypermesh": read_hypermesh}
 _WRITERS = {"exodus": write_exodus, "gmsh": write_gmsh, "netgen": write_netgen}
 
 _EXT2FMT = {
@@ -46,6 +49,7 @@ _EXT2FMT = {
     ".g": "exodus",
     ".msh": "gmsh",
     ".asc": "asc",
+    ".xml": "hypermesh",
     ".mesh": "netgen",
     ".neu": "netgen",
 }

@@ -260,3 +260,24 @@ def test_gmsh_binary_round_trip(mesh, tmp_path):
     assert detect_format(pb) == "gmsh"
     from quinoa_tpu.io import read_mesh
     _same_mesh(mesh, read_mesh(pb))
+
+
+def test_hypermesh_reader(tmp_path):
+    """HyperMesh XML metadata + coordinate/connectivity sidecars
+    (HyperMeshReader.cpp); ids normalized, inverted tets fixed."""
+    (tmp_path / "m.xml").write_text(
+        '<mesh>\n <coordinates file="pts.txt"/>\n'
+        ' <element_set file="conn.txt" topology="four_node_tet"/>\n</mesh>\n'
+    )
+    (tmp_path / "pts.txt").write_text(
+        "1 0 0 0\n2 1 0 0\n3 0 1 0\n4 0 0 1\n5 1 1 1\n")
+    # 1-based ids, second tet negatively oriented on purpose
+    (tmp_path / "conn.txt").write_text("1 1 2 3 4\n2 2 3 5 4\n")
+    from quinoa_tpu.io import read_hypermesh, read_mesh, detect_format
+
+    m = read_hypermesh(str(tmp_path / "m.xml"))
+    assert m.nnode == 5 and m.nelem == 2
+    assert m.positive_jacobians()
+    assert detect_format(str(tmp_path / "m.xml")) == "hypermesh"
+    m2 = read_mesh(str(tmp_path / "m.xml"))
+    assert np.array_equal(m2.inpoel, m.inpoel)
