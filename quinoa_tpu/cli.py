@@ -284,13 +284,29 @@ def _cmd_walker(argv):
 
 def _cmd_meshconv(argv):
     ap = argparse.ArgumentParser(prog="quinoa_tpu meshconv")
-    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-i", "--input", required=True, nargs="+",
+                    help="input mesh, or several exodus PIECES "
+                         "(out.e-s.<it>.<N>.<p>) to join into one file")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     from .io import read_mesh, write_mesh, detect_format
 
+    if len(args.input) > 1:
+        # join partitioned pieces back into one mesh + fields
+        from .io import join_exodus_pieces, write_exodus
+
+        mesh, nf, ef, t = join_exodus_pieces(args.input)
+        if args.verbose:
+            print(f"meshconv: joined {len(args.input)} pieces -> "
+                  f"{args.output}: {mesh.nnode} nodes, {mesh.nelem} tets, "
+                  f"{len(nf)} nodal + {len(ef)} element fields")
+        write_exodus(args.output, mesh, node_fields=nf or None,
+                     elem_fields=ef or None, time=t)
+        return 0
+
+    args.input = args.input[0]
     fmt = detect_format(args.input)
     mesh = read_mesh(args.input, fmt)
     if args.verbose:

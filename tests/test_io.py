@@ -281,3 +281,27 @@ def test_hypermesh_reader(tmp_path):
     assert detect_format(str(tmp_path / "m.xml")) == "hypermesh"
     m2 = read_mesh(str(tmp_path / "m.xml"))
     assert np.array_equal(m2.inpoel, m.inpoel)
+
+
+def test_meshconv_join_pieces(tmp_path, monkeypatch):
+    """meshconv with multiple inputs joins exodus pieces into one file
+    (the inverse of --pieces output)."""
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import write_exodus_pieces, read_exodus
+    from quinoa_tpu.io.exodus import read_exodus_elem_fields
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.parallel.partition import partition_elements
+
+    m = box_tet_mesh(3, 3, 3)
+    parts = partition_elements(m.coords, m.inpoel, 3)
+    ef = {"r": np.arange(m.nelem, dtype=float)}
+    monkeypatch.chdir(tmp_path)
+    paths = write_exodus_pieces("o", m, parts, elem_fields=ef, time=0.5,
+                                it=2)
+    rc = main(["meshconv", "-i", *paths, "-o", "joined.exo", "-v"])
+    assert rc == 0
+    mj = read_exodus("joined.exo")
+    assert mj.nnode == m.nnode and mj.nelem == m.nelem
+    names, times, vals = read_exodus_elem_fields("joined.exo")
+    assert names == ["r"] and np.isclose(times[-1], 0.5)
+    assert np.allclose(vals[-1, 0], ef["r"])
