@@ -278,3 +278,41 @@ def test_multimat_sod_field_pieces_parity(tmp_path, monkeypatch):
                  "y-velocity_numerical", "z-velocity_numerical",
                  "pressure_numerical", "total_energy_density_numerical"):
         assert np.abs(ef[name] - ref[name]).max() < 1e-12, name
+
+
+def test_gauss_hump_dgp2_diag_parity():
+    """DG(P2) transport: diag rows match diag_dgp2.std to the baseline's
+    full printed precision."""
+    base = f"{REF}/inciter/transport/GaussHump/"
+    cfg = load_inciter(open(base + "gauss_hump_dgp2.q").read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    assert solver.geom.ndof == 10
+    std = _load_std_diag(base + "diag_dgp2.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, l2err, _ = diag.compute(s)
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
+        assert np.isclose(l2err[0], std[r, 4], rtol=1e-5)
+
+
+def test_gauss_hump_pdg_diag_parity():
+    """p-adaptive DG (pref, tolref 0.1): solution L2 matches diag_pdg.std
+    to 7 digits; the error norm to ~1e-3 rel (the P1<->P2 indicator makes
+    marginal per-cell decisions differently at fp precision)."""
+    base = f"{REF}/inciter/transport/GaussHump/"
+    cfg = load_inciter(open(base + "gauss_hump_pdg.q").read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_pdg.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, l2err, _ = diag.compute(s)
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
+        assert np.isclose(l2err[0], std[r, 4], rtol=2e-3)
