@@ -316,3 +316,39 @@ def test_gauss_hump_pdg_diag_parity():
         assert int(s.it) == int(std[r, 0])
         assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
         assert np.isclose(l2err[0], std[r, 4], rtol=2e-3)
+
+
+@pytest.mark.parametrize("deck,stdf", [
+    ("TaylorGreen/taylor_green_dgp2.q", "TaylorGreen/diag_dgp2.std"),
+    ("NLEnergyGrowth/nleg_dgp2.q", "NLEnergyGrowth/diag_dgp2.std"),
+    ("RayleighTaylor/rayleigh_taylor.q", "RayleighTaylor/diag.std"),
+    ("VorticalFlow/vortical_flow_dg.q", "VorticalFlow/diag_dg.std"),
+    ("VorticalFlow/vortical_flow_dgp1.q", "VorticalFlow/diag_dgp1.std"),
+    ("TaylorGreen/taylor_green.q", "TaylorGreen/diag.std"),
+])
+def test_compflow_family_diag_parity(deck, stdf):
+    """Sweep of the remaining compflow regression baselines: manufactured
+    problems (TaylorGreen, NLEnergyGrowth, RayleighTaylor, VorticalFlow)
+    across DiagCG(CFL)/DG(P0)/DG(P1)/DG(P2) — all 10 L2 columns match
+    the committed .std rows to the baselines' printed precision."""
+    base = f"{REF}/inciter/compflow/Euler/"
+    gh = f"{REF}/inciter/transport/GaussHump/"
+    cfg = load_inciter(open(base + deck).read())
+    mesh = read_exodus(gh + "unitcube_1k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + stdf)
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        out = diag.compute(s)
+        l2sol, l2err = ((np.array(out[0]), np.array(out[1]))
+                        if isinstance(out, tuple)
+                        else (np.array(out.l2sol), np.array(out.l2err)))
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(float(s.dt), std[r, 2], rtol=1e-5)
+        for c in range(5):
+            assert np.isclose(l2sol[c], std[r, 3 + c], rtol=2e-6,
+                              atol=1e-13), (r, c)
+            assert np.isclose(l2err[c], std[r, 8 + c], rtol=2e-6,
+                              atol=1e-9), (r, c)
