@@ -163,6 +163,11 @@ class DGSolver:
             dofmask = self._dofmask(ndofel)
             u = self._limit(g, u, dofmask)
             if s == 0:
+                # the RK anchor is the LIMITED stage-0 solution — the
+                # reference sets m_un = m_u after lim() (DG.cpp:1471);
+                # anchoring the unlimited state re-blends unlimited
+                # slopes into stages 1-2 wherever the limiter is active
+                un = u
                 if self.const_dt is not None:
                     dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
                 else:

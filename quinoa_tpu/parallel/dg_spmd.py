@@ -135,6 +135,9 @@ class SPMDDGSolver:
             if self.limiter is not None:
                 u = self._exchange(sh, u)
             if s == 0:
+                # RK anchor = limited stage-0 solution (DG.cpp:1471),
+                # matching the single-shard solver
+                un = u
                 if self.const_dt is not None:
                     dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
                 else:

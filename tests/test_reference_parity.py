@@ -141,9 +141,9 @@ def test_vortical_flow_diagcg_diag_parity():
 
 def test_sedov_dgp1_diag_parity():
     """The flagship config: Sedov DG(P1)+Superbee at CFL 0.3 vs
-    diag_dgp1.std.  Tolerances are looser than the smooth cases: the
-    CFL-fed shock/limiter cascade amplifies fp-order differences (dt to
-    ~1e-4 rel, L2(E) to ~1e-3)."""
+    diag_dgp1.std, to the baseline's printed precision (the RK anchor
+    must be the LIMITED stage-0 state, DG.cpp:1471 — with that in place
+    the shock/limiter path matches as tightly as the smooth cases)."""
     base = f"{REF}/inciter/compflow/Euler/SedovBlastwave/"
     cfg = load_inciter(open(base + "sedov_blastwave_dgp1.q").read())
     mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
@@ -154,9 +154,32 @@ def test_sedov_dgp1_diag_parity():
         for _ in range(cfg.diag_interval):
             s = solver.step(s)
         l2sol, l2err, _ = diag.compute(s)
-        assert np.isclose(float(s.dt), std[r, 2], rtol=1e-3)
-        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-5)  # density
-        assert np.isclose(l2sol[4], std[r, 7], rtol=2e-3)  # energy
+        assert np.isclose(float(s.dt), std[r, 2], rtol=1e-6)
+        assert np.isclose(l2sol[0], std[r, 3], rtol=2e-6)  # density
+        assert np.isclose(l2sol[4], std[r, 7], rtol=2e-6)  # energy
+
+
+@pytest.mark.parametrize("deck,stdf", [
+    ("cyl_advect_dgp1.q", "diag_dgp1.std"),        # Superbee
+    ("cyl_advect_dgp1_weno.q", "diag_dgp1_weno.std"),  # WENO
+    ("cyl_advect_dg.q", "diag_dg.std"),            # P0, unlimited
+])
+def test_cyl_advect_diag_parity(deck, stdf):
+    """Discontinuous cylinder advection, the limiter-critical transport
+    case: matches the committed baselines to their printed precision for
+    both limiters (this is the case that exposed the RK-anchor bug)."""
+    base = f"{REF}/inciter/transport/CylAdvect/"
+    cfg = load_inciter(open(base + deck).read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + stdf)
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, _, _ = diag.compute(s)
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
 
 
 def test_dtref_uniform_dg_diag_parity(tmp_path, monkeypatch):
