@@ -48,7 +48,7 @@ def _cmd_inciter(argv):
             print(f"  t0ref: {n0} -> {mesh.nelem} tets")
 
     solver, diag = build_inciter(cfg, mesh)
-    state = solver.initial_state()
+    state = solver.initial_state(t0=cfg.t0)
     if args.restart:
         from .inciter.checkpoint import load_checkpoint
 

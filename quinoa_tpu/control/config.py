@@ -44,6 +44,7 @@ class InciterConfig:
     title: str = ""
     nstep: int = 10**9
     term: float = float("inf")
+    t0: float = 0.0
     dt: Optional[float] = None
     cfl: Optional[float] = None
     ttyi: int = 1
@@ -112,6 +113,7 @@ def load_inciter(deck_text: str) -> InciterConfig:
         raise ValueError("deck has no inciter block")
     cfg.nstep = _i(inc, "nstep", cfg.nstep)
     cfg.term = _f(inc, "term", cfg.term)
+    cfg.t0 = _f(inc, "t0", 0.0)
     cfg.dt = _f(inc, "dt")
     cfg.cfl = _f(inc, "cfl")
     cfg.ttyi = _i(inc, "ttyi", 1)

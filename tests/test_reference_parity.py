@@ -375,3 +375,46 @@ def test_compflow_family_diag_parity(deck, stdf):
                               atol=1e-13), (r, c)
             assert np.isclose(l2err[c], std[r, 8 + c], rtol=2e-6,
                               atol=1e-9), (r, c)
+
+
+@pytest.mark.parametrize("deck,stdf", [
+    ("shear_diffonly.q", "shear_centered_diffonly.diag.std"),
+    ("shear_diffonly_nofct.q", "shear_centered_diffonly_nofct.diag.std"),
+    ("shear_advdiffshear.q", "shear_centered_advdiffshear.diag.std"),
+    ("shear_advdiffshear_c2.q", "shear_centered_advdiffshear_c2.diag.std"),
+])
+def test_shear_diff_diag_parity(deck, stdf):
+    """ShearDiff (advection-diffusion with shear, deck start time t0=0.1,
+    FCT on/off, 1 and 2 components): L2 rows and absolute time match the
+    committed baselines to their ~6-digit printed precision."""
+    base = f"{REF}/inciter/transport/ShearDiff/"
+    cfg = load_inciter(open(base + deck).read())
+    assert cfg.t0 == 0.1
+    mesh = read_exodus(base + "shear_centered_12k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + stdf)
+    s = solver.initial_state(t0=cfg.t0)
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        out = diag.compute(s)
+        l2sol = np.array(out[0] if isinstance(out, tuple) else out.l2sol)
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(float(s.t), std[r, 1], rtol=1e-5)
+        nc = len(l2sol)
+        assert np.allclose(l2sol, std[r, 3:3 + nc], rtol=1e-5)
+
+
+def test_slot_cyl_dg_diag_parity():
+    """SlotCyl DG(P0) on the 31k mesh vs diag_dg.std."""
+    base = f"{REF}/inciter/transport/SlotCyl/"
+    cfg = load_inciter(open(base + "slot_cyl_dg.q").read())
+    mesh = read_exodus(base + "unitcube_01_31k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_dg.std")
+    s = solver.initial_state(t0=cfg.t0)
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, _, _ = diag.compute(s)
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-5)
