@@ -78,6 +78,19 @@ class DGSolver:
         self.tolref = tolref
         p = {1: 0.0, 4: 1.0, 10: 2.0}[geom.ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
+        # Pallas face-accumulation plan (TPU only; ops/face_accum.py).
+        # Falls back to the fose gather path when unavailable.
+        self.accum_plan = None
+        import os
+
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("QUINOA_TPU_NO_PALLAS") != "1"):
+            try:
+                from ..ops.face_accum import build_accum_plan
+
+                self.accum_plan = build_accum_plan(geom)
+            except Exception:
+                self.accum_plan = None
         # geometry is passed as a jit ARGUMENT (not captured in the closure)
         # so the mesh tables are runtime parameters, not giant HLO constants
         # that would have to be shipped to and folded by the compiler.
@@ -132,14 +145,14 @@ class DGSolver:
         )
 
     def step(self, state: DGState) -> DGState:
-        return self._step(self.geom, state)
+        return self._step(self.geom, self.accum_plan, state)
 
     def nsteps(self, state: DGState, n: int) -> DGState:
         """n steps by repeated dispatch of the compiled step (async
         dispatch pipelines on device; a lax.scan would recompile the whole
         step body as one giant program)."""
         for _ in range(n):
-            state = self._step(self.geom, state)
+            state = self._step(self.geom, self.accum_plan, state)
         return state
 
     # -- implementation -------------------------------------------------------
@@ -150,7 +163,7 @@ class DGSolver:
         inv = 1.0 / (geom.vol[None, :] * mn[:, None])  # (K,E)
         return jnp.tile(inv, (self.system.ncomp, 1))  # (C*K, E)
 
-    def _step_impl(self, geom: DGGeom, state: DGState) -> DGState:
+    def _step_impl(self, geom: DGGeom, accum_plan, state: DGState) -> DGState:
         g = geom
         un = state.u
         u = state.u
@@ -174,7 +187,8 @@ class DGSolver:
                     dt = dg_dt(self.system, g, u, dofmask) * (
                         self.cfl * self.cflscale
                     )
-            r = dg_rhs(self.system, g, u, dofmask, state.t)
+            r = dg_rhs(self.system, g, u, dofmask, state.t,
+                       accum_plan=accum_plan)
             minv = self._minv(g, dofmask)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
             dmflat = jnp.tile(dofmask, (self.system.ncomp, 1))

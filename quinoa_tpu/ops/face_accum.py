@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: face-to-element flux accumulation.
+
+The DG surface pass ends with a scatter-shaped reduction
+(dg_rhs's tail; DG.cpp surfInt's R(el) -= .., R(er) += ..):
+
+    acc[:, :, el[f]] += contribL[:, :, f]      all faces
+    acc[:, :, er[f]] += contribR[:, :, f]      interior faces
+
+The XLA formulation (gather each element's 4 face slots through `fose`)
+is the hottest op of the whole step at scale: the padded (C, K, F)
+gathers run at ~3.6 GB/s effective on v5e (~360 ms of a 775 ms Sedov
+DG(P1) step at 663k tets).
+
+This kernel exploits build_dggeom's el-sorted face order: a tile of TF
+consecutive faces targets a bounded window of elements (measured: TF
+faces span <= TF/2 + 1 elements on SFC-ordered tet meshes), so each tile
+accumulates through a one-hot MXU matmul into two aligned element blocks
+(the window straddles at most two W-blocks).  Right-side contributions
+are permuted to an er-sorted order first (one 15-row gather), then
+accumulated the same way.  Measured 24x faster than the fose gathers at
+48^3 (11.6 ms vs 276 ms per rhs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "ksL", "blkL", "mloL", "mhiL",
+        "permR", "ksR", "blkR", "mloR", "mhiR",
+    ],
+    meta_fields=["ntileL", "nblkL", "ntileR", "nblkR", "TF", "W", "F", "E"],
+)
+@dataclasses.dataclass(frozen=True)
+class AccumPlan:
+    """Static tables for the two accumulation passes (device arrays are
+    jit ARGUMENTS via the pytree, never HLO constants)."""
+
+    ksL: jnp.ndarray     # (1, FpL) i32 target element per sorted face (-1 pad)
+    blkL: jnp.ndarray    # (ntileL,) i32 aligned output block per tile
+    mloL: jnp.ndarray    # (1, (nblkL+2)*W) visited-block masks
+    mhiL: jnp.ndarray
+    permR: jnp.ndarray   # (F,) i32 er-sort permutation of the face axis
+    ksR: jnp.ndarray
+    blkR: jnp.ndarray
+    mloR: jnp.ndarray
+    mhiR: jnp.ndarray
+    ntileL: int
+    nblkL: int
+    ntileR: int
+    nblkR: int
+    TF: int
+    W: int
+    F: int
+    E: int
+
+
+def _pass_tables(key: np.ndarray, TF: int, W: int, dtype):
+    """(ks, blk, lo_mask, hi_mask, ntile, nblk) for one pass; key entries
+    of -1 are skipped faces."""
+    F = key.shape[0]
+    ntile = max((F + TF - 1) // TF, 1)
+    Fp = ntile * TF
+    ks = np.full(Fp, -1, np.int32)
+    ks[:F] = key
+    blk = np.zeros(ntile, np.int32)
+    for t in range(ntile):
+        seg = ks[t * TF:(t + 1) * TF]
+        real = seg[seg >= 0]
+        if len(real):
+            b = int(real.min())
+            span = int(real.max()) - b
+            if span >= W:
+                raise ValueError(
+                    f"face tile {t} spans {span + 1} elements > window {W}; "
+                    "faces are not el-sorted or the mesh locality is too "
+                    "poor for this window")
+            blk[t] = b // W
+        else:
+            # tile of skipped faces only: carry the previous block forward
+            # so the block sequence stays monotone (a fresh revisit of an
+            # earlier block would re-zero it in the kernel)
+            blk[t] = blk[t - 1] if t else 0
+    nblk = int(blk.max()) + 1
+    lo = np.zeros((1, (nblk + 2) * W), dtype)
+    hi = np.zeros((1, (nblk + 2) * W), dtype)
+    for b in set(blk.tolist()):
+        lo[0, b * W:(b + 1) * W] = 1.0
+        hi[0, (b + 1) * W:(b + 2) * W] = 1.0
+    return ks, blk, lo, hi, ntile, nblk
+
+
+def build_accum_plan(geom, TF: int = 1024, W: int = 1024) -> AccumPlan:
+    """Host-side plan from an el-sorted DGGeom.  W must exceed the widest
+    per-tile element span of both passes (el-sorted tiles span <= ~TF/2;
+    er-sorted likewise)."""
+    el = np.asarray(geom.el).astype(np.int64)
+    er = np.asarray(geom.er).astype(np.int64)
+    if not (np.diff(el) >= 0).all():
+        raise ValueError("build_accum_plan needs el-sorted faces")
+    F, E = el.shape[0], int(geom.nelem)
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+
+    ksL, blkL, mloL, mhiL, ntileL, nblkL = _pass_tables(
+        el.astype(np.int32), TF, W, dtype)
+
+    interior = er != el
+    keyR = np.where(interior, er, np.iinfo(np.int64).max)
+    permR = np.argsort(keyR, kind="stable").astype(np.int32)
+    ksR_key = np.where(interior[permR], er[permR], -1).astype(np.int32)
+    ksR, blkR, mloR, mhiR, ntileR, nblkR = _pass_tables(ksR_key, TF, W, dtype)
+
+    return AccumPlan(
+        ksL=jnp.asarray(ksL.reshape(1, -1)),
+        blkL=jnp.asarray(blkL),
+        mloL=jnp.asarray(mloL),
+        mhiL=jnp.asarray(mhiL),
+        permR=jnp.asarray(permR),
+        ksR=jnp.asarray(ksR.reshape(1, -1)),
+        blkR=jnp.asarray(blkR),
+        mloR=jnp.asarray(mloR),
+        mhiR=jnp.asarray(mhiR),
+        ntileL=ntileL, nblkL=nblkL, ntileR=ntileR, nblkR=nblkR,
+        TF=TF, W=W, F=F, E=E,
+    )
+
+
+def _make_kernel(TF, W):
+    def kernel(blk_ref, ks_ref, x_ref, lo_ref, hi_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        ks = ks_ref[0, :]                       # (TF,) target elements
+        loc = ks - b * W                        # local offset in [0, 2W)
+        x = x_ref[...]                          # (C, K, TF) or (CK, TF)
+        if x.ndim == 3:
+            x = x.reshape(x.shape[0] * x.shape[1], TF)
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(x.dtype)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+
+    return kernel
+
+
+def _one_pass(x, ks, blk, mlo, mhi, ntile, nblk, TF, W, E):
+    rank3 = x.ndim == 3
+    CK = x.shape[0] * x.shape[1] if rank3 else x.shape[0]
+    Fp = ntile * TF
+    if x.shape[-1] < Fp:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, Fp - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    xspec = (pl.BlockSpec((x.shape[0], x.shape[1], TF),
+                          lambda t, blk: (0, 0, t))
+             if rank3 else pl.BlockSpec((CK, TF), lambda t, blk: (0, t)))
+    lo, hi = pl.pallas_call(
+        _make_kernel(TF, W),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntile,),
+            in_specs=[
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
+                xspec,
+            ],
+            out_specs=[
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t])),
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t] + 1)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((CK, (nblk + 2) * W), x.dtype),
+            jax.ShapeDtypeStruct((CK, (nblk + 2) * W), x.dtype),
+        ],
+    )(blk, ks, x)
+    lo = jnp.where(mlo > 0, lo, 0.0)
+    hi = jnp.where(mhi > 0, hi, 0.0)
+    return (lo + hi)[:, :E]
+
+
+def accumulate_faces(plan: AccumPlan, contribL, contribR, C: int, K: int):
+    """contribL/R (C, K, F) -> (C*K, E) accumulated element contributions."""
+    cL = contribL                      # rank-3: reshaped in-kernel (VMEM)
+    cR = contribR[:, :, plan.permR]
+    accL = _one_pass(cL, plan.ksL, plan.blkL, plan.mloL, plan.mhiL,
+                     plan.ntileL, plan.nblkL, plan.TF, plan.W, plan.E)
+    accR = _one_pass(cR, plan.ksR, plan.blkR, plan.mloR, plan.mhiR,
+                     plan.ntileR, plan.nblkR, plan.TF, plan.W, plan.E)
+    return accL + accR
