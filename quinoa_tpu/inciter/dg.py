@@ -173,7 +173,9 @@ class DGSolver:
         for s in range(3):
             if s == 0 and self.pref and g.ndof >= 4:
                 ndofel = self._eval_ndof(g, u)
-            dofmask = self._dofmask(ndofel)
+            # dofmask None = every dof active (non-p-adaptive): saves the
+            # per-face mask gathers and full-size multiplies in dg_rhs
+            dofmask = self._dofmask(ndofel) if self.pref else None
             u = self._limit(g, u, dofmask)
             if s == 0:
                 # the RK anchor is the LIMITED stage-0 solution — the
@@ -191,8 +193,9 @@ class DGSolver:
                        accum_plan=accum_plan)
             minv = self._minv(g, dofmask)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
-            dmflat = jnp.tile(dofmask, (self.system.ncomp, 1))
-            u = jnp.where(dmflat > 0, u, un)
+            if dofmask is not None:
+                dmflat = jnp.tile(dofmask, (self.system.ncomp, 1))
+                u = jnp.where(dmflat > 0, u, un)
 
         return DGState(u=u, ndofel=ndofel, t=state.t + dt, it=state.it + 1,
                        dt=dt)

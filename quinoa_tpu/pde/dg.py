@@ -301,7 +301,9 @@ def _phys_gp(node0, Jmat, xi):
 def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
     """DG right-hand side: volume + surface + boundary + source integrals.
 
-    U (C*K, E); dofmask (K, E).  Returns (C*K, E).
+    U (C*K, E); dofmask (K, E) or None when every dof is active (the
+    non-p-adaptive case: skipping the mask saves two (K,1,F) gathers and
+    several full-size multiplies per rhs).  Returns (C*K, E).
 
     All quadrature loops are single einsum contractions whose outputs keep
     the long element/face axis LAST (never letting XLA tile a small
@@ -313,7 +315,9 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
     tb = geom.tables
     dt_ = U.dtype
 
-    Uv = uview(U, C, K) * dofmask[None]
+    Uv = uview(U, C, K)
+    if dofmask is not None:
+        Uv = Uv * dofmask[None]
 
     # ---- volume + source integrals ----------------------------------------
     B_vol = jnp.asarray(tb["B_vol"], dtype=dt_)          # (G,K)
@@ -346,8 +350,11 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
 
     # ---- face pass (interior + boundary in one sweep) ---------------------
     interior = geom.bctype == BC_INTERIOR
-    B_l = eval_basis_cm(K, geom.xi_l) * dofmask[:, None, geom.el]  # (K,G,F)
-    B_r = eval_basis_cm(K, geom.xi_r) * dofmask[:, None, geom.er]
+    B_l = eval_basis_cm(K, geom.xi_l)                    # (K,G,F)
+    B_r = eval_basis_cm(K, geom.xi_r)
+    if dofmask is not None:
+        B_l = B_l * dofmask[:, None, geom.el]
+        B_r = B_r * dofmask[:, None, geom.er]
     sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
     sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
     gpf = (
@@ -374,7 +381,9 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
         from ..ops.face_accum import accumulate_faces
 
         acc = accumulate_faces(accum_plan, contribL, contribR, C, K)
-        return (Rv * dofmask[None]).reshape(C * K, E) + acc
+        if dofmask is not None:
+            Rv = Rv * dofmask[None]
+        return Rv.reshape(C * K, E) + acc
 
     # gather each element's four faces (no scatter)
     for i in range(4):
@@ -382,7 +391,9 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
         side = geom.fsideR[i]
         Rv = Rv + jnp.where(side > 0, contribR[:, :, f], contribL[:, :, f])
 
-    return (Rv * dofmask[None]).reshape(C * K, E)
+    if dofmask is not None:
+        Rv = Rv * dofmask[None]
+    return Rv.reshape(C * K, E)
 
 
 def dg_dt(system, geom: DGGeom, U, dofmask):
@@ -391,11 +402,16 @@ def dg_dt(system, geom: DGGeom, U, dofmask):
     C, K = system.ncomp, geom.ndof
     tb = geom.tables
     dt_ = U.dtype
-    Uv = uview(U, C, K) * dofmask[None]
+    Uv = uview(U, C, K)
+    if dofmask is not None:
+        Uv = Uv * dofmask[None]
     interior = geom.bctype == BC_INTERIOR
 
-    B_l = eval_basis_cm(K, geom.xi_l) * dofmask[:, None, geom.el]
-    B_r = eval_basis_cm(K, geom.xi_r) * dofmask[:, None, geom.er]
+    B_l = eval_basis_cm(K, geom.xi_l)
+    B_r = eval_basis_cm(K, geom.xi_r)
+    if dofmask is not None:
+        B_l = B_l * dofmask[:, None, geom.el]
+        B_r = B_r * dofmask[:, None, geom.er]
     sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
     sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
     gpf = (

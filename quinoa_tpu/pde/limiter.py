@@ -34,6 +34,8 @@ def weno_p1(geom, U, dofmask, C, cweight: float = 30.0):
     lim = sum(wi[:, None, :] * s for wi, s in zip(w, stencils)) / wtot[:, None, :]
 
     Unew = Uv.at[:, 1:4, :].set(lim)
+    if dofmask is None:
+        return Unew.reshape(C * K, E)
     active = dofmask[1] > 0  # (E,)
     return jnp.where(active, Unew.reshape(C * K, E), U)
 
@@ -45,7 +47,7 @@ def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0):
     K = geom.ndof
     E = U.shape[-1]
     Uv = uview(U, C, K)
-    Um = Uv * dofmask[None]
+    Um = Uv if dofmask is None else Uv * dofmask[None]
     valid = geom.esuelT >= 0
     nbr = jnp.where(geom.esuelT < 0, 0, geom.esuelT)
 
@@ -83,5 +85,7 @@ def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0):
             phi = jnp.minimum(phi, phi_gp)
 
     Unew = Uv.at[:, 1:4, :].multiply(phi[:, None, :])
+    if dofmask is None:
+        return Unew.reshape(C * K, E)
     active = dofmask[1] > 0
     return jnp.where(active, Unew.reshape(C * K, E), U)
