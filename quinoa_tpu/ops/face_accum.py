@@ -198,10 +198,13 @@ def _one_pass(x, ks, blk, mlo, mhi, ntile, nblk, TF, W, E):
     return (lo + hi)[:, :E]
 
 
-def accumulate_faces(plan: AccumPlan, contribL, contribR, C: int, K: int):
-    """contribL/R (C, K, F) -> (C*K, E) accumulated element contributions."""
-    cL = contribL                      # rank-3: reshaped in-kernel (VMEM)
-    cR = contribR[:, :, plan.permR]
+def accumulate_faces(plan: AccumPlan, contribL, contribR,
+                     C: int = 0, K: int = 0):
+    """contribL/R (C, K, F) or (rows, F) -> (rows, E) accumulated element
+    contributions (rank-3 inputs are reshaped in-kernel in VMEM)."""
+    cL = contribL
+    cR = (contribR[:, :, plan.permR] if contribR.ndim == 3
+          else contribR[:, plan.permR])
     accL = _one_pass(cL, plan.ksL, plan.blkL, plan.mloL, plan.mhiL,
                      plan.ntileL, plan.nblkL, plan.TF, plan.W, plan.E)
     accR = _one_pass(cR, plan.ksR, plan.blkR, plan.mloR, plan.mhiR,

@@ -193,7 +193,7 @@ class MultiMatSystem:
 
     # -- P0 rhs ----------------------------------------------------------------
 
-    def rhs_p0(self, geom: DGGeom, U, t):
+    def rhs_p0(self, geom: DGGeom, U, t, accum_plan=None):
         """Finite-volume rhs (C, E) including non-conservative terms."""
         nmat, C = self.nmat, self.ncomp
         uL = U[:, geom.el]
@@ -222,23 +222,36 @@ class MultiMatSystem:
                           for i in range(3)])
         divL = wt * vriem
 
-        zc = jnp.zeros((C, 1), dtype=U.dtype)
-        padL = jnp.concatenate([contribL, zc], axis=1)
-        padR = jnp.concatenate([contribR, zc], axis=1)
-        zd = jnp.zeros((3 * nmat, 1), dtype=U.dtype)
-        dpad = jnp.concatenate([dapL, zd], axis=1)
-        vpad = jnp.concatenate([divL, jnp.zeros((1,), U.dtype)])
+        if accum_plan is not None:
+            # fused Pallas accumulation (ops/face_accum.py): conservative
+            # fluxes, riemannDeriv, and the velocity divergence stacked
+            # into one (C+3*nmat+1, F) pair of L/R contribution slabs
+            from ..ops.face_accum import accumulate_faces
 
-        R = jnp.zeros((C, geom.nelem), dtype=U.dtype)
-        dap = jnp.zeros((3 * nmat, geom.nelem), dtype=U.dtype)
-        divu = jnp.zeros((geom.nelem,), dtype=U.dtype)
-        for i in range(4):
-            f = geom.fose[i]
-            side = geom.fsideR[i]
-            sgn = 1.0 - 2.0 * side  # +1 on the left side, -1 on the right
-            R = R + jnp.where(side > 0, padR[:, f], padL[:, f])
-            dap = dap + sgn * dpad[:, f]
-            divu = divu + sgn * vpad[f]
+            XL = jnp.concatenate([contribL, dapL, divL[None]], axis=0)
+            XR = jnp.concatenate([contribR, -dapL, -divL[None]], axis=0)
+            acc = accumulate_faces(accum_plan, XL, XR)
+            R = acc[:C]
+            dap = acc[C:C + 3 * nmat]
+            divu = acc[C + 3 * nmat]
+        else:
+            zc = jnp.zeros((C, 1), dtype=U.dtype)
+            padL = jnp.concatenate([contribL, zc], axis=1)
+            padR = jnp.concatenate([contribR, zc], axis=1)
+            zd = jnp.zeros((3 * nmat, 1), dtype=U.dtype)
+            dpad = jnp.concatenate([dapL, zd], axis=1)
+            vpad = jnp.concatenate([divL, jnp.zeros((1,), U.dtype)])
+
+            R = jnp.zeros((C, geom.nelem), dtype=U.dtype)
+            dap = jnp.zeros((3 * nmat, geom.nelem), dtype=U.dtype)
+            divu = jnp.zeros((geom.nelem,), dtype=U.dtype)
+            for i in range(4):
+                f = geom.fose[i]
+                side = geom.fsideR[i]
+                sgn = 1.0 - 2.0 * side  # +1 left side, -1 right side
+                R = R + jnp.where(side > 0, padR[:, f], padL[:, f])
+                dap = dap + sgn * dpad[:, f]
+                divu = divu + sgn * vpad[f]
 
         V = geom.vol * geom.emask + (1.0 - geom.emask)
         dap = dap / V
@@ -292,6 +305,17 @@ class MultiMatSolver:
         self.geom = geom
         self.cfl = cfl
         self.const_dt = const_dt
+        self.accum_plan = None
+        import os
+
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("QUINOA_TPU_NO_PALLAS") != "1"):
+            try:
+                from ..ops.face_accum import build_accum_plan
+
+                self.accum_plan = build_accum_plan(geom)
+            except Exception:
+                self.accum_plan = None
         self._step = jax.jit(self._step_impl)
 
     def initial_state(self, t0=0.0):
@@ -312,14 +336,14 @@ class MultiMatSolver:
         )
 
     def step(self, state):
-        return self._step(self.geom, state)
+        return self._step(self.geom, self.accum_plan, state)
 
     def nsteps(self, state, n):
         for _ in range(n):
             state = self.step(state)
         return state
 
-    def _step_impl(self, geom, state):
+    def _step_impl(self, geom, accum_plan, state):
         from ..inciter.dg import DGState, RK0, RK1
 
         un = state.u
@@ -330,7 +354,8 @@ class MultiMatSolver:
             dt = self.system.dt_p0(geom, u) * self.cfl
         minv = 1.0 / geom.vol
         for s in range(3):
-            r = self.system.rhs_p0(geom, u, state.t)
+            r = self.system.rhs_p0(geom, u, state.t,
+                                   accum_plan=accum_plan)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
         return DGState(u=u, ndofel=state.ndofel, t=state.t + dt,
                        it=state.it + 1, dt=dt)
