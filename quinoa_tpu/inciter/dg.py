@@ -78,6 +78,16 @@ class DGSolver:
         self.tolref = tolref
         p = {1: 0.0, 4: 1.0, 10: 2.0}[geom.ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
+        # face Gauss-point coordinates are only needed when the system
+        # samples them (transport velocity fields) or a coordinate bc
+        # (Dirichlet/inlet) is present on some face
+        import numpy as _np
+
+        bct = _np.asarray(geom.bctype)
+        self.needs_face_gp = bool(
+            getattr(system, "needs_face_gp", True)
+            or _np.isin(bct, [1, 4]).any()  # BC_DIRICHLET, BC_INLET
+        )
         # Pallas face-accumulation plan (TPU only; ops/face_accum.py).
         # Falls back to the fose gather path when unavailable.
         self.accum_plan = None
@@ -190,7 +200,7 @@ class DGSolver:
                         self.cfl * self.cflscale
                     )
             r = dg_rhs(self.system, g, u, dofmask, state.t,
-                       accum_plan=accum_plan)
+                       accum_plan=accum_plan, face_gp=self.needs_face_gp)
             minv = self._minv(g, dofmask)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
             if dofmask is not None:

@@ -298,7 +298,8 @@ def _phys_gp(node0, Jmat, xi):
 # -- operators ---------------------------------------------------------------
 
 
-def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
+def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
+           face_gp=True):
     """DG right-hand side: volume + surface + boundary + source integrals.
 
     U (C*K, E); dofmask (K, E) or None when every dof is active (the
@@ -357,10 +358,15 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None):
         B_r = B_r * dofmask[:, None, geom.er]
     sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
     sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
-    gpf = (
-        geom.node0[:, None, geom.el]
-        + jnp.einsum("imf,mgf->igf", geom.Jmat[:, :, geom.el], geom.xi_l)
-    )                                                    # (3,G,F)
+    if face_gp:
+        gpf = (
+            geom.node0[:, None, geom.el]
+            + jnp.einsum("imf,mgf->igf", geom.Jmat[:, :, geom.el], geom.xi_l)
+        )                                                # (3,G,F)
+    else:
+        # the system's flux/bcs are coordinate-free on faces (compflow
+        # without Dirichlet/inlet): skip the node0/Jmat face gathers
+        gpf = None
     fnf = geom.fn[:, None, :]                            # (3,1,F)
     sR = jnp.where(
         interior,
@@ -414,10 +420,13 @@ def dg_dt(system, geom: DGGeom, U, dofmask):
         B_r = B_r * dofmask[:, None, geom.er]
     sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
     sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
-    gpf = (
-        geom.node0[:, None, geom.el]
-        + jnp.einsum("imf,mgf->igf", geom.Jmat[:, :, geom.el], geom.xi_l)
-    )
+    if getattr(system, "needs_face_gp", True):
+        gpf = (
+            geom.node0[:, None, geom.el]
+            + jnp.einsum("imf,mgf->igf", geom.Jmat[:, :, geom.el], geom.xi_l)
+        )
+    else:
+        gpf = None
     fnf = geom.fn[:, None, :]
     dSV_l = system.charvel(sL, fnf, gpf)                 # (G,F)
     dSV_r = system.charvel(sR, fnf, gpf)

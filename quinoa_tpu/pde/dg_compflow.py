@@ -54,21 +54,25 @@ class DGCompFlow:
             return rie.hllc(fn, sL, sR, self.eos)
         return rie.lax_friedrichs(fn, sL, sR, self.eos)
 
-    def bc_state(self, bctype, sL, fn, gp, t):
-        """Ghost state for boundary faces (interior overridden by caller)."""
-        dirich = self.problem.solution(gp, t)
+    #: compflow's flux/riemann never sample face Gauss-point coordinates;
+    #: they are only needed for Dirichlet/inlet ghosts (dg_rhs skips the
+    #: gpf construction when the deck has none of those faces)
+    needs_face_gp = False
 
+    def bc_state(self, bctype, sL, fn, gp, t):
+        """Ghost state for boundary faces (interior overridden by caller).
+        gp None means the caller proved no bc needs coordinates."""
         rho = sL[0]
         vel = sL[1:4] / rho
         vn = (vel * fn).sum(0)
         velr = vel - 2.0 * vn * fn
         sym = jnp.concatenate([sL[0:1], rho * velr, sL[4:5]])
 
-        return jnp.where(
-            bctype == BC_DIRICHLET,
-            dirich,
-            jnp.where(bctype == BC_SYMMETRY, sym, sL),
-        )
+        out = jnp.where(bctype == BC_SYMMETRY, sym, sL)
+        if gp is None:
+            return out
+        dirich = self.problem.solution(gp, t)
+        return jnp.where(bctype == BC_DIRICHLET, dirich, out)
 
     def charvel(self, state, fn, gp=None):
         """|v.n| + a at face states, for the dt sweep."""
