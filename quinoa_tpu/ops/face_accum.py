@@ -198,6 +198,51 @@ def _one_pass(x, ks, blk, mlo, mhi, ntile, nblk, TF, W, E):
     return (lo + hi)[:, :E]
 
 
+def _make_gather_kernel(TF, W, C, K):
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, o_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        ks = ks_ref[0, :]
+        loc = ks - b * W
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(ulo_ref.dtype)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+        locr = loc[None, :]
+        hot_lo = jnp.where(iota == locr, 1.0, 0.0).astype(ulo_ref.dtype) \
+            * validf[None, :]
+        hot_hi = jnp.where(iota == locr - W, 1.0, 0.0) \
+            .astype(ulo_ref.dtype) * validf[None, :]
+        u = (jax.lax.dot(ulo_ref[...], hot_lo, precision="highest")
+             + jax.lax.dot(uhi_ref[...], hot_hi, precision="highest"))
+        o_ref[...] = u.reshape(C, K, TF)
+
+    return kernel
+
+
+def gather_left_states(plan: AccumPlan, U, C: int, K: int):
+    """U (C*K, E) -> (C, K, F): the left-element modal states of every
+    face, i.e. Uv[:, :, el], via the same one-hot windows as the
+    accumulation (2.6x the XLA rank-3 gather at 663k tets)."""
+    CK = C * K
+    TF, W = plan.TF, plan.W
+    NBW = (plan.nblkL + 2) * W
+    Upad = jnp.pad(U, ((0, 0), (0, NBW - U.shape[1])))
+    out = pl.pallas_call(
+        _make_gather_kernel(TF, W, C, K),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(plan.ntileL,),
+            in_specs=[
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t])),
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t] + 1)),
+            ],
+            out_specs=pl.BlockSpec((C, K, TF), lambda t, blk: (0, 0, t)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, K, plan.ntileL * TF), U.dtype),
+    )(plan.blkL, plan.ksL, Upad, Upad)
+    return out[:, :, :plan.F]
+
+
 def accumulate_faces(plan: AccumPlan, contribL, contribR,
                      C: int = 0, K: int = 0):
     """contribL/R (C, K, F) or (rows, F) -> (rows, E) accumulated element

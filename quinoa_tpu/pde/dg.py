@@ -356,7 +356,14 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
     if dofmask is not None:
         B_l = B_l * dofmask[:, None, geom.el]
         B_r = B_r * dofmask[:, None, geom.er]
-    sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el])
+    if accum_plan is not None and dofmask is None:
+        # left states through the Pallas window gather (el-sorted faces)
+        from ..ops.face_accum import gather_left_states
+
+        UvL = gather_left_states(accum_plan, U, C, K)
+    else:
+        UvL = Uv[:, :, geom.el]
+    sL = jnp.einsum("kgf,ckf->cgf", B_l, UvL)
     sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er])
     if face_gp:
         gpf = (
