@@ -21,25 +21,45 @@ extern "C" {
 // Elements surrounding elements across faces: esuel[e*4+f] = neighbor or -1.
 // Face f of a tet is opposite local node f (lpofa convention of
 // src/Mesh/DerivedData.hpp).
+//
+// Face keys are the three sorted node ids held in full width (no bit
+// packing), so the map is collision-free for any node count.
+struct QnFaceKey {
+  int32_t n[3];
+  bool operator==(const QnFaceKey& o) const {
+    return n[0] == o.n[0] && n[1] == o.n[1] && n[2] == o.n[2];
+  }
+};
+struct QnFaceKeyHash {
+  size_t operator()(const QnFaceKey& k) const {
+    // splitmix64-style mix of the three ids
+    uint64_t x = (static_cast<uint64_t>(static_cast<uint32_t>(k.n[0])) << 32) ^
+                 (static_cast<uint64_t>(static_cast<uint32_t>(k.n[1])) << 16) ^
+                 static_cast<uint64_t>(static_cast<uint32_t>(k.n[2]));
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return static_cast<size_t>(x ^ (x >> 31));
+  }
+};
+
 void qn_gen_esuel(int64_t nelem, const int32_t* inpoel, int32_t* esuel) {
   static const int F[4][3] = {{1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
-  std::unordered_map<uint64_t, int64_t> open;  // face key -> (elem*4+f)
+  std::unordered_map<QnFaceKey, int64_t, QnFaceKeyHash> open;
   open.reserve(static_cast<size_t>(nelem) * 2);
   std::fill(esuel, esuel + nelem * 4, -1);
 
-  auto key = [](int64_t a, int64_t b, int64_t c) -> uint64_t {
-    // sort three <2^21 node ids and pack
+  auto key = [](int32_t a, int32_t b, int32_t c) -> QnFaceKey {
     if (a > b) std::swap(a, b);
     if (b > c) std::swap(b, c);
     if (a > b) std::swap(a, b);
-    return (static_cast<uint64_t>(a) << 42) |
-           (static_cast<uint64_t>(b) << 21) | static_cast<uint64_t>(c);
+    return QnFaceKey{{a, b, c}};
   };
 
   for (int64_t e = 0; e < nelem; ++e) {
     const int32_t* n = inpoel + e * 4;
     for (int f = 0; f < 4; ++f) {
-      uint64_t k = key(n[F[f][0]], n[F[f][1]], n[F[f][2]]);
+      QnFaceKey k = key(n[F[f][0]], n[F[f][1]], n[F[f][2]]);
       auto it = open.find(k);
       if (it == open.end()) {
         open.emplace(k, e * 4 + f);

@@ -19,6 +19,7 @@ import dataclasses
 import json
 import os
 import tempfile
+import zipfile
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -74,6 +75,6 @@ def load_checkpoint(dirpath: str, state_cls):
             data = np.load(os.path.join(slot, "state.npz"))
             kwargs = {k: jnp.asarray(data[k]) for k in meta["fields"]}
             return state_cls(**kwargs), meta
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, zipfile.BadZipFile):
             continue
     raise IOError(f"no readable checkpoint slot in {dirpath}")

@@ -31,11 +31,13 @@ def lib() -> Optional[ctypes.CDLL]:
         return None
     so = os.path.abspath(os.path.join(_NATIVE_DIR, "libquinoa_native.so"))
     try:
-        if not os.path.exists(so):
-            subprocess.run(
-                ["make", "-s"], cwd=os.path.dirname(so), check=True,
-                capture_output=True,
-            )
+        # Always invoke make: the Makefile's source->target dependency means
+        # this is a fast no-op when the .so is current, and it guarantees
+        # source edits are never silently ignored by a stale binary.
+        subprocess.run(
+            ["make", "-s"], cwd=os.path.dirname(so), check=True,
+            capture_output=True,
+        )
         L = ctypes.CDLL(so)
     except (OSError, subprocess.CalledProcessError):
         return None
