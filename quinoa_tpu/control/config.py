@@ -230,7 +230,6 @@ def build_inciter(cfg: InciterConfig, mesh):
             if cfg.pde == "transport"
             else CGCompFlow(problem)
         )
-        geom = make_cggeom(mesh)
         bcnodes = []
         for ss in cfg.bc_dirichlet:
             if ss in mesh.bnode:
@@ -238,6 +237,19 @@ def build_inciter(cfg: InciterConfig, mesh):
         bcnodes = (
             np.unique(np.concatenate(bcnodes)) if bcnodes else None
         )
+        if cfg.scheme == "alecg":
+            # RK3 + edge-Rusanov scheme (Scheme.hpp:44-48 kw::alecg)
+            from ..inciter.alecg import make_alecg
+
+            solver = make_alecg(
+                system,
+                mesh,
+                cfl=cfg.cfl if cfg.cfl is not None else 0.5,
+                const_dt=cfg.dt,
+                bcnodes=bcnodes,
+            )
+            return solver, Diagnostics(system, solver.geom)
+        geom = make_cggeom(mesh)
         solver = DiagCGSolver(
             system,
             geom,

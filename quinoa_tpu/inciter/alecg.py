@@ -59,23 +59,29 @@ class EdgeTables:
     ensup: jnp.ndarray
 
 
-def build_edge_tables(mesh, dtype=None) -> EdgeTables:
-    if dtype is None:
-        dtype = jnp.zeros(0).dtype
-    from ..mesh.geometry import tet_geometry
+def edge_arrays_np(coords: np.ndarray, inpoel: np.ndarray, nnode: int):
+    """Host-side edge graph arrays for the dissipation operator.
 
-    edges = gen_inpoed(mesh.inpoel).astype(np.int64)  # (nE,2) lo<hi
+    Returns (edges (nE, 2) int64 lo<hi, A (nE,) f64, ensup (D, nnode)
+    int32, D).  A is the per-edge dual-face area scale 2*m_ab/h_ab with
+    m_ab summed over the GIVEN elements only — so per-shard calls yield
+    partial sums that add up to the global coefficient across shards
+    (each element lives on exactly one shard), matching the partial-sum
+    halo-combine convention of every other CG assembly.
+    """
+    from ..mesh.geometry import tet_geometry
+    from ..mesh.derived import _TET_EDGES
+
+    edges = gen_inpoed(inpoel).astype(np.int64)  # (nE,2) lo<hi
     nE = len(edges)
     key = edges[:, 0] << 32 | edges[:, 1]
     lut = {int(k): i for i, k in enumerate(key)}
 
     # consistent-mass off-diagonal sums m_ab = sum_e J_e/120 over elements
     # containing edge (a,b)
-    J, _ = tet_geometry(mesh.coords, mesh.inpoel)
+    J, _ = tet_geometry(coords, inpoel)
     m = np.zeros(nE)
-    from ..mesh.derived import _TET_EDGES
-
-    inp = mesh.inpoel.astype(np.int64)
+    inp = inpoel.astype(np.int64)
     for le in range(6):
         a = inp[:, _TET_EDGES[le, 0]]
         b = inp[:, _TET_EDGES[le, 1]]
@@ -83,17 +89,49 @@ def build_edge_tables(mesh, dtype=None) -> EdgeTables:
         idx = np.fromiter((lut[int(x)] for x in k), dtype=np.int64, count=len(k))
         np.add.at(m, idx, J / 120.0)
 
-    h = np.linalg.norm(
-        mesh.coords[edges[:, 1]] - mesh.coords[edges[:, 0]], axis=1
-    )
+    h = np.linalg.norm(coords[edges[:, 1]] - coords[edges[:, 0]], axis=1)
     A = 2.0 * m / h
 
-    ensup, _ = build_nsup(edges.astype(np.int32), mesh.nnode)
+    ensup, D = build_nsup(edges.astype(np.int32), nnode)
+    return edges, A, ensup, D
+
+
+def build_edge_tables(mesh, dtype=None) -> EdgeTables:
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    edges, A, ensup, _ = edge_arrays_np(mesh.coords, mesh.inpoel, mesh.nnode)
     return EdgeTables(
         edges=jnp.asarray(edges.T, dtype=jnp.int32),
         A=jnp.asarray(A, dtype=dtype),
         ensup=jnp.asarray(ensup),
     )
+
+
+def alecg_flux_rhs(system, geom, u):
+    """Galerkin volume rhs: R_a -= (V_e/4) sum_b grad_b . F(u_b)."""
+    un = gather_nodes(u, geom.inpoelT)  # (4, C, E)
+    divF = None
+    for b in range(4):
+        fb = system.flux_at_nodes(un[b], geom.coords[:, geom.inpoelT[b]])
+        d = sum(geom.grad[b, j] * fb[j] for j in range(3))
+        divF = d if divF is None else divF + d
+    w = (geom.J * geom.emask) / 24.0  # V/4
+    contrib = jnp.broadcast_to((-w * divF)[None], (4,) + divF.shape)
+    return assemble_add(contrib, geom.nsup)
+
+
+def alecg_dissipation(system, geom, edges, A, ensup, u):
+    """Edge Rusanov: R_a += A_ab lambda_ab (u_b - u_a)."""
+    a, b = edges[0], edges[1]
+    ua = u[:, a]
+    ub = u[:, b]
+    lam = jnp.maximum(
+        system.charspeed(ua, geom.coords[:, a]),
+        system.charspeed(ub, geom.coords[:, b]),
+    )
+    d = A * lam * (ub - ua)  # (C, nE)
+    contrib = jnp.stack([d, -d])  # slot 0 -> node a, slot 1 -> node b
+    return assemble_add(contrib, ensup)
 
 
 class ALECGSolver:
@@ -122,35 +160,6 @@ class ALECGSolver:
         self.bcmask = bcmask
         self.lhs = lumped_mass(geom)
         self._step = jax.jit(self._step_impl)
-
-    # -- physics callbacks ----------------------------------------------------
-
-    def _flux_dot_grad(self, geom, u):
-        """Galerkin volume rhs: R_a -= (V_e/4) sum_b grad_b . F(u_b)."""
-        un = gather_nodes(u, geom.inpoelT)  # (4, C, E)
-        divF = None
-        for b in range(4):
-            fb = self.system.flux_at_nodes(un[b], geom.coords[:, geom.inpoelT[b]])
-            d = sum(geom.grad[b, j] * fb[j] for j in range(3))
-            divF = d if divF is None else divF + d
-        w = (geom.J * geom.emask) / 24.0  # V/4
-        contrib = jnp.broadcast_to(
-            (-w * divF)[None], (4,) + divF.shape
-        )
-        return assemble_add(contrib, geom.nsup)
-
-    def _dissipation(self, geom, edget, u):
-        """Edge Rusanov: R_a += A_ab lambda_ab (u_b - u_a)."""
-        a, b = edget.edges[0], edget.edges[1]
-        ua = u[:, a]
-        ub = u[:, b]
-        lam = jnp.maximum(
-            self.system.charspeed(ua, geom.coords[:, a]),
-            self.system.charspeed(ub, geom.coords[:, b]),
-        )
-        d = edget.A * lam * (ub - ua)  # (C, nE)
-        contrib = jnp.stack([d, -d])  # slot 0 -> node a, slot 1 -> node b
-        return assemble_add(contrib, edget.ensup)
 
     # -- public API -----------------------------------------------------------
 
@@ -181,8 +190,8 @@ class ALECGSolver:
         un = state.u
         u = state.u
         for s in range(3):
-            r = self._flux_dot_grad(geom, u) + self._dissipation(
-                geom, edget, u
+            r = alecg_flux_rhs(self.system, geom, u) + alecg_dissipation(
+                self.system, geom, edget.edges, edget.A, edget.ensup, u
             )
             u = RK0[s] * un + RK1[s] * (u + dt * r / lhs[None, :])
             # Dirichlet: pin to the analytic solution at the stage time

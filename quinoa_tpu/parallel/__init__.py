@@ -13,6 +13,7 @@ from .shard import ShardedCG, build_cg_shards
 from .spmd import SPMDDiagCGSolver
 from .dg_shard import ShardedDG, build_dg_shards
 from .dg_spmd import SPMDDGSolver
+from .alecg_spmd import ShardedALECG, build_alecg_shards, SPMDALECGSolver
 
 __all__ = [
     "morton_partition",
@@ -24,4 +25,7 @@ __all__ = [
     "ShardedDG",
     "build_dg_shards",
     "SPMDDGSolver",
+    "ShardedALECG",
+    "build_alecg_shards",
+    "SPMDALECGSolver",
 ]

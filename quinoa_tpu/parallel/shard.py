@@ -73,8 +73,13 @@ def build_cg_shards(
     bcnodes: Optional[np.ndarray] = None,
     algorithm: str = "sfc",
     dtype=None,
+    epart: Optional[np.ndarray] = None,
 ) -> ShardedCG:
-    """Partition a host mesh and build stacked, padded per-shard tables."""
+    """Partition a host mesh and build stacked, padded per-shard tables.
+
+    epart (nelem,) overrides the partitioner with a precomputed
+    element->shard assignment (so sibling table builders stay aligned).
+    """
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     coords, inpoel = mesh.coords, mesh.inpoel
@@ -85,7 +90,8 @@ def build_cg_shards(
         raise ValueError("mesh has non-positive element Jacobians")
     volg = nodal_volumes(coords, inpoel, nnode)
 
-    epart = partition_elements(coords, inpoel, nshard, algorithm)
+    if epart is None:
+        epart = partition_elements(coords, inpoel, nshard, algorithm)
     elems = [np.nonzero(epart == s)[0] for s in range(nshard)]
     nodes = [np.unique(inpoel[e].ravel()) for e in elems]
 
