@@ -26,6 +26,10 @@ def _cmd_inciter(argv):
     ap.add_argument("--pieces", type=int, default=0,
                     help="write field output as N per-partition exodus "
                          "pieces (MeshWriter chare-group analog)")
+    ap.add_argument("--npes", type=int, default=1,
+                    help="shard the run over N devices (domain "
+                         "decomposition over a jax.sharding.Mesh; the "
+                         "Transporter/Partitioner analog)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -39,13 +43,17 @@ def _cmd_inciter(argv):
     if args.verbose:
         print(f"quinoa_tpu inciter: {cfg.title!r}")
         print(f"  mesh: {mesh.nnode} nodes, {mesh.nelem} tets")
-        print(f"  scheme={cfg.scheme} pde={cfg.pde} problem={cfg.problem}")
+        print(f"  scheme={cfg.scheme} pde={cfg.pde} problem={cfg.problem}"
+              + (f" npes={args.npes}" if args.npes > 1 else ""))
 
     if cfg.t0ref and cfg.amr_initial:
         n0 = mesh.nelem
         mesh = apply_t0ref(cfg, mesh)
         if args.verbose:
             print(f"  t0ref: {n0} -> {mesh.nelem} tets")
+
+    if args.npes > 1:
+        return _run_inciter_spmd(args, cfg, mesh)
 
     solver, diag = build_inciter(cfg, mesh)
     state = solver.initial_state(t0=cfg.t0)
@@ -83,87 +91,21 @@ def _cmd_inciter(argv):
             import dataclasses as _dc
             import jax.numpy as jnp
 
-            from .amr import refine_mesh, tag_edges_by_error, uniform_refine
-            from .amr.refine import (
-                transfer_cg, transfer_dg,
-                transfer_cg_derefine, transfer_dg_derefine, RefineMap,
-            )
             from .control.config import build_inciter as _rebuild
 
-            if cfg.dtref_uniform:
-                # compounding uniform refinement (the reference's
-                # dtref_uniform regression behavior)
-                mesh2, rmap = uniform_refine(mesh)
-                if mesh2.nelem > mesh.nelem:
-                    if cg_scheme:
-                        u2 = transfer_cg(rmap, np.asarray(state.u))
-                    else:
-                        u2 = transfer_dg(rmap, np.asarray(state.u),
-                                         solver.system.ncomp,
-                                         solver.geom.ndof)
-                    mesh = mesh2
-                    solver, diag = _rebuild(cfg, mesh)
-                    st = solver.initial_state(t0=float(state.t))
-                    state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
-                                        dt=state.dt)
-                    if args.verbose:
-                        print(f"  dtref @it={it}: -> {mesh.nelem} tets")
-            else:
-                # adaptive dtref, one level above the base mesh: retag
-                # every dtfreq steps and rebuild refine_mesh(base, tags).
-                # Regions no longer tagged coarsen automatically (the
-                # transfer between two sibling refinements of the base is
-                # the derefine transfer: identical parents copy, refined
-                # parents inherit the parent mean / midpoint interpolant,
-                # collapsed parents get the conservative child average).
-                if amr_base is None:
-                    amr_base = mesh
-                    amr_rmap = RefineMap(
-                        mid_edges=np.zeros((0, 2), np.int64),
-                        parent=np.arange(mesh.nelem),
-                        nnode_old=mesh.nnode,
-                    )
-                nb = amr_base.nnode  # base nodes prefix every refinement
-                if cg_scheme:
-                    uerr = np.asarray(state.u)[:, :nb]
-                    vol_cur = None
-                else:
-                    from .pde.dg import dg_cell_avg
-
-                    avg = np.asarray(dg_cell_avg(
-                        state.u, solver.system.ncomp, solver.geom.ndof))
-                    unod = np.zeros((avg.shape[0], mesh.nnode))
-                    cnt = np.zeros(mesh.nnode)
-                    for a in range(4):
-                        np.add.at(cnt, mesh.inpoel[:, a], 1.0)
-                        for c in range(avg.shape[0]):
-                            np.add.at(unod[c], mesh.inpoel[:, a], avg[c])
-                    unod /= np.maximum(cnt, 1.0)
-                    uerr = unod[:, :nb]
-                    vol_cur = np.asarray(solver.geom.vol)
-                tags = tag_edges_by_error(
-                    amr_base, uerr, method=cfg.amr_error, tol=cfg.amr_tol,
-                )
-                mesh2, rmap2 = refine_mesh(amr_base, tags)
-                cur_keys = {tuple(e) for e in
-                            np.sort(amr_rmap.mid_edges, 1).tolist()}
-                new_keys = {tuple(e) for e in
-                            np.sort(rmap2.mid_edges, 1).tolist()}
-                if new_keys != cur_keys:
-                    if cg_scheme:
-                        u2 = transfer_cg_derefine(amr_rmap, rmap2,
-                                                  np.asarray(state.u))
-                    else:
-                        u2 = transfer_dg_derefine(
-                            amr_base, amr_rmap, rmap2, np.asarray(state.u),
-                            vol_cur, solver.system.ncomp, solver.geom.ndof)
-                    mesh, amr_rmap = mesh2, rmap2
-                    solver, diag = _rebuild(cfg, mesh)
-                    st = solver.initial_state(t0=float(state.t))
-                    state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
-                                        dt=state.dt)
-                    if args.verbose:
-                        print(f"  dtref @it={it}: -> {mesh.nelem} tets")
+            ndof = None if cg_scheme else solver.geom.ndof
+            changed, mesh2, amr_base, amr_rmap, u2 = _dtref_remesh(
+                cfg, mesh, amr_base, amr_rmap, np.asarray(state.u),
+                cg_scheme, solver.system.ncomp, ndof,
+            )
+            if changed:
+                mesh = mesh2
+                solver, diag = _rebuild(cfg, mesh)
+                st = solver.initial_state(t0=float(state.t))
+                state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
+                                    dt=state.dt)
+                if args.verbose:
+                    print(f"  dtref @it={it}: -> {mesh.nelem} tets")
         if args.verbose and it % cfg.ttyi == 0:
             print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
         if it % cfg.field_interval == 0:
@@ -181,6 +123,228 @@ def _cmd_inciter(argv):
     _write_fields(args.output, it, cfg, solver, state, mesh,
                   pieces=args.pieces)
     return 0
+
+
+def _dtref_remesh(cfg, mesh, amr_base, amr_rmap, u_host, cg_scheme, ncomp,
+                  ndof):
+    """One during-timestep AMR decision on host state.
+
+    u_host is the GLOBAL solution ((C, nnode) nodal for CG schemes,
+    (C*ndof, nelem) modal for DG).  Returns
+    (changed, mesh, amr_base, amr_rmap, u_transferred-or-None) — shared
+    by the single-device and SPMD drivers (under SPMD a `changed` result
+    triggers a resharding event, the reference's migration analog).
+    """
+    import numpy as np
+
+    from .amr import refine_mesh, tag_edges_by_error, uniform_refine
+    from .amr.refine import (
+        transfer_cg, transfer_dg,
+        transfer_cg_derefine, transfer_dg_derefine, RefineMap,
+    )
+
+    if cfg.dtref_uniform:
+        # compounding uniform refinement (the reference's dtref_uniform
+        # regression behavior)
+        mesh2, rmap = uniform_refine(mesh)
+        if mesh2.nelem > mesh.nelem:
+            if cg_scheme:
+                u2 = transfer_cg(rmap, u_host)
+            else:
+                u2 = transfer_dg(rmap, u_host, ncomp, ndof)
+            return True, mesh2, amr_base, amr_rmap, u2
+        return False, mesh, amr_base, amr_rmap, None
+
+    # adaptive dtref, one level above the base mesh: retag every dtfreq
+    # steps and rebuild refine_mesh(base, tags).  Regions no longer
+    # tagged coarsen automatically (the transfer between two sibling
+    # refinements of the base is the derefine transfer: identical
+    # parents copy, refined parents inherit the parent mean / midpoint
+    # interpolant, collapsed parents get the conservative child average).
+    if amr_base is None:
+        amr_base = mesh
+        amr_rmap = RefineMap(
+            mid_edges=np.zeros((0, 2), np.int64),
+            parent=np.arange(mesh.nelem),
+            nnode_old=mesh.nnode,
+        )
+    nb = amr_base.nnode  # base nodes prefix every refinement
+    if cg_scheme:
+        uerr = u_host[:, :nb]
+        vol_cur = None
+    else:
+        from .pde.dg import dg_cell_avg
+        import jax.numpy as jnp
+
+        avg = np.asarray(dg_cell_avg(jnp.asarray(u_host), ncomp, ndof))
+        unod = np.zeros((avg.shape[0], mesh.nnode))
+        cnt = np.zeros(mesh.nnode)
+        for a in range(4):
+            np.add.at(cnt, mesh.inpoel[:, a], 1.0)
+            for c in range(avg.shape[0]):
+                np.add.at(unod[c], mesh.inpoel[:, a], avg[c])
+        unod /= np.maximum(cnt, 1.0)
+        uerr = unod[:, :nb]
+        from .mesh.geometry import tet_geometry
+
+        J, _ = tet_geometry(mesh.coords, mesh.inpoel)
+        vol_cur = J / 6.0
+    tags = tag_edges_by_error(
+        amr_base, uerr, method=cfg.amr_error, tol=cfg.amr_tol,
+    )
+    mesh2, rmap2 = refine_mesh(amr_base, tags)
+    cur_keys = {tuple(e) for e in np.sort(amr_rmap.mid_edges, 1).tolist()}
+    new_keys = {tuple(e) for e in np.sort(rmap2.mid_edges, 1).tolist()}
+    if new_keys != cur_keys:
+        if cg_scheme:
+            u2 = transfer_cg_derefine(amr_rmap, rmap2, u_host)
+        else:
+            u2 = transfer_dg_derefine(
+                amr_base, amr_rmap, rmap2, u_host, vol_cur, ncomp, ndof)
+        return True, mesh2, amr_base, rmap2, u2
+    return False, mesh, amr_base, amr_rmap, None
+
+
+def _run_inciter_spmd(args, cfg, mesh):
+    """Distributed inciter run: shard_map solvers over a 1-D device mesh.
+
+    The production parallel path (the reference's executable is parallel
+    by construction, Transporter.cpp:278-352): partition -> SPMD solver
+    -> ownership-masked diag reductions -> gathered field/checkpoint
+    output; a dtref remesh triggers a resharding event (gather ->
+    retag/refine/transfer -> repartition -> rebuild sharded solver).
+    """
+    import dataclasses as _dc
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .control.config import build_inciter_spmd
+    from .io import DiagWriter
+    from .parallel.shard import gather_global_field
+
+    solver = build_inciter_spmd(cfg, mesh, args.npes)
+    cg_scheme = cfg.scheme in ("diagcg", "alecg")
+
+    def gather_u(state):
+        if cg_scheme:
+            sh = solver.sharded
+            shcg = sh.cg if hasattr(sh, "cg") else sh
+            return gather_global_field(shcg, state.u)
+        return solver.gather_global(state)
+
+    def scatter_u(solver2, u_glob):
+        """Stacked per-shard u from a global field (pads/ghosts read
+        through clipped ids; ghost slots hold the owner's values)."""
+        sh = solver2.sharded
+        if cg_scheme:
+            shcg = sh.cg if hasattr(sh, "cg") else sh
+            ids = np.maximum(np.asarray(shcg.gids), 0)
+        else:
+            ids = np.maximum(np.asarray(sh.eglobal), 0)
+        return jnp.asarray(np.stack([u_glob[:, ids[s]] for s in
+                                     range(ids.shape[0])]))
+
+    state = solver.initial_state(t0=cfg.t0)
+    if args.restart:
+        from .inciter.checkpoint import load_checkpoint
+
+        st, ck = load_checkpoint(args.restart, type(state))
+        state = jax.tree_util.tree_map(
+            lambda a, b: jax.device_put(jnp.asarray(a), b.sharding),
+            st, state,
+        )
+        if args.verbose:
+            print(f"  restarted from {args.restart} at it={int(state.it)}")
+    dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
+
+    amr_base = None
+    amr_rmap = None
+    t0 = time.perf_counter()
+    it = int(state.it)
+    while it < cfg.nstep and float(state.t) < cfg.term:
+        state = solver.step(state)
+        it = int(state.it)
+        if it % cfg.diag_interval == 0:
+            l2sol, l2err, linferr = solver.diagnostics(state)
+            dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
+                     linferr)
+        if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
+                and it < cfg.nstep:
+            ndof = None if cg_scheme else solver.sharded.geom.ndof
+            changed, mesh2, amr_base, amr_rmap, u2 = _dtref_remesh(
+                cfg, mesh, amr_base, amr_rmap, gather_u(state),
+                cg_scheme, solver.system.ncomp, ndof,
+            )
+            if changed:
+                mesh = mesh2
+                solver = build_inciter_spmd(cfg, mesh, args.npes)
+                st = solver.initial_state(t0=float(state.t))
+                unew = jax.device_put(
+                    scatter_u(solver, u2).astype(st.u.dtype),
+                    st.u.sharding,
+                )
+                state = _dc.replace(st, u=unew, it=state.it, dt=state.dt)
+                if args.verbose:
+                    print(f"  dtref @it={it}: -> {mesh.nelem} tets "
+                          f"(resharded over {args.npes})")
+        if args.verbose and it % cfg.ttyi == 0:
+            print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
+        if it % cfg.field_interval == 0:
+            _write_fields_spmd(args, it, cfg, solver, state, mesh,
+                               gather_u, cg_scheme)
+        if args.rsfreq and it % args.rsfreq == 0:
+            from .inciter.checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint_dir, state,
+                            {"it": it, "t": float(state.t),
+                             "npes": args.npes})
+    dw.close()
+    if args.verbose:
+        wall = time.perf_counter() - t0
+        print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
+    _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
+                       cg_scheme)
+    return 0
+
+
+def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
+                       cg_scheme):
+    import numpy as np
+
+    from .inciter.fieldout import plot_fields
+    from .io import write_exodus, write_exodus_pieces
+
+    u = gather_u(state)
+    fields = None
+    elem_fields = None
+    if cg_scheme:
+        fields = plot_fields(cfg.pde, solver.system, u, mesh.coords.T,
+                             float(state.t))
+    else:
+        import jax.numpy as jnp
+
+        from .pde.dg import dg_cell_avg
+
+        avg = np.asarray(dg_cell_avg(jnp.asarray(u), solver.system.ncomp,
+                                     solver.sharded.geom.ndof))
+        cen = mesh.coords[mesh.inpoel].mean(axis=1).T
+        elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
+                                  float(state.t))
+    if args.pieces > 1:
+        from .parallel.partition import partition_elements
+
+        parts = partition_elements(mesh.coords, mesh.inpoel, args.pieces,
+                                   algorithm=cfg.partitioner)
+        write_exodus_pieces(args.output, mesh, parts, node_fields=fields,
+                            elem_fields=elem_fields, time=float(state.t),
+                            it=it)
+    else:
+        write_exodus(f"{args.output}.e-s.{it}.exo", mesh,
+                     node_fields=fields, elem_fields=elem_fields,
+                     time=float(state.t))
 
 
 def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):

@@ -340,6 +340,132 @@ def build_inciter(cfg: InciterConfig, mesh):
     raise ValueError(f"unknown scheme {cfg.scheme!r}")
 
 
+def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None):
+    """Construct the DISTRIBUTED solver named by the deck over npes shards.
+
+    The production counterpart of the reference's always-parallel
+    executable (Transporter creates Partitioner/chare arrays for every
+    run, src/Inciter/Transporter.cpp:278-352): the host mesh is
+    partitioned into npes shards and the scheme's SPMD solver is built
+    over a 1-D jax.sharding.Mesh.  Returns the solver; diagnostics come
+    from solver.diagnostics() (ownership-masked psum reductions).
+    """
+    import jax
+    from jax.sharding import Mesh as _JMesh
+
+    from ..pde import problems as prob_mod
+    from ..pde.eos import StiffenedGas
+
+    if dmesh is None:
+        devices = jax.devices()
+        if len(devices) < npes:
+            raise RuntimeError(
+                f"--npes {npes} but only {len(devices)} devices; set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "JAX_PLATFORMS=cpu for a virtual mesh"
+            )
+        dmesh = _JMesh(np.array(devices[:npes]), ("shard",))
+
+    if cfg.pde == "multimat":
+        raise ValueError("multimat is not sharded yet; run without --npes")
+
+    kwargs = {}
+    if cfg.pde == "transport":
+        cls = getattr(prob_mod, _PROBLEMS_TRANSPORT[cfg.problem])
+        if cfg.problem == "shear_diff":
+            if "u0" in cfg.params:
+                kwargs["u0"] = cfg.params["u0"]
+            if "lambda" in cfg.params:
+                kwargs["lam"] = cfg.params["lambda"]
+            if "diffusivity" in cfg.params:
+                kwargs["diffusivity"] = cfg.params["diffusivity"]
+        problem = cls(ncomp=cfg.ncomp, **kwargs)
+    else:
+        cls = getattr(prob_mod, _PROBLEMS_COMPFLOW[cfg.problem])
+        fields = {f.name for f in dataclasses.fields(cls)}
+        for k, v in cfg.params.items():
+            if k in fields:
+                kwargs[k] = v
+        if "eos" in fields:
+            kwargs["eos"] = StiffenedGas(gamma=cfg.gamma, pstiff=cfg.pstiff)
+        problem = cls(**kwargs)
+
+    cfl = cfg.cfl if cfg.cfl is not None else 0.5
+
+    if cfg.scheme in ("diagcg", "alecg"):
+        from ..pde.cg import CGTransport
+        from ..pde.cg_compflow import CGCompFlow
+        from ..parallel import (
+            build_cg_shards, SPMDDiagCGSolver,
+            build_alecg_shards, SPMDALECGSolver,
+        )
+
+        system = (
+            CGTransport(problem)
+            if cfg.pde == "transport"
+            else CGCompFlow(problem)
+        )
+        bcnodes = []
+        for ss in cfg.bc_dirichlet:
+            if ss in mesh.bnode:
+                bcnodes.append(mesh.bnode[ss])
+        bcnodes = np.unique(np.concatenate(bcnodes)) if bcnodes else None
+        if cfg.scheme == "alecg":
+            sharded = build_alecg_shards(
+                mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
+                algorithm=cfg.partitioner,
+            )
+            return SPMDALECGSolver(
+                system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt
+            )
+        sharded = build_cg_shards(
+            mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
+            algorithm=cfg.partitioner,
+        )
+        return SPMDDiagCGSolver(
+            system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
+            ctau=cfg.ctau, fct=cfg.fct,
+        )
+
+    if cfg.scheme in _SCHEME_NDOF:
+        if cfg.pref or cfg.scheme == "pdg":
+            raise ValueError(
+                "p-adaptive DG is not sharded yet; run without --npes"
+            )
+        from ..pde.dg import (
+            BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE, BC_INLET, BC_OUTLET,
+        )
+        from ..pde.dg_compflow import DGCompFlow, DGTransport
+        from ..parallel import build_dg_shards, SPMDDGSolver
+
+        bc = {}
+        for ss in cfg.bc_dirichlet:
+            bc[ss] = BC_DIRICHLET
+        for ss in cfg.bc_sym:
+            bc[ss] = BC_SYMMETRY
+        for ss in cfg.bc_extrapolate:
+            bc[ss] = BC_EXTRAPOLATE
+        for ss in cfg.bc_inlet:
+            bc[ss] = BC_INLET
+        for ss in cfg.bc_outlet:
+            bc[ss] = BC_OUTLET
+        system = (
+            DGTransport(problem)
+            if cfg.pde == "transport"
+            else DGCompFlow(problem, riemann_flux=cfg.flux)
+        )
+        sharded = build_dg_shards(
+            mesh, npes, ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
+            algorithm=cfg.partitioner,
+        )
+        return SPMDDGSolver(
+            system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
+            limiter=cfg.limiter, cweight=cfg.cweight,
+        )
+
+    raise ValueError(f"unknown scheme {cfg.scheme!r}")
+
+
 # ---------------------------------------------------------------------------
 # walker
 # ---------------------------------------------------------------------------

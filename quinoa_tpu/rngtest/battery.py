@@ -262,6 +262,191 @@ def autocorrelation(key, n=2**18, lag=1):
     return TestResult("AutoCorrelation", float(2.0 * stats.norm.sf(abs(z))))
 
 
+# --- Crush-family tests (structurally distinct from the SmallCrush set;
+# counterparts of the additional TestU01 families the reference's Crush
+# battery runs, src/RNGTest/Crush.cpp: smultin_SerialOver/CollisionOver,
+# sknuth_Run, sstring_LongestHeadRun/HammingWeight2, svaria_SampleProd/
+# SampleMean/SampleCorr, swalk_RandomWalk1 statistics) -------------------
+
+
+def serial_over(key, n=2**18, d=64):
+    """smultin_SerialOver: Good's generalized serial test on OVERLAPPING
+    pairs — X2(pairs) - X2(singles) is asymptotically chi2(d^2 - d)
+    (the exact correction for tuple overlap)."""
+    v = np.asarray(
+        jax.random.randint(key, (n,), 0, d, dtype=jnp.int32)
+    ).astype(np.int64)
+    pairs = v * d + np.roll(v, -1)  # circular overlap: n tuples
+    N2 = np.bincount(pairs, minlength=d * d).astype(float)
+    N1 = np.bincount(v, minlength=d).astype(float)
+    e2, e1 = n / (d * d), n / d
+    x2 = ((N2 - e2) ** 2 / e2).sum()
+    x1 = ((N1 - e1) ** 2 / e1).sum()
+    p = float(stats.chi2.sf(x2 - x1, d * d - d))
+    return TestResult("SerialOver", p)
+
+
+def collision_over(key, n=2**16, d=2**12):
+    """smultin_CollisionOver (OPSO-style): collisions among n OVERLAPPING
+    pairs in k = d^2 cells; sparse regime is Poisson(n^2/(2k)) (L'Ecuyer &
+    Simard, overlapping collision asymptotics)."""
+    v = np.asarray(
+        jax.random.randint(key, (n + 1,), 0, d, dtype=jnp.int32)
+    ).astype(np.int64)
+    cells = v[:-1] * d + v[1:]
+    ncoll = n - len(np.unique(cells))
+    lam = n * n / (2.0 * d * d)
+    p = stats.poisson.cdf(ncoll, lam)
+    return TestResult("CollisionOver", float(min(p, 1 - p) * 2))
+
+
+#: Knuth TAOCP vol.2 3.3.2G run-test covariance constants
+_RUNS_A = np.array(
+    [
+        [4529.4, 9044.9, 13568.0, 18091.0, 22615.0, 27892.0],
+        [9044.9, 18097.0, 27139.0, 36187.0, 45234.0, 55789.0],
+        [13568.0, 27139.0, 40721.0, 54281.0, 67852.0, 83685.0],
+        [18091.0, 36187.0, 54281.0, 72414.0, 90470.0, 111580.0],
+        [22615.0, 45234.0, 67852.0, 90470.0, 113262.0, 139476.0],
+        [27892.0, 55789.0, 83685.0, 111580.0, 139476.0, 172860.0],
+    ]
+)
+_RUNS_B = np.array(
+    [1 / 6, 5 / 24, 11 / 120, 19 / 720, 29 / 5040, 1 / 840]
+)
+
+
+def runs_up(key, n=2**18):
+    """sknuth_Run: runs-up length counts with Knuth's covariance-corrected
+    quadratic form V ~ chi2(6) (TAOCP 3.3.2G — run lengths of a uniform
+    sequence are dependent, so a plain chi2 is wrong)."""
+    u = np.asarray(jax.random.uniform(key, (n,)))
+    desc = np.nonzero(u[1:] < u[:-1])[0]
+    lengths = np.diff(np.concatenate([[-1], desc, [n - 1]]))
+    lengths = np.clip(lengths, 1, 6)
+    C = np.bincount(lengths - 1, minlength=6)[:6].astype(float)
+    diff = C - n * _RUNS_B
+    V = diff @ _RUNS_A @ diff / (n - 6)
+    return TestResult("RunsUp", float(stats.chi2.sf(V, 6)))
+
+
+def longest_head_run(key, nblocks=2**12, L=64):
+    """sstring_LongestHeadRun: longest run of 1s per L-bit block; the law
+    is EXACT via the no-run-longer-than-m counting recurrence (big-int
+    arithmetic, no asymptotics)."""
+    bits = np.asarray(
+        jax.random.randint(key, (nblocks, L), 0, 2, dtype=jnp.int32)
+    )
+    cur = np.zeros(nblocks, dtype=np.int64)
+    best = np.zeros(nblocks, dtype=np.int64)
+    for j in range(L):
+        cur = (cur + 1) * bits[:, j]
+        best = np.maximum(best, cur)
+
+    def count_max_le(m):
+        # strings of length l with longest 1-run <= m: first zero after
+        # j <= m leading ones, plus the all-ones string when l <= m
+        f = [1]  # f[0]
+        for length in range(1, L + 1):
+            tot = sum(f[length - 1 - j] for j in range(min(m, length - 1) + 1))
+            if length <= m:
+                tot += 1
+            f.append(tot)
+        return f[L]
+
+    cdf = np.array([count_max_le(m) / 2.0**L for m in range(L + 1)])
+    pmf = np.diff(np.concatenate([[0.0], cdf]))
+    obs = np.bincount(best, minlength=L + 1).astype(float)
+    # merge tails so every category is testable
+    kmax = int(np.searchsorted(cdf, 1 - 4.0 / nblocks))
+    kmin = int(np.searchsorted(pmf.cumsum(), 4.0 / nblocks))
+    o = np.concatenate(
+        [[obs[: kmin + 1].sum()], obs[kmin + 1: kmax],
+         [obs[kmax:].sum()]]
+    )
+    e = np.concatenate(
+        [[pmf[: kmin + 1].sum()], pmf[kmin + 1: kmax],
+         [1.0 - cdf[kmax - 1]]]
+    ) * nblocks
+    return TestResult("LongestHeadRun", _chi2_p(o, e))
+
+
+def sample_prod(key, m=2**14, t=8):
+    """svaria_SampleProd: -log(prod of t uniforms) is EXACTLY Gamma(t,1);
+    transform to uniform and KS."""
+    u = np.asarray(jax.random.uniform(key, (m, t)))
+    s = -np.log(np.maximum(u, 1e-300)).sum(axis=1)
+    g = stats.gamma.cdf(s, t)
+    return TestResult("SampleProd", float(stats.kstest(g, "uniform").pvalue))
+
+
+def sample_mean(key, m=2**14, t=12):
+    """svaria_SampleMean: sum of t uniforms follows the EXACT Irwin-Hall
+    law; transform and KS."""
+    from math import comb, factorial
+
+    u = np.asarray(jax.random.uniform(key, (m, t))).sum(axis=1)
+
+    def ih_cdf(x):
+        x = np.asarray(x)
+        out = np.zeros_like(x)
+        for k in range(t + 1):
+            term = (-1.0) ** k * comb(t, k) * np.maximum(x - k, 0.0) ** t
+            out = out + term
+        return out / factorial(t)
+
+    g = ih_cdf(u)
+    return TestResult("SampleMean", float(stats.kstest(g, "uniform").pvalue))
+
+
+def sample_corr(key, n=2**18, lag=1):
+    """svaria_SampleCorr: lag-k autocorrelation of the uniforms themselves;
+    r*sqrt(n) is asymptotically standard normal."""
+    u = np.asarray(jax.random.uniform(key, (n,)))
+    a = u[:-lag] - u.mean()
+    b = u[lag:] - u.mean()
+    r = (a * b).mean() / u.var()
+    z = r * np.sqrt(n - lag)
+    return TestResult("SampleCorr", float(2.0 * stats.norm.sf(abs(z))))
+
+
+def walk_last_return(key, nwalks=2**13, m=32):
+    """swalk_RandomWalk1 (R statistic family): time of the LAST return to
+    the origin of a 2m-step +-1 walk follows the EXACT discrete arcsine
+    law P(2k) = C(2k,k) C(2m-2k,m-k) / 4^m."""
+    from scipy.special import gammaln
+
+    steps = np.asarray(
+        jax.random.randint(key, (nwalks, 2 * m), 0, 2, dtype=jnp.int32)
+    ) * 2 - 1
+    pos = steps.cumsum(axis=1)
+    tgrid = np.arange(1, 2 * m + 1)
+    lastz = ((pos == 0) * tgrid[None, :]).max(axis=1)  # 0 if never returns
+    k = lastz // 2
+
+    def logc(nn, kk):
+        return gammaln(nn + 1) - gammaln(kk + 1) - gammaln(nn - kk + 1)
+
+    ks = np.arange(m + 1)
+    logp = (logc(2 * ks, ks) + logc(2 * (m - ks), m - ks)
+            - 2 * m * np.log(2.0))
+    probs = np.exp(logp)
+    obs = np.bincount(k, minlength=m + 1).astype(float)
+    return TestResult("WalkLastReturn", _chi2_p(obs, probs * nwalks))
+
+
+def hamming_weight_blocks(key, nblocks=2**15, L=32):
+    """sstring_HammingWeight2: Hamming weight of L-bit blocks is EXACTLY
+    Binomial(L, 1/2)."""
+    bits = np.asarray(
+        jax.random.randint(key, (nblocks, L), 0, 2, dtype=jnp.int32)
+    )
+    w = bits.sum(axis=1)
+    probs = stats.binom.pmf(np.arange(L + 1), L, 0.5)
+    obs = np.bincount(w, minlength=L + 1)
+    return TestResult("HammingWeight2", _chi2_p(obs, probs * nblocks))
+
+
 SmallCrush: List[Callable] = [
     birthday_spacings,
     collision,
@@ -279,10 +464,13 @@ SmallCrush: List[Callable] = [
     autocorrelation,
 ]
 
-#: Crush-scale battery: the same exact-law tests at ~16-64x the sample
-#: sizes (the reference's Crush option scales TestU01 the same way;
-#: src/RNGTest/Crush.cpp).  Runtime is minutes, not hours: generation is
-#: on-device and each test reduces to counts.
+#: Crush-scale battery: the SmallCrush-class exact-law tests at ~16-64x
+#: the sample sizes PLUS the structurally distinct Crush families
+#: (overlapping serial/collision, Knuth runs, longest-head-run,
+#: sample-product/mean/correlation, walk last-return, Hamming-weight
+#: blocks) — matching the reference's Crush battery composition
+#: (src/RNGTest/Crush.cpp).  Runtime is minutes, not hours: generation
+#: is on-device and each test reduces to counts.
 Crush: List[Callable] = [
     lambda k: birthday_spacings(k, n=2**12, d=2**30, reps=64),
     lambda k: collision(k, n=2**16, d=2**26, reps=32),
@@ -298,6 +486,15 @@ Crush: List[Callable] = [
     lambda k: permutation(k, n=2**19, t=6),
     lambda k: serial_pairs(k, n=2**20, d=128),
     lambda k: autocorrelation(k, n=2**22),
+    lambda k: serial_over(k, n=2**20, d=128),
+    lambda k: collision_over(k, n=2**18, d=2**13),
+    lambda k: runs_up(k, n=2**20),
+    lambda k: longest_head_run(k, nblocks=2**14, L=64),
+    lambda k: sample_prod(k, m=2**16, t=8),
+    lambda k: sample_mean(k, m=2**16, t=12),
+    lambda k: sample_corr(k, n=2**20),
+    lambda k: walk_last_return(k, nwalks=2**15, m=32),
+    lambda k: hamming_weight_blocks(k, nblocks=2**17, L=32),
 ]
 
 

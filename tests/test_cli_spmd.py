@@ -1,0 +1,52 @@
+"""CLI --npes: the distributed production path must reproduce the
+single-device diag file.
+
+The reference's executable is parallel by construction (Transporter
+creates Partitioner/chare arrays for every run, src/Inciter/
+Transporter.cpp:278-352) and its asynclogic suite re-runs the same deck
+over PE counts 1..8 requiring identical physics (tests/regression/
+inciter/transport/SlotCyl/asynclogic/CMakeLists.txt).  Here: run the
+reference decks through `quinoa_tpu inciter` once single-device and once
+with --npes 8 on the virtual device mesh and require the diag histories
+to agree to 1e-9.
+"""
+
+import numpy as np
+import pytest
+
+from quinoa_tpu.cli import main
+from quinoa_tpu.io import write_mesh
+from quinoa_tpu.mesh import box_tet_mesh
+
+DECKS = (
+    "/root/reference/tests/regression/inciter/transport/SlotCyl/asynclogic"
+)
+
+
+@pytest.fixture(scope="module")
+def meshfile(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clispmd")
+    p = str(d / "box.exo")
+    write_mesh(p, box_tet_mesh(8, 8, 4, hi=(1.0, 1.0, 0.5)))
+    return p
+
+
+def _read_diag(path):
+    rows = [ln.split() for ln in open(path) if not ln.startswith("#")]
+    return np.array([[float(x) for x in r] for r in rows])
+
+
+@pytest.mark.parametrize("scheme", ["diagcg", "alecg", "dg"])
+def test_cli_npes8_matches_single(tmp_path, meshfile, scheme):
+    deck = f"{DECKS}/slot_cyl_{scheme}.q"
+    d1 = str(tmp_path / "diag1")
+    d8 = str(tmp_path / "diag8")
+    rc = main(["inciter", "-c", deck, "-i", meshfile, "--diag", d1,
+               "-o", str(tmp_path / "o1")])
+    assert rc == 0
+    rc = main(["inciter", "-c", deck, "-i", meshfile, "--diag", d8,
+               "-o", str(tmp_path / "o8"), "--npes", "8"])
+    assert rc == 0
+    a, b = _read_diag(d1), _read_diag(d8)
+    assert a.shape == b.shape and a.shape[0] == 10
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)

@@ -68,10 +68,61 @@ def test_weak_generator_fails():
 
 
 def test_crush_battery_scales():
-    """The Crush-scale battery (bigger streams, same exact laws) passes
-    for threefry and its lambdas are properly seeded per test."""
+    """The Crush-scale battery (bigger streams + the structurally
+    distinct Crush families: overlapping serial/collision, Knuth runs,
+    longest-head-run, sample-prod/mean/corr, walk last-return, Hamming
+    blocks) passes for threefry."""
     from quinoa_tpu.rngtest import run_battery, Crush
 
     results, failed = run_battery(seed=1, battery=Crush)
-    assert len(results) == len(Crush) == 14
+    assert len(results) == len(Crush) == 23
     assert not failed, failed
+
+
+def test_crush_families_reject_randu():
+    """The new Crush families must have power against RANDU.  RANDU's
+    documented failure modes are its low-order bits (65539 is odd: bit 0
+    is constant, low-k bits cycle mod 2^k) and its 3-D lattice — so the
+    shim extracts ints the way a naive user would (modulo), exactly what
+    the bit-level families (HammingWeight2, LongestHeadRun) and the
+    overlapping tests must catch."""
+
+    class FakeKeyRandom:
+        def __init__(self):
+            self.state = 1
+
+        def _raw(self, n):
+            out = np.empty(n, dtype=np.int64)
+            s = self.state
+            for i in range(n):
+                s = (65539 * s) % 2**31  # RANDU
+                out[i] = s
+            self.state = s
+            return out
+
+    shim = FakeKeyRandom()
+    orig_uniform = jax.random.uniform
+    orig_randint = jax.random.randint
+
+    def fake_uniform(key, shape, dtype=None, **kw):
+        import jax.numpy as jnp
+        n = int(np.prod(shape))
+        return jnp.asarray((shim._raw(n) / 2**31).reshape(shape))
+
+    def fake_randint(key, shape, lo, hi, dtype=None, **kw):
+        import jax.numpy as jnp
+        n = int(np.prod(shape))
+        vals = shim._raw(n) % (hi - lo) + lo
+        return jnp.asarray(vals.reshape(shape))
+
+    jax.random.uniform = fake_uniform
+    jax.random.randint = fake_randint
+    try:
+        subset = [bat.serial_over, bat.collision_over,
+                  bat.hamming_weight_blocks, bat.longest_head_run,
+                  bat.runs_up, bat.walk_last_return]
+        results, failed = run_battery(seed=0, battery=subset)
+    finally:
+        jax.random.uniform = orig_uniform
+        jax.random.randint = orig_randint
+    assert failed, [(r.name, r.pvalue) for r in results]
