@@ -491,7 +491,7 @@ class WalkerConfig:
     rng_seed: Optional[int] = None
 
 
-_MOM_RE = re.compile(r"([A-Za-z])(\d+)")
+_MOM_RE = re.compile(r"([A-Za-z])(\d*)")
 
 
 def _parse_pdf_spec(spec: str):
@@ -514,11 +514,12 @@ def _parse_pdf_spec(spec: str):
 
 
 def _parse_moment(m: str) -> Tuple[bool, Tuple]:
-    """'<x1x2>' -> (central?, ((depvar, comp0), ...)); uppercase=ordinary."""
+    """'<x1x2>' -> (central?, ((depvar, comp0), ...)); uppercase=ordinary.
+    An index-less variable means component 1 ('<R>' == '<R1>')."""
     body = m.strip("<>")
     vars_ = _MOM_RE.findall(body)
     central = any(ch.islower() for ch, _ in vars_)
-    term = tuple((ch.lower(), int(ix) - 1) for ch, ix in vars_)
+    term = tuple((ch.lower(), (int(ix) if ix else 1) - 1) for ch, ix in vars_)
     return central, term
 
 
@@ -539,7 +540,15 @@ def _build_sde(kind: str, blk) -> Any:
         )
     elif kind == "ornstein-uhlenbeck":
         n = len(fl("theta"))
-        cov = np.asarray(fl("sigmasq")).reshape(n, n)
+        s2 = np.asarray(fl("sigmasq"))
+        if s2.size == n * (n + 1) // 2:
+            # upper-triangular rows, as the reference decks write the
+            # symmetric covariance (OrnsteinUhlenbeck.hpp sigmasq)
+            cov = np.zeros((n, n))
+            cov[np.triu_indices(n)] = s2
+            cov = cov + np.triu(cov, 1).T
+        else:
+            cov = s2.reshape(n, n)
         sde = dq.OrnsteinUhlenbeck(
             depvar=depvar, sigmasq=tuple(map(tuple, cov)),
             theta=fl("theta"), mu=fl("mu"),
@@ -562,9 +571,19 @@ def _build_sde(kind: str, blk) -> Any:
             kprime=fl("kappaprime"), rho2=fl("rho2"), rcomma=fl("rcomma"),
         )
     elif kind == "mixmassfracbeta":
+        coeff = first(blk, "coeff", "decay")
+        hts = hp = None
+        if coeff == "hydrotimescale":
+            from ..diffeq.hydro import hydro_table
+
+            hts = tuple(hydro_table(n) for n in
+                        (first(blk, "hydrotimescales") or ()))
+            hp = tuple(hydro_table(n) for n in
+                       (first(blk, "hydroproductions") or ()))
         sde = dq.MixMassFractionBeta(
             depvar=depvar, bprime=fl("bprime"), S=fl("S"),
             kprime=fl("kappaprime"), rho2=fl("rho2"), r=fl("r"),
+            coeff=coeff, hts=hts, hp=hp,
         )
     elif kind == "dirichlet":
         sde = dq.Dirichlet(depvar=depvar, b=fl("b"), S=fl("S"),

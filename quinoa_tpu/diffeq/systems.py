@@ -229,37 +229,128 @@ class MixNumberFractionBeta(_FractionBetaMixin, SDEBase):
         return self._store_derived(self.put(P, X), X)
 
 
+def _homdecay_S(b, k, r, rho2, d, d2, d3):
+    """The homogeneous-decay S constraint forcing d<rho>/dt = 0 where
+    <rho> = rho2/(1+rY) (MixMassFracBetaCoeffHomDecay::update,
+    src/DiffEq/Beta/MixMassFractionBetaCoeffPolicy.cpp:243-259)."""
+    d = jnp.where(d < 1e-8, 0.5, d)
+    R = 1.0 + d2 / d / d
+    B = -1.0 / r / r
+    C = (2.0 + r) / r / r
+    D = -(1.0 + r) / r / r
+    diff = (
+        B * d / rho2
+        + C * d * d * R / rho2 / rho2
+        + D * d * d * d * (1.0 + 3.0 * d2 / d / d + d3 / d / d / d)
+        / rho2 / rho2 / rho2
+    )
+    return (
+        rho2 / d / R
+        + 2.0 * k / b * rho2 * rho2 / d / d * r * r / R * diff
+        - 1.0
+    ) / r
+
+
 @dataclasses.dataclass
 class MixMassFractionBeta(_FractionBetaMixin, SDEBase):
-    """Mix mass-fraction beta with the decay coefficient policy (the
-    hydrotimescale variant additionally rescales b' and k' by user tables;
-    pass hts=(b_table, k_table) callables of t)."""
+    """Mix mass-fraction beta with moment-coupled coefficient policies.
+
+    coeff selects the policy (src/DiffEq/Beta/
+    MixMassFractionBetaCoeffPolicy.cpp):
+    - 'decay':     b = b'(1 - <y^2>/(<Y>(1-<Y>))), k = k'<y^2>
+    - 'homdecay':  decay + S constrained so d<rho>/dt = 0
+    - 'hydrotimescale': b,k additionally scaled by the DNS inverse
+      hydro-timescale (eps/k) and shaped by P/eps tables; S as homdecay
+      but without the [0,1] clamp (update():470-616).  Needs hts/hp:
+      per-component tables (deck `hydrotimescales`/`hydroproductions`
+      keywords resolved via diffeq.hydro.hydro_table).
+
+    Derived per-particle slots (reference derived(), MixMassFractionBeta
+    .hpp:308-318): R at ncomp+i, V=1/R at 2*ncomp+i, 1-Y at 3*ncomp+i.
+    """
 
     bprime: Sequence[float] = (1.0,)
     S: Sequence[float] = (0.5,)
     kprime: Sequence[float] = (1.0,)
     rho2: Sequence[float] = (1.0,)
     r: Sequence[float] = (0.5,)
-    hts: Optional[Tuple] = None  # (b_of_t, k_of_t) callables
+    coeff: str = "decay"
+    hts: Optional[Tuple] = None  # per-comp Table callables (hydrotimescale)
+    hp: Optional[Tuple] = None
 
     @property
     def ncomp(self):
         return len(self.bprime)
 
+    @property
+    def nprop(self):
+        return 4 * self.ncomp
+
     def rho(self, Y):
         return _arr(self.rho2) / (1.0 + _arr(self.r) * Y)
+
+    def _store_derived(self, P, Y):
+        rho = self.rho(Y)
+        o, n = self.offset, self.ncomp
+        P = P.at[:, o + n : o + 2 * n].set(rho)
+        P = P.at[:, o + 2 * n : o + 3 * n].set(1.0 / rho)
+        P = P.at[:, o + 3 * n : o + 4 * n].set(1.0 - Y)
+        return P
 
     def advance(self, key, P, dt, t, moments=None):
         Y = self.slice(P)
         dW = _gauss(key, Y.shape[0], self.ncomp, Y.dtype)
         bprime, kprime = _arr(self.bprime), _arr(self.kprime)
-        if self.hts is not None:
-            bprime = bprime * self.hts[0](t)
-            kprime = kprime * self.hts[1](t)
+        r_, rho2_ = _arr(self.r), _arr(self.rho2)
         m = Y.mean(axis=0)
         v = ((Y - m) ** 2).mean(axis=0)
-        b, k = _decay_coeffs(bprime, kprime, m, v)
-        S = _arr(self.S)
+
+        if self.coeff in ("homdecay", "hydrotimescale"):
+            R = self.rho(Y)
+            d = R.mean(axis=0)
+            rf = R - d
+            d2 = (rf**2).mean(axis=0)
+            d3 = (rf**3).mean(axis=0)
+
+        if self.coeff == "homdecay":
+            b, k = _decay_coeffs(bprime, kprime, m, v)
+            S = _homdecay_S(b, k, r_, rho2_, d, d2, d3)
+            S = jnp.where((S < 0.0) | (S > 1.0), 0.5, S)
+        elif self.coeff == "hydrotimescale":
+            V = 1.0 / R
+            RY = (R * Y).mean(axis=0)
+            ds = -(rf * (V - V.mean(axis=0))).mean(axis=0)  # -<rv>
+            yt = RY / d
+            ts = jnp.stack([tb(t) for tb in self.hts])  # eps/k per comp
+            pe = jnp.stack([tb(t) for tb in self.hp])   # P/eps per comp
+            # b1..b3 are the FIRST THREE deck S values regardless of comp
+            # (update() m_s[0..2], MixMassFractionBetaCoeffPolicy.cpp:567)
+            if len(self.S) < 3:
+                raise ValueError(
+                    "hydrotimescale policy needs >= 3 S entries (the first "
+                    "three seed the beta-shape constants b1..b3)")
+            Sdeck = _arr(self.S)
+            b1, b2, b3 = Sdeck[0], Sdeck[1], Sdeck[2]
+            a = r_ / (1.0 + r_ * yt)
+            bnm = a * a * yt * (1.0 - yt)
+            thetab = 1.0 - ds / bnm
+            f2 = 1.0 / jnp.sqrt(1.0 + (pe - 1.0) ** 2 * ds**0.25)
+            eta = d2 / d / d / ds
+            beta2 = b2 * (1.0 + eta * ds)
+            Thetap = thetab * 0.5 * (1.0 + eta / (1.0 + eta * ds))
+            beta3 = b3 * (1.0 + eta * ds)
+            beta10 = b1 * (1.0 + ds) / (1.0 + eta * ds)
+            beta1 = bprime * 2.0 / (1.0 + eta + eta * ds) * (
+                beta10 + beta2 * Thetap * f2
+                + beta3 * Thetap * (1.0 - Thetap) * f2
+            )
+            b = beta1 * ts
+            k = kprime * beta1 * ts * ds * ds
+            S = _homdecay_S(b, k, r_, rho2_, d, d2, d3)
+        else:  # plain decay
+            b, k = _decay_coeffs(bprime, kprime, m, v)
+            S = _arr(self.S)
+
         Y = Y + 0.5 * b * (S - Y) * dt + _sqrt_pos(k * Y * (1.0 - Y) * dt) * dW
         return self._store_derived(self.put(P, Y), Y)
 

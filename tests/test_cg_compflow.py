@@ -66,6 +66,7 @@ def test_euler_flux_dir_consistency():
         (RayleighTaylor(), 10, 0.12),
     ],
 )
+@pytest.mark.slow
 def test_manufactured_stays_on_solution(problem, steps, tol):
     """Starting from the manufactured solution, the numerical solution
     must stay near it on a coarse mesh."""
@@ -87,6 +88,7 @@ def test_manufactured_stays_on_solution(problem, steps, tol):
         assert row.l2err[c] / denom < tol, (c, row.l2err[c], denom)
 
 
+@pytest.mark.slow
 def test_nleg_runs_finite():
     mesh = box_tet_mesh(5, 5, 5, lo=(-0.5, -0.5, -0.5), hi=(0.5, 0.5, 0.5))
     system = CGCompFlow(NLEnergyGrowth())

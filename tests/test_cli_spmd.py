@@ -18,6 +18,8 @@ from quinoa_tpu.cli import main
 from quinoa_tpu.io import write_mesh
 from quinoa_tpu.mesh import box_tet_mesh
 
+pytestmark = pytest.mark.slow  # full-CLI parity runs
+
 DECKS = (
     "/root/reference/tests/regression/inciter/transport/SlotCyl/asynclogic"
 )

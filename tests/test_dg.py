@@ -96,6 +96,7 @@ def test_dg_transport_gausshump_p1(small_mesh):
     assert l2err[0] < 0.5 * l2sol[0]
 
 
+@pytest.mark.slow
 def test_dg_sod_p0_and_p1():
     """Sod tube: P0 (finite volume) and P1+Superbee stay in physical bounds
     and develop the correct wave structure."""
@@ -122,6 +123,7 @@ def test_dg_sod_p0_and_p1():
         assert float(s.t) > 0.005
 
 
+@pytest.mark.slow
 def test_dg_taylor_green_p1_accuracy():
     mesh = box_tet_mesh(6, 6, 2, hi=(1.0, 1.0, 0.33))
     geom = build_dggeom(mesh, ndof=4,
@@ -138,6 +140,7 @@ def test_dg_taylor_green_p1_accuracy():
         assert l2err[c] / max(l2sol[c], 0.01 * scale) < 0.06, (c, l2err[c])
 
 
+@pytest.mark.slow
 def test_dg_sedov_p1_limited():
     """Sedov blast (the north-star config): DG(P1) + Superbee, corner
     ignition, must stay finite with positive density."""
@@ -154,6 +157,7 @@ def test_dg_sedov_p1_limited():
     assert float(s.t) > 0.0
 
 
+@pytest.mark.slow
 def test_dg_p_adaptive_flags_shock():
     """p-adaptive DG drops smooth cells to P0 and keeps P1 at the front."""
     # 25 cells: the x=0.5 jump cuts through cell interiors (with 24 cells
@@ -172,6 +176,7 @@ def test_dg_p_adaptive_flags_shock():
     assert (nd == 4).any(), "discontinuity cells should stay P1"
 
 
+@pytest.mark.slow
 def test_dg_p2_vortical_flow():
     """DG(P2) runs and is more accurate than P1 on the smooth vortical
     flow."""

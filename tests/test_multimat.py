@@ -18,6 +18,7 @@ from quinoa_tpu.pde.multimat import (
 from quinoa_tpu.pde.problems.multimat import MMInterfaceAdvection, MMSodShocktube
 
 
+@pytest.mark.slow
 def test_interface_advection_uniform_flow():
     """Uniform p, T, velocity with a material interface: pressure and
     velocity must stay (nearly) uniform — the standard interface-advection

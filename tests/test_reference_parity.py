@@ -18,6 +18,8 @@ import pytest
 from quinoa_tpu.control.config import load_inciter, build_inciter
 from quinoa_tpu.io.exodus import read_exodus, read_exodus_fields
 
+pytestmark = pytest.mark.slow  # full-CLI parity runs
+
 REF = "/root/reference/tests/regression"
 
 

@@ -67,6 +67,7 @@ def test_weak_generator_fails():
     assert failed, [r.pvalue for r in results]
 
 
+@pytest.mark.slow
 def test_crush_battery_scales():
     """The Crush-scale battery (bigger streams + the structurally
     distinct Crush families: overlapping serial/collision, Knuth runs,

@@ -64,6 +64,7 @@ def test_full_ou_offdiagonal_cov():
     assert abs(c[0, 0] - 0.125) < 0.015
 
 
+@pytest.mark.slow
 def test_beta_bounded_and_moments():
     """Beta SDE stays in [0,1]; stationary law is Beta(a,b) with
     a = b*S/k, b_ = b*(1-S)/k."""
@@ -131,6 +132,7 @@ def test_wright_fisher_conserves_sum():
     assert abs(Y.sum(axis=1).mean() - 1.0) < 0.05
 
 
+@pytest.mark.slow
 def test_number_fraction_beta_derived():
     sde = NumberFractionBeta(
         depvar="x", b=(0.4,), S=(0.5,), kappa=(0.1,), rho2=(2.0,), rcomma=(0.3,)
