@@ -249,11 +249,16 @@ def _run_inciter_spmd(args, cfg, mesh):
 
     state = solver.initial_state(t0=cfg.t0)
     if args.restart:
-        from .inciter.checkpoint import load_checkpoint
+        from .inciter.checkpoint import load_checkpoint_sharded
 
-        st, ck = load_checkpoint(args.restart, type(state))
+        st, ck = load_checkpoint_sharded(args.restart, type(state),
+                                         mesh=solver.mesh)
         state = jax.tree_util.tree_map(
-            lambda a, b: jax.device_put(jnp.asarray(a), b.sharding),
+            lambda a, b: (
+                a if a.shape == b.shape
+                and getattr(a, "sharding", None) == b.sharding
+                else jax.device_put(jnp.asarray(a), b.sharding)
+            ),
             st, state,
         )
         if args.verbose:
@@ -296,11 +301,11 @@ def _run_inciter_spmd(args, cfg, mesh):
             _write_fields_spmd(args, it, cfg, solver, state, mesh,
                                gather_u, cg_scheme)
         if args.rsfreq and it % args.rsfreq == 0:
-            from .inciter.checkpoint import save_checkpoint
+            from .inciter.checkpoint import save_checkpoint_sharded
 
-            save_checkpoint(args.checkpoint_dir, state,
-                            {"it": it, "t": float(state.t),
-                             "npes": args.npes})
+            save_checkpoint_sharded(args.checkpoint_dir, state,
+                                    {"it": it, "t": float(state.t),
+                                     "npes": args.npes})
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0

@@ -1,0 +1,218 @@
+"""Pallas TPU kernel: the FUSED DG face pass.
+
+One kernel over el-sorted face tiles runs the entire surface integral
+in VMEM (the ROADMAP lever; reference hot loop src/Inciter/DG.cpp:
+1432-1508 + src/PDE/Integrate/Surface.cpp:32):
+
+  per tile of TF faces (targeting one aligned element window):
+    - gather LEFT modal states from the element window via one-hot MXU
+      matmuls (no HBM gather);
+    - evaluate the Dubiner basis at the face Gauss points (left + right)
+      from the xi tables;
+    - form face states, apply ghost/BC states, evaluate the Riemann flux
+      (system.bc_state / system.riemann trace INSIDE the kernel);
+    - contract contributions against the weighted basis;
+    - accumulate left-side contributions into the element window
+      (one-hot MXU matmuls, fresh-block zeroing as ops.face_accum);
+    - write right-side contributions out for the er-sorted second pass
+      (ops.face_accum._one_pass).
+
+Separately materialized in the XLA path this costs ~6 HBM round trips
+of (C,G,F)/(C,K,F) slabs (~150 ms per rhs at 663k tets); fused it is
+one read of the static face tables + one window-gather + one write.
+
+Supports the coordinate-free face path only (face_gp=False: no BC
+samples coordinates and the flux doesn't either — the compflow case);
+dg_rhs falls back to the unfused path otherwise.
+
+The optional charvel output additionally emits the dt face sweep's
+wt-weighted max characteristic speed per face (DG.cpp:1361-1430), so
+the stage-0 time-step computation reuses the same face states instead
+of re-running its own gather+basis pass (dg_dt's isolated cost: 302 ms).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .basis import eval_basis_cm
+from .face_accum import AccumPlan, _one_pass
+
+
+def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
+    from ..pde.dg import BC_INTERIOR
+
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, uvr_ref, xil_ref,
+               xir_ref, fn_ref, fa_ref, bt_ref, lo_ref, hi_ref, cr_ref,
+               *maybe_mx):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        dt_ = ulo_ref.dtype
+        ks = ks_ref[0, :]                       # (TF,)
+        loc = ks - b * W
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+
+        # ---- left states via one-hot window gather (MXU) ----
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+        locr = loc[None, :]
+        gat_lo = jnp.where(iota_g == locr, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
+        gat_hi = jnp.where(iota_g == locr - W, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
+        UvL = (jax.lax.dot(ulo_ref[...], gat_lo, precision="highest")
+               + jax.lax.dot(uhi_ref[...], gat_hi, precision="highest"))
+        UvL = UvL.reshape(C, K, TF)
+        UvR = uvr_ref[...].reshape(C, K, TF)
+
+        # ---- basis at face Gauss points ----
+        xi_l = xil_ref[...].reshape(3, G, TF)
+        xi_r = xir_ref[...].reshape(3, G, TF)
+        B_l = eval_basis_cm(K, xi_l)            # (K,G,TF)
+        B_r = eval_basis_cm(K, xi_r)
+
+        sL = sum(B_l[k][None] * UvL[:, k, None, :] for k in range(K))
+        sR = sum(B_r[k][None] * UvR[:, k, None, :] for k in range(K))
+
+        # ---- BC ghosts + Riemann flux (coordinate-free path) ----
+        fnf = fn_ref[...][:, None, :]           # (3,1,TF)
+        bt = bt_ref[...]                        # (1,TF) int32
+        interior = (bt == BC_INTERIOR)[:, None, :]  # (1,1,TF)
+        sR = jnp.where(interior, sR, system.bc_state(bt[:, None, :], sL,
+                                                     fnf, None, 0.0))
+        fl = system.riemann(fnf, sL, sR, None, 0.0)  # (C,G,TF)
+
+        fa = fa_ref[...][0] * validf                 # (TF,)
+        # Gauss weights are baked in as python scalars (array constants
+        # cannot be captured by a pallas kernel)
+        wt = jnp.stack([float(wface[g]) * fa for g in range(G)])  # (G,TF)
+        wfl = fl * wt[None]
+
+        rowsL = [
+            -(B_l[k] * wfl[c]).sum(0)           # (TF,)
+            for c in range(C) for k in range(K)
+        ]
+        contribL = jnp.stack(rowsL)             # (CK,TF)
+        rowsR = [
+            (B_r[k] * wfl[c]).sum(0)
+            for c in range(C) for k in range(K)
+        ]
+        cr_ref[...] = jnp.stack(rowsR)
+
+        # ---- accumulate left contributions into the window (MXU) ----
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        acc_lo = jnp.where(locc == iota_a, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        acc_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(contribL, acc_lo, precision="highest")
+        hi_ref[...] += jax.lax.dot(contribL, acc_hi, precision="highest")
+
+        if emit_charvel:
+            vl = system.charvel(sL, fnf, None)   # (G,TF)
+            vr = system.charvel(sR, fnf, None)
+            mx = (wt * jnp.where(interior[0], jnp.maximum(vl, vr), vl)
+                  ).sum(0)
+            maybe_mx[0][...] = mx[None, :]
+
+    return kernel
+
+
+def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False):
+    """Full DG surface integral via the fused kernel.
+
+    U (C*K, E) -> (C*K, E) accumulated face contributions; with
+    emit_charvel also returns mx (F,), the wt-weighted max characteristic
+    speed per face for the dt sweep.
+    """
+    C = system.ncomp
+    K = geom.ndof
+    G = np.asarray(geom.tables["w_face"]).shape[0]
+    CK = C * K
+    TF, W = plan.TF, plan.W
+    Fp = plan.ntileL * TF
+    F = plan.F
+    dt_ = U.dtype
+
+    # pre-gather right states (XLA): er targets are unbounded for
+    # el-sorted tiles, so this one gather stays outside the kernel
+    UvR = U.reshape(C, K, -1)[:, :, geom.er].reshape(CK, F)
+
+    def padF(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Fp - x.shape[-1])])
+
+    xil = padF(geom.xi_l.reshape(3 * G, F).astype(dt_))
+    xir = padF(geom.xi_r.reshape(3 * G, F).astype(dt_))
+    fn = padF(geom.fn.astype(dt_))
+    fa = padF((geom.farea * geom.fmask).astype(dt_)[None, :])
+    bt = padF(geom.bctype[None, :])
+    UvRp = padF(UvR)
+
+    nblk = plan.nblkL
+    NBW = (nblk + 2) * W
+    out_shape = [
+        jax.ShapeDtypeStruct((CK, NBW), dt_),
+        jax.ShapeDtypeStruct((CK, NBW), dt_),
+        jax.ShapeDtypeStruct((CK, Fp), dt_),
+    ]
+    out_specs = [
+        pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t])),
+        pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t] + 1)),
+        pl.BlockSpec((CK, TF), lambda t, blk: (0, t)),
+    ]
+    if emit_charvel:
+        out_shape.append(jax.ShapeDtypeStruct((1, Fp), dt_))
+        out_specs.append(pl.BlockSpec((1, TF), lambda t, blk: (0, t)))
+
+    wface = np.asarray(geom.tables["w_face"])
+    outs = pl.pallas_call(
+        _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(plan.ntileL,),
+            in_specs=[
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # ksL
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t])),  # U lo
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t] + 1)),
+                pl.BlockSpec((CK, TF), lambda t, blk: (0, t)),     # UvR
+                pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),  # xi_l
+                pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),  # xi_r
+                pl.BlockSpec((3, TF), lambda t, blk: (0, t)),      # fn
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # farea
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # bctype
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+    )(plan.blkL, plan.ksL, _padU(U, NBW), _padU(U, NBW), UvRp,
+      xil, xir, fn, fa, bt)
+
+    lo, hi, contribR = outs[0], outs[1], outs[2]
+    lo = jnp.where(plan.mloL > 0, lo, 0.0)
+    hi = jnp.where(plan.mhiL > 0, hi, 0.0)
+    accL = (lo + hi)[:, :plan.E]
+
+    # right-side pass: permute to er-sorted order, accumulate (existing
+    # kernel)
+    cR = contribR[:, :F][:, plan.permR]
+    accR = _one_pass(cR, plan.ksR, plan.blkR, plan.mloR, plan.mhiR,
+                     plan.ntileR, plan.nblkR, TF, W, plan.E)
+    acc = accL + accR
+    if emit_charvel:
+        return acc, outs[3][0, :F]
+    return acc
+
+
+def _padU(U, NBW):
+    return jnp.pad(U, ((0, 0), (0, NBW - U.shape[1])))

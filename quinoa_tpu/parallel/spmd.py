@@ -183,6 +183,11 @@ class SPMDDiagCGSolver:
     def step(self, state: CGState) -> CGState:
         return self._step(self.sharded, self.lhs, state)
 
+    def nsteps(self, state, n):
+        for _ in range(n):
+            state = self.step(state)
+        return state
+
     def diagnostics(self, state: CGState):
         l2sol, l2err, linferr = self._diag(self.sharded, state)
         return (np.asarray(l2sol), np.asarray(l2err), np.asarray(linferr))

@@ -349,6 +349,15 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
 
     Rv = Rv * (geom.vol * geom.emask)
 
+    if accum_plan is not None and dofmask is None and not face_gp:
+        # fully fused Pallas face pass: window-gather + basis + BC +
+        # Riemann + contraction + accumulation in one kernel per
+        # el-sorted face tile (ops/face_fused.py)
+        from ..ops.face_fused import fused_face_pass
+
+        acc = fused_face_pass(system, geom, accum_plan, U)
+        return Rv.reshape(C * K, E) + acc
+
     # ---- face pass (interior + boundary in one sweep) ---------------------
     interior = geom.bctype == BC_INTERIOR
     B_l = eval_basis_cm(K, geom.xi_l)                    # (K,G,F)
