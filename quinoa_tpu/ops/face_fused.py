@@ -81,8 +81,19 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
         B_l = eval_basis_cm(K, xi_l)            # (K,G,TF)
         B_r = eval_basis_cm(K, xi_r)
 
-        sL = sum(B_l[k][None] * UvL[:, k, None, :] for k in range(K))
-        sR = sum(B_r[k][None] * UvR[:, k, None, :] for k in range(K))
+        # Mosaic lowers mixed int/newaxis indexing on rank-3 arrays to an
+        # unsupported 3-D gather; use explicit static slices instead
+        def row3(a, k):
+            # a (A,B,TF) -> a[k] as (B,TF) via static slice
+            return jax.lax.squeeze(
+                jax.lax.slice_in_dim(a, k, k + 1, axis=0), (0,))
+
+        def dof3(a, k):
+            # a (C,K,TF) -> a[:, k] as (C,1,TF) via static slice
+            return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
+
+        sL = sum(row3(B_l, k)[None] * dof3(UvL, k) for k in range(K))
+        sR = sum(row3(B_r, k)[None] * dof3(UvR, k) for k in range(K))
 
         # ---- BC ghosts + Riemann flux (coordinate-free path) ----
         fnf = fn_ref[...][:, None, :]           # (3,1,TF)
@@ -92,19 +103,19 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
                                                      fnf, None, 0.0))
         fl = system.riemann(fnf, sL, sR, None, 0.0)  # (C,G,TF)
 
-        fa = fa_ref[...][0] * validf                 # (TF,)
+        fa = jax.lax.squeeze(fa_ref[...], (0,)) * validf  # (TF,)
         # Gauss weights are baked in as python scalars (array constants
         # cannot be captured by a pallas kernel)
         wt = jnp.stack([float(wface[g]) * fa for g in range(G)])  # (G,TF)
         wfl = fl * wt[None]
 
         rowsL = [
-            -(B_l[k] * wfl[c]).sum(0)           # (TF,)
+            -(row3(B_l, k) * row3(wfl, c)).sum(0)  # (TF,)
             for c in range(C) for k in range(K)
         ]
         contribL = jnp.stack(rowsL)             # (CK,TF)
         rowsR = [
-            (B_r[k] * wfl[c]).sum(0)
+            (row3(B_r, k) * row3(wfl, c)).sum(0)
             for c in range(C) for k in range(K)
         ]
         cr_ref[...] = jnp.stack(rowsR)

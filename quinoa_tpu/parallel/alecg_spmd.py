@@ -31,7 +31,7 @@ from ..inciter.alecg import (
 from ..inciter.diagcg import CGState
 from .partition import partition_elements
 from .shard import ShardedCG, build_cg_shards
-from .spmd import AXIS, HaloCombiner, _local
+from .spmd import AXIS, HaloCombiner, PpermuteHalo, _local
 
 
 @partial(
@@ -157,7 +157,11 @@ class SPMDALECGSolver:
         geom = sh.cg.geom
         u = state.u[0]
 
-        halo = HaloCombiner(sh.cg.bnd_slot, sh.cg.rev_slot, self.sharded.cg.nb)
+        if sh.cg.nhalo is not None:
+            halo = PpermuteHalo(sh.cg.nhalo, self.sharded.cg.nshard)
+        else:
+            halo = HaloCombiner(sh.cg.bnd_slot, sh.cg.rev_slot,
+                                self.sharded.cg.nb)
 
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=u.dtype)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,38 @@ from .partition import partition_elements
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["geom", "bnd_slot", "rev_slot", "owned", "bcmask", "gids"],
+    data_fields=["send", "rpos"],
+    meta_fields=["offsets", "Ls"],
+)
+@dataclasses.dataclass(frozen=True)
+class NodeHalo:
+    """Per-neighbor boundary-node exchange tables (the msum analog,
+    src/Inciter/Discretization m_msum + DiagCG comrhs per-neighbor
+    sends, DiagCG.cpp:309-321): one `lax.ppermute` round per occurring
+    shard-id offset, exchange volume O(local boundary) per device —
+    independent of the device count — instead of the global-buffer psum.
+
+    send[k]  : (S, L_k) i32 — local node ids whose partials shard s
+               sends to shard s+offsets[k] (pad Nl: gathers a zero/ignored
+               column); sender and receiver order the shared nodes by
+               global id, so slab position j on both sides is the same
+               node
+    rpos[k]  : (S, Nl) i32 — for each local node, its position in the
+               slab received from shard s-offsets[k], or L_k (a fill
+               column: 0 for sum, +-inf for min/max) when that neighbor
+               contributes nothing to the node
+    """
+
+    send: Tuple
+    rpos: Tuple
+    offsets: Tuple
+    Ls: Tuple
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["geom", "bnd_slot", "rev_slot", "owned", "bcmask", "gids",
+                 "nhalo"],
     meta_fields=["nshard", "nb", "nnode_global", "nelem_global"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +82,8 @@ class ShardedCG:
     owned    : (S, Nl) — 1.0 where this shard owns the node
     bcmask   : (S, C, Nl) — 1.0 at Dirichlet-BC nodes
     gids     : (S, Nl) i32 — global node id of each local node (-1 pad)
+    nhalo    : NodeHalo neighbor-exchange tables (None -> solvers fall
+               back to the global-buffer combine)
     nb       : static int — number of distinct shard-boundary nodes
     """
 
@@ -60,10 +93,65 @@ class ShardedCG:
     owned: jnp.ndarray
     bcmask: jnp.ndarray
     gids: jnp.ndarray
+    nhalo: Optional["NodeHalo"]
     nshard: int
     nb: int
     nnode_global: int
     nelem_global: int
+
+
+def build_node_halo(nodes, nnode: int, Nl: int) -> Optional[NodeHalo]:
+    """Neighbor-exchange tables from per-shard global-node-id lists.
+
+    nodes[s] is the sorted array of global node ids on shard s; Nl the
+    padded local node count.  Returns None for a single shard.
+    """
+    S = len(nodes)
+    if S < 2:
+        return None
+    g2l = []
+    for s in range(S):
+        m = np.full(nnode, -1, dtype=np.int64)
+        m[nodes[s]] = np.arange(len(nodes[s]))
+        g2l.append(m)
+
+    # shared node ids per ordered pair (sender s -> receiver s+d)
+    shared: Dict[Tuple[int, int], np.ndarray] = {}
+    sets = [np.zeros(nnode, dtype=bool) for s in range(S)]
+    for s in range(S):
+        sets[s][nodes[s]] = True
+    for s1 in range(S):
+        for s2 in range(s1 + 1, S):
+            common = np.nonzero(sets[s1] & sets[s2])[0]  # sorted gids
+            if len(common):
+                shared[(s1, s2)] = common
+                shared[(s2, s1)] = common
+
+    offsets = sorted({s2 - s1 for (s1, s2) in shared})
+    send, rpos, Ls = [], [], []
+    for d in offsets:
+        L = max(
+            (len(v) for (s1, s2), v in shared.items() if s2 - s1 == d),
+            default=0,
+        )
+        sd = np.full((S, L), Nl, dtype=np.int32)
+        rp = np.full((S, Nl), L, dtype=np.int32)
+        for s in range(S):
+            # sender side: s -> s+d
+            v = shared.get((s, s + d))
+            if v is not None:
+                sd[s, : len(v)] = g2l[s][v]
+            # receiver side: s-d -> s
+            v = shared.get((s - d, s))
+            if v is not None:
+                rp[s, g2l[s][v]] = np.arange(len(v))
+        send.append(jnp.asarray(sd))
+        rpos.append(jnp.asarray(rp))
+        Ls.append(L)
+    return NodeHalo(
+        send=tuple(send), rpos=tuple(rpos),
+        offsets=tuple(int(d) for d in offsets), Ls=tuple(Ls),
+    )
 
 
 def build_cg_shards(
@@ -181,6 +269,7 @@ def build_cg_shards(
         owned=jnp.asarray(s_owned, dtype=dtype),
         bcmask=jnp.asarray(s_bcmask, dtype=dtype),
         gids=jnp.asarray(s_gids),
+        nhalo=build_node_halo(nodes, nnode, Nmax),
         nshard=S,
         nb=nb,
         nnode_global=nnode,

@@ -38,6 +38,50 @@ def _local(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
 
 
+class PpermuteHalo:
+    """Per-neighbor boundary-node combines via lax.ppermute rounds.
+
+    One permute per occurring shard-id offset; per-device exchange
+    volume is O(local boundary), independent of the device count —
+    matching the reference's per-neighbor comrhs/comaec/... messages
+    (DiagCG.cpp:309-321) instead of the global-buffer psum.  Sender and
+    receiver slabs are ordered identically (by global node id), so the
+    receiver folds slab position j into its local node via a gather
+    through `rpos` (pad -> a fill column appended on the receive side).
+    """
+
+    def __init__(self, nhalo, nshard: int):
+        self.h = nhalo
+        self.S = nshard
+
+    def _combine(self, x, fill, op):
+        C, Nl = x.shape
+        xp = jnp.concatenate(
+            [x, jnp.zeros((C, 1), dtype=x.dtype)], axis=1
+        )
+        out = x
+        for d, send, rpos, L in zip(self.h.offsets, self.h.send,
+                                    self.h.rpos, self.h.Ls):
+            perm = [(s, s + d) for s in range(self.S)
+                    if 0 <= s + d < self.S]
+            slab = xp[:, send]                      # (C, L)
+            rec = jax.lax.ppermute(slab, AXIS, perm)
+            rec = jnp.concatenate(
+                [rec, jnp.full((C, 1), fill, dtype=x.dtype)], axis=1
+            )
+            out = op(out, rec[:, rpos])
+        return out
+
+    def sum(self, x):
+        return self._combine(x, 0.0, jnp.add)
+
+    def max(self, x):
+        return self._combine(x, jnp.finfo(x.dtype).min, jnp.maximum)
+
+    def min(self, x):
+        return self._combine(x, jnp.finfo(x.dtype).max, jnp.minimum)
+
+
 class HaloCombiner:
     """Boundary-node buffer combines over the shard axis (gather-based)."""
 
@@ -127,7 +171,10 @@ class SPMDDiagCGSolver:
         lhs_l = _local(lhs)
         u = state.u[0]
 
-        halo = HaloCombiner(sh.bnd_slot, sh.rev_slot, self.sharded.nb)
+        if sh.nhalo is not None:
+            halo = PpermuteHalo(sh.nhalo, self.sharded.nshard)
+        else:
+            halo = HaloCombiner(sh.bnd_slot, sh.rev_slot, self.sharded.nb)
 
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=u.dtype)

@@ -76,3 +76,25 @@ def test_spmd_diagnostics(problem_setup):
     assert np.isfinite(l2sol).all() and l2sol[0] > 0.01
     assert np.isfinite(l2err).all()
     assert linferr[0] < 1.0
+
+
+def test_neighbor_halo_volume_scales(problem_setup):
+    """ppermute halo traffic is O(local boundary): per-device exchange
+    width (sum of per-offset slab lengths) stays below the GLOBAL
+    interface size the old buffer-psum moved, and does not grow with the
+    shard count (SURVEY §5.8; DiagCG.cpp:309-321 per-neighbor comrhs)."""
+    from quinoa_tpu.parallel import build_cg_shards
+
+    mesh, _ = problem_setup
+    widths, nbs = {}, {}
+    for S in (2, 4, 8):
+        sh = build_cg_shards(mesh, S, ncomp=1)
+        assert sh.nhalo is not None
+        widths[S] = sum(sh.nhalo.Ls)
+        nbs[S] = sh.nb
+    # doubling the shard count must not grow per-device traffic (the
+    # buffer-psum cost is ~2*(nb+1) per device and nb GROWS with S)
+    assert widths[8] <= 1.05 * widths[4] and widths[4] <= 1.05 * widths[2], \
+        widths
+    assert widths[8] < 2 * (nbs[8] + 1), (widths, nbs)
+    assert nbs[8] > nbs[2]  # the global interface the psum moved does grow
