@@ -63,15 +63,22 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
         loc = ks - b * W
         validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
 
-        # ---- left states via one-hot window gather (MXU) ----
-        iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
-        locr = loc[None, :]
-        gat_lo = jnp.where(iota_g == locr, 1.0, 0.0).astype(dt_) \
-            * validf[None, :]
-        gat_hi = jnp.where(iota_g == locr - W, 1.0, 0.0).astype(dt_) \
-            * validf[None, :]
-        UvL = (jax.lax.dot(ulo_ref[...], gat_lo, precision="highest")
-               + jax.lax.dot(uhi_ref[...], gat_hi, precision="highest"))
+        # ---- one-hot window maps, shared by gather and accumulation ----
+        # hot_lo/hot_hi are (TF, W); the state gather contracts their W
+        # axis (dot_general) so the transposed copies never materialize
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        hot_lo = jnp.where(locc == iota_a, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        hot_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+
+        def dotT(a, b):
+            # a (R, W) x b (TF, W) -> (R, TF), contracting W
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), precision="highest")
+
+        UvL = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
         UvL = UvL.reshape(C, K, TF)
         UvR = uvr_ref[...].reshape(C, K, TF)
 
@@ -94,6 +101,12 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
 
         sL = sum(row3(B_l, k)[None] * dof3(UvL, k) for k in range(K))
         sR = sum(row3(B_r, k)[None] * dof3(UvR, k) for k in range(K))
+        # pad faces carry zero states -> 0/0 in the flux; NaN times the
+        # zero quadrature weight still poisons the MXU accumulation, so
+        # substitute a finite unit state (weights zero it out)
+        vf3 = validf[None, None, :] > 0
+        sL = jnp.where(vf3, sL, 1.0)
+        sR = jnp.where(vf3, sR, 1.0)
 
         # ---- BC ghosts + Riemann flux (coordinate-free path) ----
         fnf = fn_ref[...][:, None, :]           # (3,1,TF)
@@ -121,14 +134,8 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
         cr_ref[...] = jnp.stack(rowsR)
 
         # ---- accumulate left contributions into the window (MXU) ----
-        iota_a = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
-        locc = loc[:, None]
-        acc_lo = jnp.where(locc == iota_a, 1.0, 0.0).astype(dt_) \
-            * validf[:, None]
-        acc_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
-            * validf[:, None]
-        lo_ref[...] += jax.lax.dot(contribL, acc_lo, precision="highest")
-        hi_ref[...] += jax.lax.dot(contribL, acc_hi, precision="highest")
+        lo_ref[...] += jax.lax.dot(contribL, hot_lo, precision="highest")
+        hi_ref[...] += jax.lax.dot(contribL, hot_hi, precision="highest")
 
         if emit_charvel:
             vl = system.charvel(sL, fnf, None)   # (G,TF)

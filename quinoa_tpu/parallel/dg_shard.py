@@ -30,9 +30,60 @@ from ..pde.dg import DGGeom, build_dggeom
 from .partition import partition_elements
 
 
+def _build_ghost_halo(owned_l, ghosts_l, local_l, E, El, nshard):
+    """Per-neighbor ghost-element exchange tables (NodeHalo layout, but
+    asymmetric: the owner SENDS, the ghost holder RECEIVES — the comsol
+    analog, src/Inciter/DG.cpp:1019-1036).  Slabs are ordered by global
+    element id on both sides."""
+    from .shard import NodeHalo
+
+    if nshard < 2:
+        return None
+    owner = np.empty(E, dtype=np.int64)
+    for s in range(nshard):
+        owner[owned_l[s]] = s
+    g2l = []
+    for s in range(nshard):
+        m = np.full(E, -1, dtype=np.int64)
+        m[local_l[s]] = np.arange(len(local_l[s]))
+        g2l.append(m)
+
+    shared = {}
+    for holder in range(nshard):
+        gh = ghosts_l[holder]  # sorted global ids (np.unique)
+        if not len(gh):
+            continue
+        for s in np.unique(owner[gh]):
+            shared[(int(s), holder)] = gh[owner[gh] == s]
+
+    offsets = sorted({h - s for (s, h) in shared})
+    send, rpos, Ls = [], [], []
+    for d in offsets:
+        L = max(
+            (len(v) for (s, h), v in shared.items() if h - s == d),
+            default=0,
+        )
+        sd = np.full((nshard, L), El, dtype=np.int32)
+        rp = np.full((nshard, El), L, dtype=np.int32)
+        for s in range(nshard):
+            v = shared.get((s, s + d))
+            if v is not None:
+                sd[s, : len(v)] = g2l[s][v]
+            v = shared.get((s - d, s))
+            if v is not None:
+                rp[s, g2l[s][v]] = np.arange(len(v))
+        send.append(jnp.asarray(sd))
+        rpos.append(jnp.asarray(rp))
+        Ls.append(L)
+    return NodeHalo(
+        send=tuple(send), rpos=tuple(rpos),
+        offsets=tuple(int(d) for d in offsets), Ls=tuple(Ls),
+    )
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["geom", "owned", "gslot", "grev", "eglobal"],
+    data_fields=["geom", "owned", "gslot", "grev", "eglobal", "ghalo"],
     meta_fields=["nshard", "nslots", "nelem_global"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +104,7 @@ class ShardedDG:
     gslot: jnp.ndarray
     grev: jnp.ndarray
     eglobal: jnp.ndarray
+    ghalo: object
     nshard: int
     nslots: int
     nelem_global: int
@@ -221,6 +273,7 @@ def build_dg_shards(
         gslot=jnp.asarray(s_gslot),
         grev=jnp.asarray(s_grev),
         eglobal=jnp.asarray(s_eglobal),
+        ghalo=_build_ghost_halo(owned_l, ghosts_l, local_l, E, El, S),
         nshard=S,
         nslots=nslots,
         nelem_global=E,

@@ -89,17 +89,38 @@ class SPMDDGSolver:
     # -- ghost exchange -------------------------------------------------------
 
     def _exchange(self, sh: ShardedDG, U):
-        """One collective: owners push interface state, ghosts pull."""
+        """Ghost refresh: owners send their interface elements to the
+        holders, one lax.ppermute per occurring shard-id offset (the
+        comsol analog, DG.cpp:1019-1036) — per-device volume O(local
+        ghost layer), independent of the device count."""
         if self.sharded.nslots == 0:
             return U
-        CK, El = U.shape
-        zcol = jnp.zeros((CK, 1), dtype=U.dtype)
-        Upad = jnp.concatenate([U, zcol], axis=1)
-        buf = Upad[:, sh.grev]  # (CK, nslots+1); zeros where not owner
-        buf = jax.lax.psum(buf, AXIS)
-        pulled = buf[:, sh.gslot]  # (CK, El)
-        is_ghost = (sh.owned <= 0) & (sh.gslot < self.sharded.nslots)
-        return jnp.where(is_ghost[None, :], pulled, U)
+        if sh.ghalo is None:
+            # global-buffer fallback
+            CK, El = U.shape
+            zcol = jnp.zeros((CK, 1), dtype=U.dtype)
+            Upad = jnp.concatenate([U, zcol], axis=1)
+            buf = Upad[:, sh.grev]  # (CK, nslots+1); zeros if not owner
+            buf = jax.lax.psum(buf, AXIS)
+            pulled = buf[:, sh.gslot]  # (CK, El)
+            is_ghost = (sh.owned <= 0) & (sh.gslot < self.sharded.nslots)
+            return jnp.where(is_ghost[None, :], pulled, U)
+        h = sh.ghalo
+        CK = U.shape[0]
+        Up = jnp.concatenate(
+            [U, jnp.zeros((CK, 1), dtype=U.dtype)], axis=1
+        )
+        out = U
+        S = self.sharded.nshard
+        for d, send, rpos, L in zip(h.offsets, h.send, h.rpos, h.Ls):
+            perm = [(s, s + d) for s in range(S) if 0 <= s + d < S]
+            slab = Up[:, send]
+            rec = jax.lax.ppermute(slab, AXIS, perm)
+            rec = jnp.concatenate(
+                [rec, jnp.zeros((CK, 1), dtype=U.dtype)], axis=1
+            )
+            out = jnp.where((rpos < L)[None, :], rec[:, rpos], out)
+        return out
 
     # -- per-shard bodies -------------------------------------------------------
 

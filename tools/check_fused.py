@@ -16,11 +16,15 @@ def main():
     from quinoa_tpu.inciter.dg import DGSolver
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    TF = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     mesh = box_tet_mesh(n, n, n)
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
     system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
     solver = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+
+    solver.accum_plan = build_accum_plan(geom, TF=TF, W=TF)
     plan = solver.accum_plan
     assert plan is not None, "no accum plan (not on TPU?)"
     state = solver.initial_state()
