@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..pde.dg import DGGeom, dg_rhs, dg_dt, dg_initialize, uview, _phys_gp
+from ..pde.dg import (
+    DGGeom, dg_rhs, dg_dt, dg_dt_from_charvel, dg_initialize, uview,
+    _phys_gp,
+)
 from ..pde.limiter import weno_p1, superbee_p1
 from ..ops.basis import eval_basis
 from ..ops.quadrature import gauss_tet, ng_diag
@@ -63,6 +66,7 @@ class DGSolver:
         cweight: float = 30.0,
         pref: bool = False,
         tolref: float = 0.5,
+        evolve_ndof: Optional[int] = None,
     ):
         self.system = system
         self.geom = geom
@@ -76,7 +80,13 @@ class DGSolver:
         self.cweight = cweight
         self.pref = pref
         self.tolref = tolref
-        p = {1: 0.0, 4: 1.0, 10: 2.0}[geom.ndof]
+        # rDG(PnPm): evolve only the first `evolve_ndof` dofs while faces
+        # and limiters see all geom.ndof (rdof) dofs — P0P1 has
+        # evolve_ndof=1, rdof=4 (Grammar.hpp:368-385, DG.cpp:1479-1488
+        # updates k < ndof only); the CFL scale uses the EVOLVED order
+        # (DG.cpp:1404-1418)
+        self.evolve_ndof = evolve_ndof or geom.ndof
+        p = {1: 0.0, 4: 1.0, 10: 2.0}[self.evolve_ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
         # face Gauss-point coordinates are only needed when the system
         # samples them (transport velocity fields) or a coordinate bc
@@ -187,6 +197,8 @@ class DGSolver:
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
             u = self._limit(g, u, dofmask)
+            fused = (accum_plan is not None and dofmask is None
+                     and not self.needs_face_gp)
             if s == 0:
                 # the RK anchor is the LIMITED stage-0 solution — the
                 # reference sets m_un = m_u after lim() (DG.cpp:1471);
@@ -195,14 +207,34 @@ class DGSolver:
                 un = u
                 if self.const_dt is not None:
                     dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
-                else:
+                elif not fused:
                     dt = dg_dt(self.system, g, u, dofmask) * (
                         self.cfl * self.cflscale
                     )
-            r = dg_rhs(self.system, g, u, dofmask, state.t,
-                       accum_plan=accum_plan, face_gp=self.needs_face_gp)
+            if fused and s == 0 and self.const_dt is None:
+                # one fused pass emits both the rhs and the dt sweep's
+                # per-face charvel (dg_dt's isolated sweep costs more
+                # than the whole fused rhs at bench scale)
+                r, mx = dg_rhs(self.system, g, u, dofmask, state.t,
+                               accum_plan=accum_plan, face_gp=False,
+                               want_charvel=True)
+                dt = dg_dt_from_charvel(g, accum_plan, mx) * (
+                    self.cfl * self.cflscale
+                )
+            else:
+                r = dg_rhs(self.system, g, u, dofmask, state.t,
+                           accum_plan=accum_plan,
+                           face_gp=self.needs_face_gp)
             minv = self._minv(g, dofmask)
-            u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
+            unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
+            if self.evolve_ndof < g.ndof:
+                # rDG: only the evolved dofs advance; reconstructed dofs
+                # keep their current (initial-projection + limiter) values
+                kk = jnp.tile(jnp.arange(g.ndof), self.system.ncomp)
+                unew = jnp.where(
+                    (kk < self.evolve_ndof)[:, None], unew, u
+                )
+            u = unew
             if dofmask is not None:
                 dmflat = jnp.tile(dofmask, (self.system.ncomp, 1))
                 u = jnp.where(dmflat > 0, u, un)

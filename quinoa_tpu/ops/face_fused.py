@@ -147,7 +147,8 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
     return kernel
 
 
-def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False):
+def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False,
+                    interpret=False, _debug_contrib=False):
     """Full DG surface integral via the fused kernel.
 
     U (C*K, E) -> (C*K, E) accumulated face contributions; with
@@ -213,6 +214,7 @@ def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False):
             out_specs=out_specs,
         ),
         out_shape=out_shape,
+        interpret=interpret,
     )(plan.blkL, plan.ksL, _padU(U, NBW), _padU(U, NBW), UvRp,
       xil, xir, fn, fa, bt)
 
@@ -225,8 +227,11 @@ def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False):
     # kernel)
     cR = contribR[:, :F][:, plan.permR]
     accR = _one_pass(cR, plan.ksR, plan.blkR, plan.mloR, plan.mhiR,
-                     plan.ntileR, plan.nblkR, TF, W, plan.E)
+                     plan.ntileR, plan.nblkR, TF, W, plan.E,
+                     interpret=interpret)
     acc = accL + accR
+    if _debug_contrib:
+        return acc, contribR[:, :F]
     if emit_charvel:
         return acc, outs[3][0, :F]
     return acc

@@ -299,7 +299,7 @@ def _phys_gp(node0, Jmat, xi):
 
 
 def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
-           face_gp=True):
+           face_gp=True, want_charvel=False):
     """DG right-hand side: volume + surface + boundary + source integrals.
 
     U (C*K, E); dofmask (K, E) or None when every dof is active (the
@@ -352,9 +352,15 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
     if accum_plan is not None and dofmask is None and not face_gp:
         # fully fused Pallas face pass: window-gather + basis + BC +
         # Riemann + contraction + accumulation in one kernel per
-        # el-sorted face tile (ops/face_fused.py)
+        # el-sorted face tile (ops/face_fused.py); with want_charvel the
+        # same pass also emits the dt sweep's per-face wt-weighted max
+        # characteristic speed (replacing dg_dt's separate 300 ms sweep)
         from ..ops.face_fused import fused_face_pass
 
+        if want_charvel:
+            acc, mx = fused_face_pass(system, geom, accum_plan, U,
+                                      emit_charvel=True)
+            return Rv.reshape(C * K, E) + acc, mx
         acc = fused_face_pass(system, geom, accum_plan, U)
         return Rv.reshape(C * K, E) + acc
 
@@ -453,6 +459,19 @@ def dg_dt(system, geom: DGGeom, U, dofmask):
 
     delt = sum(mx[geom.fose[i]] for i in range(4))
     big = jnp.asarray(jnp.finfo(dt_).max, dtype=dt_)
+    elemdt = geom.vol / jnp.maximum(delt, 1e-300)
+    return jnp.where(geom.emask > 0, elemdt, big).min()
+
+
+def dg_dt_from_charvel(geom: DGGeom, accum_plan, mx):
+    """min_e vol_e / sum_f mx[f] from the fused pass's per-face charvel
+    slab: the face->element sum runs through the same accumulation
+    kernel (each interior face contributes to el and er; boundary faces
+    have ksR=-1 and only hit the L pass — matching the fose gather)."""
+    from ..ops.face_accum import accumulate_faces
+
+    delt = accumulate_faces(accum_plan, mx[None], mx[None])[0]
+    big = jnp.asarray(jnp.finfo(mx.dtype).max, dtype=mx.dtype)
     elemdt = geom.vol / jnp.maximum(delt, 1e-300)
     return jnp.where(geom.emask > 0, elemdt, big).min()
 
