@@ -334,6 +334,9 @@ def build_inciter(cfg: InciterConfig, mesh):
             cweight=cfg.cweight,
             pref=(cfg.scheme == "pdg") or cfg.pref,
             tolref=cfg.tolref,
+            # P0P1 = rDG: evolve the cell average only, faces see the
+            # (frozen/limited) P1 dofs (Scheme.hpp:45, Grammar.hpp:378)
+            evolve_ndof=1 if cfg.scheme == "p0p1" else None,
         )
         return solver, DGDiagnostics(system, geom)
 
@@ -461,6 +464,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None):
         return SPMDDGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
             limiter=cfg.limiter, cweight=cfg.cweight,
+            evolve_ndof=1 if cfg.scheme == "p0p1" else None,
         )
 
     raise ValueError(f"unknown scheme {cfg.scheme!r}")

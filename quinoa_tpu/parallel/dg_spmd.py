@@ -45,6 +45,7 @@ class SPMDDGSolver:
         const_dt: Optional[float] = None,
         limiter: Optional[str] = None,
         cweight: float = 30.0,
+        evolve_ndof: Optional[int] = None,
     ):
         if mesh.shape[AXIS] != sharded.nshard:
             raise ValueError("device mesh size != shard count")
@@ -56,7 +57,8 @@ class SPMDDGSolver:
         self.limiter = limiter
         self.cweight = cweight
         K = sharded.geom.ndof
-        p = {1: 0.0, 4: 1.0, 10: 2.0}[K]
+        self.evolve_ndof = evolve_ndof or K
+        p = {1: 0.0, 4: 1.0, 10: 2.0}[self.evolve_ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
 
         # diagnostics quadrature tables precomputed host-side (constants)
@@ -169,6 +171,12 @@ class SPMDDGSolver:
                     )
             r = dg_rhs(self.system, g, u, dofmask, state.t)
             unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
+            if self.evolve_ndof < K:
+                # rDG (P0P1): reconstructed dofs keep their values
+                kk = jnp.tile(jnp.arange(K), C)
+                unew = jnp.where(
+                    (kk < self.evolve_ndof)[:, None], unew, u
+                )
             # only owned elements advance; ghosts refresh via exchange
             u = jnp.where(sh.owned[None, :] > 0, unew, u)
 
