@@ -79,7 +79,7 @@ class InciterConfig:
     amr_error: str = "jump"
     amr_tol: float = 0.2
     amr_tolderef: float = 0.05
-    partitioner: str = "sfc"  # partitioning block: rcb/rib -> rcb, else sfc
+    partitioner: str = "sfc"  # rcb/rib/hsfc/mj/phg (partition.py), else sfc
 
 
 _SCHEME_NDOF = {"dg": 1, "p0p1": 4, "dgp1": 4, "dgp2": 10, "pdg": 4}
@@ -162,8 +162,11 @@ def load_inciter(deck_text: str) -> InciterConfig:
 
     part = first(inc, "partitioning")
     if part is not None:
+        # all five reference algorithms are implemented
+        # (PartitioningAlgorithm.hpp:61-65 -> parallel/partition.py)
         alg = first(part, "algorithm", "mj")
-        cfg.partitioner = "rcb" if alg in ("rcb", "rib") else "sfc"
+        cfg.partitioner = alg if alg in (
+            "rcb", "rib", "hsfc", "mj", "phg") else "sfc"
 
     amr = first(inc, "amr")
     if amr is not None:

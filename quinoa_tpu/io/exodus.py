@@ -37,9 +37,49 @@ def _face_key_to_exo_side() -> dict:
     return {tuple(sorted(s)): i + 1 for i, s in enumerate(_EXO_TET_SIDES)}
 
 
+class _H5NetCDF:
+    """Minimal netcdf-4 (HDF5) reader with scipy.io.netcdf_file's shape:
+    `.dimensions` (name -> size), `.variables` (name -> sliceable),
+    `.close()`.  SEACAS writes netcdf-4 exodus when built with HDF5;
+    netCDF-4 stores each dimension as an HDF5 DIMENSION_SCALE dataset
+    whose NAME attribute marks pure dimensions."""
+
+    def __init__(self, path: str):
+        import h5py
+
+        self._f = h5py.File(path, "r")
+        self.dimensions: Dict[str, int] = {}
+        self.variables: Dict[str, object] = {}
+        for name, ds in self._f.items():
+            if not isinstance(ds, h5py.Dataset):
+                continue
+            cls = ds.attrs.get("CLASS", b"")
+            if bytes(cls) == b"DIMENSION_SCALE":
+                self.dimensions[name] = int(ds.shape[0]) if ds.shape else 0
+                nm = bytes(ds.attrs.get("NAME", b""))
+                if not nm.startswith(b"This is a netCDF dimension"):
+                    # coordinate variable: a dimension AND a variable
+                    self.variables[name] = ds
+            else:
+                self.variables[name] = ds
+
+    def close(self):
+        self._f.close()
+
+
+def _open_exodus(path: str):
+    """Open an ExodusII file for reading: NetCDF-3 classic via scipy,
+    netcdf-4/HDF5 via h5py (sniffed from the magic bytes)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"\x89HDF":
+        return _H5NetCDF(path)
+    return netcdf_file(path, "r", mmap=False)
+
+
 def read_exodus(path: str) -> UnsMesh:
     """Read an ExodusII tet mesh (with side sets) into UnsMesh."""
-    f = netcdf_file(path, "r", mmap=False)
+    f = _open_exodus(path)
     try:
         dims = f.dimensions
         nnode = int(dims["num_nodes"])
@@ -116,7 +156,7 @@ def read_exodus(path: str) -> UnsMesh:
 
 def read_exodus_fields(path: str):
     """Read nodal variables: (names, times, values (ntime, nvar, nnode))."""
-    f = netcdf_file(path, "r", mmap=False)
+    f = _open_exodus(path)
     try:
         if "name_nod_var" not in f.variables:
             return [], np.zeros(0), np.zeros((0, 0, 0))
@@ -142,7 +182,7 @@ def read_exodus_elem_fields(path: str):
     """Read element variables of block 1: (names, times, values
     (ntime, nvar, nelem)) — the layout the reference's DG output uses
     (vals_elem_var{i}eb1)."""
-    f = netcdf_file(path, "r", mmap=False)
+    f = _open_exodus(path)
     try:
         if "name_elem_var" not in f.variables:
             return [], np.zeros(0), np.zeros((0, 0, 0))
@@ -167,7 +207,7 @@ def read_exodus_elem_fields(path: str):
 def read_exodus_maps(path: str):
     """Read the (node_num_map, elem_num_map) global-id maps (0-based), or
     (None, None) when the file has no maps (a serial write)."""
-    f = netcdf_file(path, "r", mmap=False)
+    f = _open_exodus(path)
     try:
         nm = (
             np.array(f.variables["node_num_map"][:]).astype(np.int64) - 1

@@ -21,7 +21,9 @@ def detect_format(path: str) -> str:
     """Detect a mesh file's format from magic bytes / structure."""
     with open(path, "rb") as fh:
         head = fh.read(16)
-    if head.startswith(b"CDF"):
+    if head.startswith(b"CDF") or head.startswith(b"\x89HDF"):
+        # NetCDF-3 classic or netcdf-4/HDF5 exodus (both handled by
+        # io/exodus.py's _open_exodus dispatcher)
         return "exodus"
     try:
         text = head.decode("ascii", errors="strict")

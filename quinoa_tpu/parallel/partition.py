@@ -88,7 +88,145 @@ def rcb_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
     return part
 
 
-_ALGOS = {"sfc": morton_partition, "hsfc": morton_partition, "rcb": rcb_partition}
+def rib_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
+    """Recursive inertial bisection: bisect along the principal axis of
+    the point cloud's inertia (the direction of largest variance), the
+    Zoltan RIB analog (ZoltanInterOp.cpp:29-133).  Better cuts than RCB
+    on meshes whose long direction is not axis-aligned."""
+    n = centroids.shape[0]
+    part = np.zeros(n, dtype=np.int32)
+
+    def recurse(idx: np.ndarray, base: int, k: int):
+        if k == 1:
+            part[idx] = base
+            return
+        pts = centroids[idx]
+        c = pts - pts.mean(axis=0)
+        # principal direction of inertia = leading eigenvector of the
+        # 3x3 covariance (tiny, exact)
+        cov = c.T @ c
+        w, v = np.linalg.eigh(cov)
+        proj = c @ v[:, -1]
+        k_lo = k // 2
+        cut = (len(idx) * k_lo) // k
+        order = np.argsort(proj, kind="stable")
+        recurse(idx[order[:cut]], base, k_lo)
+        recurse(idx[order[cut:]], base + k_lo, k - k_lo)
+
+    recurse(np.arange(n, dtype=np.int64), 0, nparts)
+    return part
+
+
+def mj_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
+    """Multi-jagged: multi-way (not binary) recursive sectioning along
+    coordinate axes — the Zoltan2 MJ analog.  Factor nparts into up to
+    three per-axis counts ordered by the cloud's extents, then cut each
+    axis into equal-count slabs recursively."""
+    # factor nparts into <=3 factors, largest first
+    def factors3(p):
+        fs = []
+        for prime in range(2, p + 1):
+            while p % prime == 0:
+                fs.append(prime)
+                p //= prime
+            if p == 1:
+                break
+        out = [1, 1, 1]
+        for f in sorted(fs, reverse=True):
+            out[int(np.argmin(out))] *= f
+        return sorted(out, reverse=True)
+
+    n = centroids.shape[0]
+    part = np.zeros(n, dtype=np.int32)
+    ext_order = np.argsort(
+        -(centroids.max(axis=0) - centroids.min(axis=0)))
+    counts = factors3(nparts)
+
+    def recurse(idx: np.ndarray, base: int, depth: int, stride: int):
+        k = counts[depth] if depth < 3 else 1
+        if k == 1 or depth >= 3:
+            part[idx] = base
+            return
+        ax = int(ext_order[depth])
+        order = np.argsort(centroids[idx, ax], kind="stable")
+        sub_stride = stride // k
+        m = len(idx)
+        for j in range(k):
+            lo, hi = (m * j) // k, (m * (j + 1)) // k
+            recurse(idx[order[lo:hi]], base + j * sub_stride,
+                    depth + 1, sub_stride)
+
+    recurse(np.arange(n, dtype=np.int64), 0, 0, nparts)
+    return part
+
+
+def graph_partition(centroids: np.ndarray, nparts: int,
+                    inpoel: np.ndarray | None = None) -> np.ndarray:
+    """Greedy graph-growing over face adjacency seeded by SFC order —
+    the PHG (hypergraph) analog for the TPU build.  Grows each part by
+    BFS over element face-neighbors to the exact target count, seeding
+    each part at the first unassigned element in SFC order, which keeps
+    parts connected and cuts near-minimal without an iterative
+    hypergraph solve."""
+    if inpoel is None:
+        # no connectivity available: SFC fallback
+        return morton_partition(centroids, nparts)
+    from ..mesh.derived import gen_esuel
+
+    import heapq
+
+    n = inpoel.shape[0]
+    nnode = int(inpoel.max()) + 1
+    esuel = np.asarray(gen_esuel(inpoel, nnode)).T  # (4, nelem), -1 bnd
+    codes = _morton_codes(centroids)
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.argsort(codes, kind="stable")] = np.arange(n)
+    codes_order = np.argsort(codes, kind="stable")
+    part = np.full(n, -1, dtype=np.int32)
+    pos = 0  # cursor into codes_order for seeds
+
+    for p in range(nparts):
+        target = ((p + 1) * n) // nparts - (p * n) // nparts
+        while pos < n and part[codes_order[pos]] >= 0:
+            pos += 1
+        if pos >= n:
+            break
+        # GGGP: grow by max gain (= assigned face-neighbors, so the
+        # front stays compact), SFC rank as tie-break
+        heap = [(-1, rank[codes_order[pos]], codes_order[pos])]
+        grown = 0
+        while grown < target:
+            if not heap:
+                while pos < n and part[codes_order[pos]] >= 0:
+                    pos += 1
+                if pos >= n:
+                    break
+                heapq.heappush(
+                    heap, (-1, rank[codes_order[pos]], codes_order[pos]))
+            _, _, e = heapq.heappop(heap)
+            if part[e] >= 0:
+                continue
+            part[e] = p
+            grown += 1
+            for i in range(4):
+                nb = esuel[i, e]
+                if nb >= 0 and part[nb] < 0:
+                    gain = sum(
+                        1 for j in range(4)
+                        if esuel[j, nb] >= 0 and part[esuel[j, nb]] == p)
+                    heapq.heappush(heap, (-gain, rank[nb], nb))
+    part[part < 0] = nparts - 1
+    return part
+
+
+_ALGOS = {
+    "sfc": morton_partition,
+    "hsfc": morton_partition,
+    "rcb": rcb_partition,
+    "rib": rib_partition,
+    "mj": mj_partition,
+    "phg": graph_partition,
+}
 
 
 def partition_elements(
@@ -103,4 +241,6 @@ def partition_elements(
         algo = _ALGOS[algorithm]
     except KeyError:
         raise ValueError(f"unknown partitioning algorithm {algorithm!r}") from None
+    if algo is graph_partition:
+        return algo(element_centroids(coords, inpoel), nparts, inpoel=inpoel)
     return algo(element_centroids(coords, inpoel), nparts)

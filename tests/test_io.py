@@ -305,3 +305,44 @@ def test_meshconv_join_pieces(tmp_path, monkeypatch):
     names, times, vals = read_exodus_elem_fields("joined.exo")
     assert names == ["r"] and np.isclose(times[-1], 0.5)
     assert np.allclose(vals[-1, 0], ef["r"])
+
+
+def test_exodus_hdf5_netcdf4(tmp_path):
+    """netcdf-4 (HDF5) exodus files route through the h5py adapter
+    (SEACAS writes these when built with HDF5; scipy only reads
+    classic).  Convert a committed reference mesh to the netCDF-4
+    layout and compare against the classic read."""
+    import h5py
+    from scipy.io import netcdf_file
+    from quinoa_tpu.io.exodus import read_exodus
+
+    src = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+           "dtref/unitcube_1k.exo")
+    dst = str(tmp_path / "unitcube_1k_h5.exo")
+    fin = netcdf_file(src, "r", mmap=False)
+    with h5py.File(dst, "w") as out:
+        for name, size in fin.dimensions.items():
+            if name in fin.variables:
+                continue  # written below as a coordinate variable
+            n = int(size) if size else len(fin.variables.get(
+                "time_whole", np.zeros(0))[:])
+            d = out.create_dataset(name, data=np.zeros(max(n, 1)))
+            d.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+            d.attrs["NAME"] = np.bytes_(
+                f"This is a netCDF dimension but not a netCDF variable."
+                f"{n:10d}")
+        for name, var in fin.variables.items():
+            data = np.array(var[:])
+            d = out.create_dataset(name, data=data)
+            if name in fin.dimensions:
+                d.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+                d.attrs["NAME"] = np.bytes_(name)
+    fin.close()
+
+    a = read_exodus(src)
+    b = read_exodus(dst)
+    np.testing.assert_array_equal(a.inpoel, b.inpoel)
+    np.testing.assert_allclose(a.coords, b.coords)
+    assert set(a.bface) == set(b.bface)
+    for k in a.bface:
+        np.testing.assert_array_equal(a.bface[k], b.bface[k])
