@@ -30,6 +30,11 @@ def _cmd_inciter(argv):
                     help="shard the run over N devices (domain "
                          "decomposition over a jax.sharding.Mesh; the "
                          "Transporter/Partitioner analog)")
+    ap.add_argument("-u", "--virtualization", type=float, default=0.0,
+                    help="overdecomposition parameter in [0,1): cut "
+                         "linearLoadDistributor-many chunks, LPT-pack "
+                         "them per device (the Charm++ virtualization "
+                         "analog; LoadDistributor.cpp:23-90)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -225,7 +230,9 @@ def _run_inciter_spmd(args, cfg, mesh):
     from .io import DiagWriter
     from .parallel.shard import gather_global_field
 
-    solver = build_inciter_spmd(cfg, mesh, args.npes)
+    solver = build_inciter_spmd(
+        cfg, mesh, args.npes,
+        virtualization=getattr(args, "virtualization", 0.0))
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
 
     def gather_u(state):
@@ -285,7 +292,9 @@ def _run_inciter_spmd(args, cfg, mesh):
             )
             if changed:
                 mesh = mesh2
-                solver = build_inciter_spmd(cfg, mesh, args.npes)
+                solver = build_inciter_spmd(
+                    cfg, mesh, args.npes,
+                    virtualization=getattr(args, "virtualization", 0.0))
                 st = solver.initial_state(t0=float(state.t))
                 unew = jax.device_put(
                     scatter_u(solver, u2).astype(st.u.dtype),

@@ -346,7 +346,8 @@ def build_inciter(cfg: InciterConfig, mesh):
     raise ValueError(f"unknown scheme {cfg.scheme!r}")
 
 
-def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None):
+def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
+                       virtualization: float = 0.0):
     """Construct the DISTRIBUTED solver named by the deck over npes shards.
 
     The production counterpart of the reference's always-parallel
@@ -398,6 +399,12 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None):
 
     cfl = cfg.cfl if cfg.cfl is not None else 0.5
 
+    if virtualization > 0.0 and cfg.scheme != "diagcg":
+        raise ValueError(
+            "virtualization (overdecomposition) is currently implemented "
+            "for scheme diagcg; run other schemes with virtualization 0"
+        )
+
     if cfg.scheme in ("diagcg", "alecg"):
         from ..pde.cg import CGTransport
         from ..pde.cg_compflow import CGCompFlow
@@ -424,10 +431,21 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None):
             return SPMDALECGSolver(
                 system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt
             )
-        sharded = build_cg_shards(
-            mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
-            algorithm=cfg.partitioner,
-        )
+        if virtualization > 0.0:
+            # overdecomposition: linearLoadDistributor-many chunks,
+            # LPT-packed and merged per device (parallel/overdecomp.py)
+            from ..parallel.overdecomp import build_overdecomposed_cg
+
+            over = build_overdecomposed_cg(
+                mesh, npes, virtualization, ncomp=system.ncomp,
+                bcnodes=bcnodes, algorithm=cfg.partitioner,
+            )
+            sharded = over.sharded
+        else:
+            sharded = build_cg_shards(
+                mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
+                algorithm=cfg.partitioner,
+            )
         return SPMDDiagCGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
             ctau=cfg.ctau, fct=cfg.fct,

@@ -83,34 +83,43 @@ class PpermuteHalo:
 
 
 class HaloCombiner:
-    """Boundary-node buffer combines over the shard axis (gather-based)."""
+    """Boundary-node buffer combines over the shard axis (gather-based).
+
+    rev_slot may be (nb+1,) — each slot's node appears at most once on
+    this shard — or (m, nb+1) for overdecomposed super-shards where a
+    slot's node can live in up to m same-device chunk copies; the m
+    copies fold elementwise before the cross-device reduction."""
 
     def __init__(self, bnd_slot, rev_slot, nb: int):
         self.slot = bnd_slot  # (Nl,); == nb for interior nodes
-        self.rev = rev_slot  # (nb+1,); == Nl for slots not on this shard
+        self.rev = rev_slot  # (nb+1,) or (m, nb+1); == Nl when absent
         self.nb = nb
         self.is_bnd = bnd_slot < nb  # (Nl,)
 
-    def _combine(self, x, fill, reduce_op):
+    def _combine(self, x, fill, fold, reduce_op):
         if self.nb == 0:
             return x
         C, Nl = x.shape
         xpad = jnp.concatenate(
             [x, jnp.full((C, 1), fill, dtype=x.dtype)], axis=1
         )
-        buf = xpad[:, self.rev]  # (C, nb+1): this shard's partials per slot
+        buf = xpad[:, self.rev]  # (C, nb+1) or (C, m, nb+1)
+        if buf.ndim == 3:
+            buf = fold(buf, axis=1)
         buf = reduce_op(buf, AXIS)
         g = buf[:, self.slot]  # trash column read back for interior nodes
         return jnp.where(self.is_bnd[None, :], g, x)
 
     def sum(self, x):
-        return self._combine(x, 0.0, jax.lax.psum)
+        return self._combine(x, 0.0, jnp.sum, jax.lax.psum)
 
     def max(self, x):
-        return self._combine(x, jnp.finfo(x.dtype).min, jax.lax.pmax)
+        return self._combine(
+            x, jnp.finfo(x.dtype).min, jnp.max, jax.lax.pmax)
 
     def min(self, x):
-        return self._combine(x, jnp.finfo(x.dtype).max, jax.lax.pmin)
+        return self._combine(
+            x, jnp.finfo(x.dtype).max, jnp.min, jax.lax.pmin)
 
 
 class SPMDDiagCGSolver:
