@@ -61,7 +61,11 @@ def test_reference_alecg_deck_runs():
     assert np.isfinite(row.l2sol).all()
 
 
-@pytest.mark.parametrize("nshard", [2, 4, 8])
+@pytest.mark.parametrize("nshard", [
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_spmd_alecg_matches_single(nshard):
     mesh = box_tet_mesh(8, 8, 4, hi=(1.0, 1.0, 0.5))
     bc = mesh.all_bnodes()

@@ -252,6 +252,7 @@ def test_t0ref_uniform_derefine_roundtrip():
     assert out.nelem == mesh.nelem * 8
 
 
+@pytest.mark.slow
 def test_cli_adaptive_dtref_cycle(tmp_path, monkeypatch, capsys):
     """Error-driven dtref through the CLI: the refined zone follows the
     advected feature — retag every dtfreq steps against the base mesh,

@@ -52,7 +52,8 @@ def test_virtualization_scales_chunks(mesh):
     assert oh.cpd * 2 >= nchare
 
 
-@pytest.mark.parametrize("virt", [0.5, 0.9])
+@pytest.mark.parametrize("virt", [
+    0.5, pytest.param(0.9, marks=pytest.mark.slow)])
 def test_overdecomposed_matches_single(mesh, virt):
     """2 devices x several chunks reproduces the single-device DiagCG
     run (the asynclogic-style equivalence check)."""

@@ -71,6 +71,7 @@ def test_p0p1_faces_use_reconstructed_state():
     assert np.isfinite(l2err).all()
 
 
+@pytest.mark.slow
 def test_p0p1_with_limiter_still_freezes_evolution():
     """With superbeep1 the P1 dofs change only through the limiter
     (DG.cpp:1251-1260 lims before each stage), never through the

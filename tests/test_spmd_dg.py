@@ -24,9 +24,13 @@ def _bc_sod():
             3: BC_SYMMETRY, 4: BC_SYMMETRY, 5: BC_SYMMETRY, 6: BC_SYMMETRY}
 
 
-@pytest.mark.parametrize("nshard,limiter", [(2, None), (4, "superbeep1"),
-                                            (8, None), (8, "superbeep1"),
-                                            (8, "wenop1")])
+@pytest.mark.parametrize("nshard,limiter", [
+    (2, None),
+    pytest.param(4, "superbeep1", marks=pytest.mark.slow),
+    pytest.param(8, None, marks=pytest.mark.slow),
+    pytest.param(8, "superbeep1", marks=pytest.mark.slow),
+    pytest.param(8, "wenop1", marks=pytest.mark.slow),
+])
 def test_spmd_dg_matches_single(nshard, limiter):
     mesh = box_tet_mesh(10, 3, 3, hi=(1.0, 0.3, 0.3))
     prob = SodShocktube()
@@ -48,6 +52,7 @@ def test_spmd_dg_matches_single(nshard, limiter):
     assert err < 1e-9, f"max |sharded - single| = {err}"
 
 
+@pytest.mark.slow
 def test_spmd_dg_sedov_diag():
     mesh = box_tet_mesh(6, 6, 2, hi=(0.3, 0.3, 0.1))
     bc = {i: BC_SYMMETRY for i in range(1, 7)}

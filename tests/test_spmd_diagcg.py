@@ -36,7 +36,8 @@ def test_partitioners_balanced(problem_setup):
         assert counts.max() - counts.min() <= 1, algo
 
 
-@pytest.mark.parametrize("nshard", [2, 8])
+@pytest.mark.parametrize("nshard", [
+    2, pytest.param(8, marks=pytest.mark.slow)])
 def test_spmd_matches_single_shard(problem_setup, nshard):
     mesh, bc = problem_setup
     system = CGTransport(SlotCyl())
