@@ -39,13 +39,21 @@ def main():
     solver = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
     state = solver.initial_state()
 
+    import jax.numpy as jnp
+
     nsteps = 10
-    warm = solver.nsteps(state, nsteps)
-    jax.block_until_ready(warm.u)
+    # chained states + a host READBACK barrier: block_until_ready is
+    # unreliable on the axon backend for small buffers, and the backend
+    # can memoize byte-identical re-dispatches of the warmup inputs
+    # (both observed on the CG bench; DG numbers verified identical
+    # between the two barrier styles)
+    state = solver.step(state)
+    float(jnp.sum(state.u))
 
     t0 = time.perf_counter()
-    state = solver.nsteps(state, nsteps)
-    jax.block_until_ready(state.u)
+    for _ in range(nsteps):
+        state = solver.step(state)
+    float(jnp.sum(state.u))
     dt = time.perf_counter() - t0
 
     assert np.isfinite(np.asarray(state.u)).all()
