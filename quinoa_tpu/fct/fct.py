@@ -47,17 +47,19 @@ class FCT:
         s = X.sum(axis=0)
         return j * (4.0 * X - s)
 
+    def diff_contrib(self, geom: CGGeom, un):
+        """Mass-diffusion element contributions (4, C, E) from the
+        shared nodal gather (the driver batches this assembly with the
+        PDE rhs one).  D_a = -c_tau (M_Le - M_ce) Un
+        (FluxCorrector::diff:281-338)."""
+        return -self.ctau * self._mass_lumped_minus_consistent(geom, un)
+
     def diff(self, geom: CGGeom, Un):
-        """Mass-diffusion rhs of the low-order system: (C, N) partials.
-
-        D_a = -c_tau (M_Le - M_ce) Un scattered to nodes
-        (FluxCorrector::diff:281-338).
-        """
+        """Mass-diffusion rhs of the low-order system: (C, N) partials."""
         un = gather_nodes(Un, geom.inpoelT)
-        contrib = -self.ctau * self._mass_lumped_minus_consistent(geom, un)
-        return assemble_add(contrib, geom.nsup)
+        return assemble_add(self.diff_contrib(geom, un), geom.nsup)
 
-    def aec(self, geom: CGGeom, dUh, Un, bcmask):
+    def aec(self, geom: CGGeom, dUh, Un, bcmask, un=None, bc_n=None):
         """Antidiffusive element contributions + nodal P sums.
 
         AEC = M_L^{-1} (M_Le - M_ce)(ctau*Un + dUh); dUh enters as zero for
@@ -65,44 +67,56 @@ class FCT:
         AECs at Dirichlet-BC nodes are zeroed.
 
         bcmask : (C, N) 1.0 where a Dirichlet BC is set.
+        un, bc_n : optional precomputed gathers of Un and bcmask (bc_n is
+        static per run — the solver caches it).
         Returns (aec (4, C, E), P (2, C, N)).
         """
-        un = gather_nodes(Un, geom.inpoelT)
+        if un is None:
+            un = gather_nodes(Un, geom.inpoelT)
         me = self._mass_lumped_minus_consistent(geom, self.ctau * un)
         vol_n = jnp.stack(
             [geom.vol[geom.inpoelT[a]] for a in range(4)]
         )  # (4, E)
         aec = me / vol_n[:, None, :]
 
-        bc_n = gather_nodes(bcmask, geom.inpoelT)  # (4, C, E)
+        if bc_n is None:
+            bc_n = gather_nodes(bcmask, geom.inpoelT)  # (4, C, E)
         aec = jnp.where(bc_n > 0, 0.0, aec)
 
-        pos = assemble_add(jnp.maximum(aec, 0.0), geom.nsup)
-        neg = assemble_add(jnp.minimum(aec, 0.0), geom.nsup)
-        return aec, jnp.stack([pos, neg])
+        # one assembly pass over the stacked [pos | neg] rows (each
+        # extra row rides the same D gathers)
+        C = aec.shape[1]
+        pn = assemble_add(
+            jnp.concatenate(
+                [jnp.maximum(aec, 0.0), jnp.minimum(aec, 0.0)], axis=1
+            ),
+            geom.nsup,
+        )
+        return aec, jnp.stack([pn[:C], pn[C:]])
 
     def alw(self, geom: CGGeom, Un, Ul):
         """Allowed max/min around nodes: Q (2, C, N) partials.
 
         S_el = extrema over the element's nodes of max/min(Ul,Un); Q_i is
         the extremum of S_el over elements around i (alw:339-388).
+        min folds into the max pass by negation, so the whole alw is one
+        stacked gather + one stacked extreme-assembly.
         """
+        C = Un.shape[0]
         big = jnp.asarray(jnp.finfo(Un.dtype).max, dtype=Un.dtype)
-        smax = gather_nodes(jnp.maximum(Ul, Un), geom.inpoelT)  # (4,C,E)
-        smin = gather_nodes(jnp.minimum(Ul, Un), geom.inpoelT)
-        s_max_el = smax.max(axis=0)  # (C, E)
-        s_min_el = smin.min(axis=0)
-        pad = geom.emask <= 0
-        s_max_el = jnp.where(pad, -big, s_max_el)
-        s_min_el = jnp.where(pad, big, s_min_el)
+        s = gather_nodes(
+            jnp.concatenate(
+                [jnp.maximum(Ul, Un), -jnp.minimum(Ul, Un)], axis=0
+            ),
+            geom.inpoelT,
+        )  # (4, 2C, E): [max | -min]
+        s_el = s.max(axis=0)  # (2C, E): [max_el | -min_el]
+        s_el = jnp.where(geom.emask <= 0, -big, s_el)
 
-        qmax = assemble_max(
-            jnp.broadcast_to(s_max_el[None], smax.shape), geom.nsup
-        )
-        qmin = assemble_min(
-            jnp.broadcast_to(s_min_el[None], smin.shape), geom.nsup
-        )
-        return jnp.stack([qmax, qmin])
+        q = assemble_max(
+            jnp.broadcast_to(s_el[None], s.shape), geom.nsup
+        )  # (2C, N): [qmax | -qmin]
+        return jnp.stack([q[:C], -q[C:]])
 
     def lim(self, geom: CGGeom, aec, P, Q, Ul):
         """Limited antidiffusive contributions assembled to nodes: (C, N).
@@ -112,6 +126,7 @@ class FCT:
         """
         eps = jnp.asarray(jnp.finfo(Ul.dtype).eps, dtype=Ul.dtype)
         big = jnp.asarray(jnp.finfo(Ul.dtype).max, dtype=Ul.dtype)
+        C = Ul.shape[0]
 
         Qp = Q[0] - Ul
         Qm = Q[1] - Ul
@@ -127,8 +142,10 @@ class FCT:
             0.0,
         )
 
-        rp = gather_nodes(Rp, geom.inpoelT)  # (4, C, E)
-        rm = gather_nodes(Rm, geom.inpoelT)
+        rpm = gather_nodes(
+            jnp.concatenate([Rp, Rm], axis=0), geom.inpoelT
+        )  # (4, 2C, E)
+        rp, rm = rpm[:, :C], rpm[:, C:]
         r = jnp.where(jnp.abs(aec) < eps, big, jnp.where(aec > 0.0, rp, rm))
         Cel = jnp.minimum(r.min(axis=0), 1.0)  # (C, E)
 

@@ -68,10 +68,20 @@ def diagcg_advance(
     are the identity; the SPMD driver injects boundary-buffer
     psum/pmax/pmin reductions.
     """
-    r = system.rhs(t, dt, geom, u)
-    dif = fct.diff(geom, u)
-    r = combine_sum(r)
-    dif = combine_sum(dif)
+    from ..ops.assembly import gather_nodes, assemble_add
+
+    C = u.shape[0]
+    # ONE shared nodal gather feeds the PDE rhs, the mass diffusion, and
+    # the AEC (the bench showed every (C, N) gather costs ~30 ms at 663k
+    # tets — each op re-gathering was the dominant step cost); the rhs
+    # and diff element contributions then ride a single stacked assembly
+    # and a single stacked halo exchange.
+    un = gather_nodes(u, geom.inpoelT)                      # (4, C, E)
+    rc = system.rhs_contrib(t, dt, geom, u, un)
+    dc = fct.diff_contrib(geom, un)
+    rd = assemble_add(jnp.concatenate([rc, dc], axis=1), geom.nsup)
+    rd = combine_sum(rd)                                    # (2C, N)
+    r, dif = rd[:C], rd[C:]
 
     # Dirichlet BCs: lhs=1, rhs=bc increment, dif=0 at BC nodes
     # (DiagCG::solve, src/Inciter/DiagCG.cpp:359-414)
@@ -87,10 +97,14 @@ def diagcg_advance(
     if not use_fct:
         return u + du
 
-    aec, P = fct.aec(geom, du, u, bcmask)
+    aec, P = fct.aec(geom, du, u, bcmask, un=un)
     Q = fct.alw(geom, u, ul)
-    P = jnp.stack([combine_sum(P[0]), combine_sum(P[1])])
-    Q = jnp.stack([combine_max(Q[0]), combine_min(Q[1])])
+    # one stacked sum exchange for P, one stacked max exchange for Q
+    # (min folds in by negation)
+    P2 = combine_sum(jnp.concatenate([P[0], P[1]], axis=0))
+    P = jnp.stack([P2[:C], P2[C:]])
+    Q2 = combine_max(jnp.concatenate([Q[0], -Q[1]], axis=0))
+    Q = jnp.stack([Q2[:C], -Q2[C:]])
     A = combine_sum(fct.lim(geom, aec, P, Q, ul))
     return ul + A
 

@@ -126,8 +126,17 @@ class CGTransport:
 
     def rhs(self, t, dt, geom: CGGeom, U):
         """Right-hand side (C, nnode): per-shard partial sums."""
+        return assemble_add(
+            self.rhs_contrib(t, dt, geom, U,
+                             gather_nodes(U, geom.inpoelT)),
+            geom.nsup,
+        )
+
+    def rhs_contrib(self, t, dt, geom: CGGeom, U, un):
+        """Element-node rhs contributions (4, C, E), pre-assembly, from
+        a shared nodal gather `un` (the DiagCG driver batches this
+        assembly with the FCT mass-diffusion one)."""
         C, E = self.ncomp, geom.nelem
-        un = gather_nodes(U, geom.inpoelT)  # (4, C, E)
 
         # stage 1: element intermediate at t + dt/2
         # velocity at the four element nodes: (4, C, 3, E)
@@ -167,7 +176,7 @@ class CGTransport:
                 diff.append(s)
             contrib = contrib - d * jnp.stack(diff)
 
-        return assemble_add(contrib, geom.nsup)
+        return contrib
 
     # -- ALECG callbacks ----------------------------------------------------
 

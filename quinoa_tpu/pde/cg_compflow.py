@@ -44,8 +44,15 @@ class CGCompFlow:
         return self.problem.solinc(xyz, t, dt)
 
     def rhs(self, t, dt, geom: CGGeom, U):
+        return assemble_add(
+            self.rhs_contrib(t, dt, geom, U,
+                             gather_nodes(U, geom.inpoelT)),
+            geom.nsup,
+        )
+
+    def rhs_contrib(self, t, dt, geom: CGGeom, U, un):
+        """Element-node rhs contributions (4, 5, E), pre-assembly."""
         C, E = 5, geom.nelem
-        un = gather_nodes(U, geom.inpoelT)  # (4, 5, E)
 
         # stage 1: element intermediate at t + dt/2
         divF = jnp.zeros((C, E), dtype=U.dtype)
@@ -75,7 +82,7 @@ class CGCompFlow:
             s_c = self.problem.src(ctr, t + 0.5 * dt)  # (5, E)
             contrib = contrib + (d / 4.0) * s_c[None]
 
-        return assemble_add(contrib, geom.nsup)
+        return contrib
 
     # -- ALECG callbacks ----------------------------------------------------
 
