@@ -36,15 +36,25 @@ def _cmd_inciter(argv):
                          "them per device (the Charm++ virtualization "
                          "analog; LoadDistributor.cpp:23-90)")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="print the per-phase wall-clock table at the "
+                         "end (the reference Main's timer printout)")
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler on-device trace to this "
+                         "directory (TensorBoard; Projections analog)")
     args = ap.parse_args(argv)
 
     import numpy as np
 
+    from .base.profiler import PhaseProfiler, jax_trace
     from .control.config import load_inciter, build_inciter, apply_t0ref
     from .io import read_mesh, write_exodus, DiagWriter
 
+    prof = PhaseProfiler()
+    args._prof = prof
     cfg = load_inciter(open(args.control).read())
-    mesh = read_mesh(args.input)
+    with prof.phase("mesh read"):
+        mesh = read_mesh(args.input)
     if args.verbose:
         print(f"quinoa_tpu inciter: {cfg.title!r}")
         print(f"  mesh: {mesh.nnode} nodes, {mesh.nelem} tets")
@@ -53,15 +63,17 @@ def _cmd_inciter(argv):
 
     if cfg.t0ref and cfg.amr_initial:
         n0 = mesh.nelem
-        mesh = apply_t0ref(cfg, mesh)
+        with prof.phase("t0ref"):
+            mesh = apply_t0ref(cfg, mesh)
         if args.verbose:
             print(f"  t0ref: {n0} -> {mesh.nelem} tets")
 
     if args.npes > 1:
         return _run_inciter_spmd(args, cfg, mesh)
 
-    solver, diag = build_inciter(cfg, mesh)
-    state = solver.initial_state(t0=cfg.t0)
+    with prof.phase("solver build"):
+        solver, diag = build_inciter(cfg, mesh)
+        state = solver.initial_state(t0=cfg.t0)
     if args.restart:
         from .inciter.checkpoint import load_checkpoint
 
@@ -76,14 +88,19 @@ def _cmd_inciter(argv):
     amr_rmap = None
     t0 = time.perf_counter()
     it = int(state.it)  # nonzero when restarted from a checkpoint
+    from .base.profiler import jax_trace as _jt
+    trace_ctx = _jt(args.trace_dir)
+    trace_ctx.__enter__()
     while it < cfg.nstep and float(state.t) < cfg.term:
-        state = solver.step(state)
-        it = int(state.it)
+        with prof.phase("timestep"):
+            state = solver.step(state)
+            it = int(state.it)
         # diagnostics BEFORE any same-step dtref remesh: the reference
         # writes the diag row for step `it`, then refines going into the
         # next step (its dtref baselines show the pre-refinement row at
         # the final step).
         if it % cfg.diag_interval == 0:
+          with prof.phase("diagnostics"):
             row = diag.compute(state)
             if isinstance(row, tuple):
                 l2sol, l2err, linferr = row
@@ -114,19 +131,24 @@ def _cmd_inciter(argv):
         if args.verbose and it % cfg.ttyi == 0:
             print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
         if it % cfg.field_interval == 0:
-            _write_fields(args.output, it, cfg, solver, state, mesh,
-                          pieces=args.pieces)
+            with prof.phase("field output"):
+                _write_fields(args.output, it, cfg, solver, state, mesh,
+                              pieces=args.pieces)
         if args.rsfreq and it % args.rsfreq == 0:
             from .inciter.checkpoint import save_checkpoint
 
-            save_checkpoint(args.checkpoint_dir, state,
-                            {"it": it, "t": float(state.t)})
+            with prof.phase("checkpoint"):
+                save_checkpoint(args.checkpoint_dir, state,
+                                {"it": it, "t": float(state.t)})
+    trace_ctx.__exit__(None, None, None)
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
     _write_fields(args.output, it, cfg, solver, state, mesh,
                   pieces=args.pieces)
+    if args.profile:
+        print(prof.table())
     return 0
 
 
@@ -274,12 +296,19 @@ def _run_inciter_spmd(args, cfg, mesh):
 
     amr_base = None
     amr_rmap = None
+    prof = getattr(args, "_prof", None)
+    if prof is None:
+        from .base.profiler import PhaseProfiler
+
+        prof = PhaseProfiler()
     t0 = time.perf_counter()
     it = int(state.it)
     while it < cfg.nstep and float(state.t) < cfg.term:
-        state = solver.step(state)
-        it = int(state.it)
+        with prof.phase("timestep"):
+            state = solver.step(state)
+            it = int(state.it)
         if it % cfg.diag_interval == 0:
+          with prof.phase("diagnostics"):
             l2sol, l2err, linferr = solver.diagnostics(state)
             dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
                      linferr)
@@ -291,6 +320,7 @@ def _run_inciter_spmd(args, cfg, mesh):
                 cg_scheme, solver.system.ncomp, ndof,
             )
             if changed:
+              with prof.phase("resharding"):
                 mesh = mesh2
                 solver = build_inciter_spmd(
                     cfg, mesh, args.npes,
@@ -321,6 +351,8 @@ def _run_inciter_spmd(args, cfg, mesh):
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
     _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
                        cg_scheme)
+    if getattr(args, "profile", False):
+        print(prof.table())
     return 0
 
 

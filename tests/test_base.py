@@ -79,3 +79,26 @@ def test_remap_shift():
     assert lo == 3 and shifted.min() == 0
     newid = np.arange(10)[::-1]
     assert (remap(np.array([1, 2]), newid) == np.array([8, 7])).all()
+
+
+def test_phase_profiler():
+    """Per-phase wall-clock breakdown (the Main timer-table analog)."""
+    import time as _time
+
+    from quinoa_tpu.base.profiler import PhaseProfiler, jax_trace
+
+    prof = PhaseProfiler()
+    with prof.phase("a"):
+        _time.sleep(0.01)
+    with prof.phase("b"):
+        _time.sleep(0.02)
+    with prof.phase("a"):
+        _time.sleep(0.01)
+    times = dict((k, (s, n)) for k, s, n in prof.times())
+    assert times["a"][1] == 2 and times["b"][1] == 1
+    assert times["a"][0] >= 0.02 and times["b"][0] >= 0.02
+    tbl = prof.table()
+    assert "a" in tbl and "total" in tbl
+    # no-op trace context
+    with jax_trace(None):
+        pass
