@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
     jax.tree_util.register_dataclass,
     data_fields=[
         "ksL", "blkL", "mloL", "mhiL",
-        "permR", "ksR", "blkR", "mloR", "mhiR",
+        "permR", "ksR", "blkR", "mloR", "mhiR", "xirR",
     ],
     meta_fields=["ntileL", "nblkL", "ntileR", "nblkR", "TF", "W", "F", "E"],
 )
@@ -55,6 +56,7 @@ class AccumPlan:
     blkR: jnp.ndarray
     mloR: jnp.ndarray
     mhiR: jnp.ndarray
+    xirR: Optional[jnp.ndarray]  # (3G, FpR) er-sorted face Gauss coords
     ntileL: int
     nblkL: int
     ntileR: int
@@ -122,6 +124,16 @@ def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
     ksR_key = np.where(interior[permR], er[permR], -1).astype(np.int32)
     ksR, blkR, mloR, mhiR, ntileR, nblkR = _pass_tables(ksR_key, TF, W, dtype)
 
+    # er-sorted static face Gauss coords for the basis-contracting R
+    # pass (the runtime permute then only moves the (C*G) weighted-flux
+    # rows, not the (C*K) contributions — XLA's gather cost triples
+    # above 16 rows)
+    xi_r = np.asarray(geom.xi_r)
+    G = xi_r.shape[1]
+    xirR_ = xi_r.reshape(3 * G, F)[:, permR].astype(dtype)
+    FpR = ntileR * TF
+    xirR_ = np.pad(xirR_, ((0, 0), (0, FpR - F)))
+
     return AccumPlan(
         ksL=jnp.asarray(ksL.reshape(1, -1)),
         blkL=jnp.asarray(blkL),
@@ -132,6 +144,7 @@ def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
         blkR=jnp.asarray(blkR),
         mloR=jnp.asarray(mloR),
         mhiR=jnp.asarray(mhiR),
+        xirR=jnp.asarray(xirR_),
         ntileL=ntileL, nblkL=nblkL, ntileR=ntileR, nblkR=nblkR,
         TF=TF, W=W, F=F, E=E,
     )

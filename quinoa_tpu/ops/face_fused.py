@@ -127,11 +127,12 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
             for c in range(C) for k in range(K)
         ]
         contribL = jnp.stack(rowsL)             # (CK,TF)
-        rowsR = [
-            (row3(B_r, k) * row3(wfl, c)).sum(0)
-            for c in range(C) for k in range(K)
-        ]
-        cr_ref[...] = jnp.stack(rowsR)
+        # emit the WEIGHTED FLUX (C*G rows) for the R pass, not the
+        # (C*K) contributions: the er-order runtime permute outside
+        # triples in cost above 16 rows, and the B_r contraction moves
+        # into the R-pass kernel (xi_r is static, permuted at plan
+        # build)
+        cr_ref[...] = wfl.reshape(C * G, TF)
 
         # ---- accumulate left contributions into the window (MXU) ----
         lo_ref[...] += jax.lax.dot(contribL, hot_lo, precision="highest")
@@ -145,6 +146,86 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
             maybe_mx[0][...] = mx[None, :]
 
     return kernel
+
+
+def _make_basis_accum_kernel(TF, W, C, K, G):
+    """R-side pass: contract the er-sorted weighted flux against B_r
+    evaluated from the er-sorted static Gauss coords, then window-
+    accumulate (the one-hot scheme of face_accum._make_kernel)."""
+
+    def kernel(blk_ref, ks_ref, xir_ref, wfl_ref, lo_ref, hi_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        dt_ = wfl_ref.dtype
+        ks = ks_ref[0, :]
+        loc = ks - b * W
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+
+        xi_r = xir_ref[...].reshape(3, G, TF)
+        B_r = eval_basis_cm(K, xi_r)            # (K,G,TF)
+        wfl = wfl_ref[...].reshape(C, G, TF)
+
+        def row3(a, k):
+            return jax.lax.squeeze(
+                jax.lax.slice_in_dim(a, k, k + 1, axis=0), (0,))
+
+        x = jnp.stack([
+            (row3(B_r, k) * row3(wfl, c)).sum(0)
+            for c in range(C) for k in range(K)
+        ])                                      # (CK,TF)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+
+    return kernel
+
+
+def basis_accum_pass(plan: AccumPlan, wflR, C, K, G, interpret=False):
+    """wflR (C*G, F) er-sorted weighted flux -> (C*K, E) accumulated
+    right-side contributions."""
+    TF, W = plan.TF, plan.W
+    CK = C * K
+    Fp = plan.ntileR * TF
+    if wflR.shape[-1] < Fp:
+        wflR = jnp.pad(wflR, ((0, 0), (0, Fp - wflR.shape[-1])))
+    nblk = plan.nblkR
+    lo, hi = pl.pallas_call(
+        _make_basis_accum_kernel(TF, W, C, K, G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(plan.ntileR,),
+            in_specs=[
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
+                pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),
+                pl.BlockSpec((C * G, TF), lambda t, blk: (0, t)),
+            ],
+            out_specs=[
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t])),
+                pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t] + 1)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((CK, (nblk + 2) * W), wflR.dtype),
+            jax.ShapeDtypeStruct((CK, (nblk + 2) * W), wflR.dtype),
+        ],
+        interpret=interpret,
+    )(plan.blkR, plan.ksR, plan.xirR, wflR)
+    lo = jnp.where(plan.mloR > 0, lo, 0.0)
+    hi = jnp.where(plan.mhiR > 0, hi, 0.0)
+    return (lo + hi)[:, :plan.E]
 
 
 def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False,
@@ -180,15 +261,16 @@ def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False,
 
     nblk = plan.nblkL
     NBW = (nblk + 2) * W
+    CG = C * G
     out_shape = [
         jax.ShapeDtypeStruct((CK, NBW), dt_),
         jax.ShapeDtypeStruct((CK, NBW), dt_),
-        jax.ShapeDtypeStruct((CK, Fp), dt_),
+        jax.ShapeDtypeStruct((CG, Fp), dt_),
     ]
     out_specs = [
         pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t])),
         pl.BlockSpec((CK, W), lambda t, blk: (0, blk[t] + 1)),
-        pl.BlockSpec((CK, TF), lambda t, blk: (0, t)),
+        pl.BlockSpec((CG, TF), lambda t, blk: (0, t)),
     ]
     if emit_charvel:
         out_shape.append(jax.ShapeDtypeStruct((1, Fp), dt_))
@@ -218,20 +300,19 @@ def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False,
     )(plan.blkL, plan.ksL, _padU(U, NBW), _padU(U, NBW), UvRp,
       xil, xir, fn, fa, bt)
 
-    lo, hi, contribR = outs[0], outs[1], outs[2]
+    lo, hi, wflout = outs[0], outs[1], outs[2]
     lo = jnp.where(plan.mloL > 0, lo, 0.0)
     hi = jnp.where(plan.mhiL > 0, hi, 0.0)
     accL = (lo + hi)[:, :plan.E]
 
-    # right-side pass: permute to er-sorted order, accumulate (existing
-    # kernel)
-    cR = contribR[:, :F][:, plan.permR]
-    accR = _one_pass(cR, plan.ksR, plan.blkR, plan.mloR, plan.mhiR,
-                     plan.ntileR, plan.nblkR, TF, W, plan.E,
-                     interpret=interpret)
+    # right-side pass: permute the (C*G) weighted flux to er-sorted
+    # order (cheap — XLA's gather triples above 16 rows) and contract
+    # the basis + accumulate in one kernel
+    wflR = wflout[:, :F][:, plan.permR]
+    accR = basis_accum_pass(plan, wflR, C, K, G, interpret=interpret)
     acc = accL + accR
     if _debug_contrib:
-        return acc, contribR[:, :F]
+        return acc, wflout[:, :F]
     if emit_charvel:
         return acc, outs[3][0, :F]
     return acc
