@@ -102,23 +102,22 @@ def _pass_tables(key: np.ndarray, TF: int, W: int, dtype):
     return ks, blk, lo, hi, ntile, nblk
 
 
-def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
-    """Host-side plan from an el-sorted DGGeom.  W must exceed the widest
-    per-tile element span of both passes (el-sorted tiles span <= ~TF/2;
-    er-sorted likewise).  TF=256 is the measured optimum for the FUSED
-    face pass at 663k tets (2.54M updates/s vs 2.41M at 512; 1024 OOMs
-    the 16M scoped VMEM with the fused kernel's one-hot windows)."""
-    el = np.asarray(geom.el).astype(np.int64)
-    er = np.asarray(geom.er).astype(np.int64)
-    if not (np.diff(el) >= 0).all():
+def _plan_arrays(el, er, xi_r, E, dtype, TF, W, fmask=None):
+    """Numpy plan pieces for one (sub)mesh; fmask marks real faces when
+    the face axis carries padding (per-shard stacked builds)."""
+    el = np.asarray(el).astype(np.int64)
+    er = np.asarray(er).astype(np.int64)
+    F = el.shape[0]
+    real = (np.asarray(fmask) > 0) if fmask is not None \
+        else np.ones(F, dtype=bool)
+    keyL = np.where(real, el, -1)
+    if not (np.diff(el[real]) >= 0).all():
         raise ValueError("build_accum_plan needs el-sorted faces")
-    F, E = el.shape[0], int(geom.nelem)
-    dtype = np.dtype(np.asarray(geom.vol).dtype)
 
     ksL, blkL, mloL, mhiL, ntileL, nblkL = _pass_tables(
-        el.astype(np.int32), TF, W, dtype)
+        keyL.astype(np.int32), TF, W, dtype)
 
-    interior = er != el
+    interior = (er != el) & real
     keyR = np.where(interior, er, np.iinfo(np.int64).max)
     permR = np.argsort(keyR, kind="stable").astype(np.int32)
     ksR_key = np.where(interior[permR], er[permR], -1).astype(np.int32)
@@ -128,25 +127,95 @@ def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
     # pass (the runtime permute then only moves the (C*G) weighted-flux
     # rows, not the (C*K) contributions — XLA's gather cost triples
     # above 16 rows)
-    xi_r = np.asarray(geom.xi_r)
+    xi_r = np.asarray(xi_r)
     G = xi_r.shape[1]
     xirR_ = xi_r.reshape(3 * G, F)[:, permR].astype(dtype)
     FpR = ntileR * TF
     xirR_ = np.pad(xirR_, ((0, 0), (0, FpR - F)))
+    return dict(
+        ksL=ksL.reshape(1, -1), blkL=blkL, mloL=mloL, mhiL=mhiL,
+        permR=permR, ksR=ksR.reshape(1, -1), blkR=blkR, mloR=mloR,
+        mhiR=mhiR, xirR=xirR_, ntileL=ntileL, nblkL=nblkL,
+        ntileR=ntileR, nblkR=nblkR, F=F, E=E,
+    )
+
+
+def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
+    """Host-side plan from an el-sorted DGGeom.  W must exceed the widest
+    per-tile element span of both passes (el-sorted tiles span <= ~TF/2;
+    er-sorted likewise).  TF=256 is the measured optimum for the FUSED
+    face pass at 663k tets (2.54M updates/s vs 2.41M at 512; 1024 OOMs
+    the 16M scoped VMEM with the fused kernel's one-hot windows)."""
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+    p = _plan_arrays(geom.el, geom.er, geom.xi_r, int(geom.nelem),
+                     dtype, TF, W)
+    return AccumPlan(
+        ksL=jnp.asarray(p["ksL"]),
+        blkL=jnp.asarray(p["blkL"]),
+        mloL=jnp.asarray(p["mloL"]),
+        mhiL=jnp.asarray(p["mhiL"]),
+        permR=jnp.asarray(p["permR"]),
+        ksR=jnp.asarray(p["ksR"]),
+        blkR=jnp.asarray(p["blkR"]),
+        mloR=jnp.asarray(p["mloR"]),
+        mhiR=jnp.asarray(p["mhiR"]),
+        xirR=jnp.asarray(p["xirR"]),
+        ntileL=p["ntileL"], nblkL=p["nblkL"],
+        ntileR=p["ntileR"], nblkR=p["nblkR"],
+        TF=TF, W=W, F=p["F"], E=p["E"],
+    )
+
+
+def build_accum_plan_stacked(sharded_geom, TF: int = 256,
+                             W: int = 256) -> AccumPlan:
+    """Per-shard plans padded to UNIFORM static shapes and stacked with
+    a leading shard axis, so one shard_map program serves every device
+    (ShardedDG geoms: every data field carries [S]; faces are el-sorted
+    per shard with fmask marking real faces)."""
+    g = sharded_geom
+    S = np.asarray(g.vol).shape[0]
+    dtype = np.dtype(np.asarray(g.vol).dtype)
+    El = int(np.asarray(g.vol).shape[1])
+    plans = [
+        _plan_arrays(
+            np.asarray(g.el)[s], np.asarray(g.er)[s],
+            np.asarray(g.xi_r)[s],
+            El, dtype, TF, W, fmask=np.asarray(g.fmask)[s],
+        )
+        for s in range(S)
+    ]
+    # uniform tile counts follow from the common padded face count; only
+    # the visited-block masks vary in width — pad them to the max
+    ntileL = plans[0]["ntileL"]
+    ntileR = plans[0]["ntileR"]
+    assert all(p["ntileL"] == ntileL and p["ntileR"] == ntileR
+               for p in plans)
+    nblkL = max(p["nblkL"] for p in plans)
+    nblkR = max(p["nblkR"] for p in plans)
+
+    def stack(key, width=None):
+        arrs = [p[key] for p in plans]
+        if width is not None:
+            arrs = [
+                np.pad(a, [(0, 0)] * (a.ndim - 1)
+                       + [(0, width - a.shape[-1])])
+                for a in arrs
+            ]
+        return jnp.asarray(np.stack(arrs))
 
     return AccumPlan(
-        ksL=jnp.asarray(ksL.reshape(1, -1)),
-        blkL=jnp.asarray(blkL),
-        mloL=jnp.asarray(mloL),
-        mhiL=jnp.asarray(mhiL),
-        permR=jnp.asarray(permR),
-        ksR=jnp.asarray(ksR.reshape(1, -1)),
-        blkR=jnp.asarray(blkR),
-        mloR=jnp.asarray(mloR),
-        mhiR=jnp.asarray(mhiR),
-        xirR=jnp.asarray(xirR_),
+        ksL=stack("ksL"),
+        blkL=stack("blkL"),
+        mloL=stack("mloL", (nblkL + 2) * W),
+        mhiL=stack("mhiL", (nblkL + 2) * W),
+        permR=stack("permR"),
+        ksR=stack("ksR"),
+        blkR=stack("blkR"),
+        mloR=stack("mloR", (nblkR + 2) * W),
+        mhiR=stack("mhiR", (nblkR + 2) * W),
+        xirR=stack("xirR"),
         ntileL=ntileL, nblkL=nblkL, ntileR=ntileR, nblkR=nblkR,
-        TF=TF, W=W, F=F, E=E,
+        TF=TF, W=W, F=plans[0]["F"], E=El,
     )
 
 
@@ -180,7 +249,9 @@ def _make_kernel(TF, W):
 
 
 def _one_pass(x, ks, blk, mlo, mhi, ntile, nblk, TF, W, E,
-              interpret=False):
+              interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     rank3 = x.ndim == 3
     CK = x.shape[0] * x.shape[1] if rank3 else x.shape[0]
     Fp = ntile * TF
@@ -243,6 +314,7 @@ def gather_left_states(plan: AccumPlan, U, C: int, K: int):
     TF, W = plan.TF, plan.W
     NBW = (plan.nblkL + 2) * W
     Upad = jnp.pad(U, ((0, 0), (0, NBW - U.shape[1])))
+    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _make_gather_kernel(TF, W, C, K),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -256,6 +328,7 @@ def gather_left_states(plan: AccumPlan, U, C: int, K: int):
             out_specs=pl.BlockSpec((C, K, TF), lambda t, blk: (0, 0, t)),
         ),
         out_shape=jax.ShapeDtypeStruct((C, K, plan.ntileL * TF), U.dtype),
+        interpret=interpret,
     )(plan.blkL, plan.ksL, Upad, Upad)
     return out[:, :, :plan.F]
 

@@ -193,9 +193,11 @@ def _make_basis_accum_kernel(TF, W, C, K, G):
     return kernel
 
 
-def basis_accum_pass(plan: AccumPlan, wflR, C, K, G, interpret=False):
+def basis_accum_pass(plan: AccumPlan, wflR, C, K, G, interpret=None):
     """wflR (C*G, F) er-sorted weighted flux -> (C*K, E) accumulated
     right-side contributions."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     TF, W = plan.TF, plan.W
     CK = C * K
     Fp = plan.ntileR * TF
@@ -229,13 +231,18 @@ def basis_accum_pass(plan: AccumPlan, wflR, C, K, G, interpret=False):
 
 
 def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False,
-                    interpret=False, _debug_contrib=False):
+                    interpret=None, _debug_contrib=False):
     """Full DG surface integral via the fused kernel.
 
     U (C*K, E) -> (C*K, E) accumulated face contributions; with
     emit_charvel also returns mx (F,), the wt-weighted max characteristic
     speed per face for the dt sweep.
+
+    interpret=None auto-selects Pallas interpret mode off-TPU, so the
+    SPMD solvers can run the same fused path on the virtual CPU mesh.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     C = system.ncomp
     K = geom.ndof
     G = np.asarray(geom.tables["w_face"]).shape[0]

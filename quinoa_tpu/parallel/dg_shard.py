@@ -207,6 +207,9 @@ def build_dg_shards(
 
         fs = face_sets[s]
         nf = len(fs)
+        # el-sort the local faces so the Pallas accumulation plan's
+        # window invariants hold per shard (ops/face_accum.py)
+        fs = fs[np.argsort(g2l[gel[fs]], kind="stable")]
         lel = g2l[gel[fs]]
         ler = g2l[ger[fs]]
         # a face's R element may be absent (face on the far side of a

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..inciter.dg import DGState, RK0, RK1
-from ..pde.dg import dg_rhs, dg_dt, dg_initialize
+from ..pde.dg import dg_rhs, dg_dt, dg_dt_from_charvel, dg_initialize
 from ..pde.limiter import weno_p1, superbee_p1
 from .dg_shard import ShardedDG
 
@@ -61,6 +61,25 @@ class SPMDDGSolver:
         p = {1: 0.0, 4: 1.0, 10: 2.0}[self.evolve_ndof]
         self.cflscale = 1.0 / (2.0 * p + 1.0)
 
+        # per-shard Pallas face-pass plans, padded to uniform shapes and
+        # stacked (one shard_map program serves every device); interpret
+        # mode runs the same kernels on the virtual CPU mesh
+        import os as _os
+
+        bct = np.asarray(sharded.geom.bctype)
+        self.needs_face_gp = bool(
+            getattr(system, "needs_face_gp", True)
+            or np.isin(bct, [1, 4]).any()  # BC_DIRICHLET, BC_INLET
+        )
+        self.accum_plan = None
+        if _os.environ.get("QUINOA_TPU_NO_PALLAS") != "1":
+            try:
+                from ..ops.face_accum import build_accum_plan_stacked
+
+                self.accum_plan = build_accum_plan_stacked(sharded.geom)
+            except Exception:
+                self.accum_plan = None
+
         # diagnostics quadrature tables precomputed host-side (constants)
         from ..ops.basis import eval_basis
         from ..ops.quadrature import gauss_tet, ng_diag
@@ -72,11 +91,15 @@ class SPMDDGSolver:
         self._diag_B = np.asarray(eval_basis(K, _jnp.asarray(pts)))
 
         spec_state = DGState(u=P(AXIS), ndofel=P(AXIS), t=P(), it=P(), dt=P())
+        # check_vma=False: pallas_call outputs carry no varying-axes
+        # metadata, which the checker (jax >= 0.8) rejects inside
+        # shard_map
         step = jax.shard_map(
             self._step_local,
             mesh=self.mesh,
-            in_specs=(P(AXIS), spec_state),
+            in_specs=(P(AXIS), P(AXIS), spec_state),
             out_specs=spec_state,
+            check_vma=False,
         )
         self._step = jax.jit(step)
 
@@ -134,7 +157,7 @@ class SPMDDGSolver:
             return superbee_p1(geom, u, dofmask, C)
         return u
 
-    def _step_local(self, sharded, state: DGState) -> DGState:
+    def _step_local(self, sharded, aplan, state: DGState) -> DGState:
         sh: ShardedDG = _local(sharded)
         g = sh.geom
         K = g.ndof
@@ -143,11 +166,15 @@ class SPMDDGSolver:
         u = un
         ndofel = state.ndofel[0]
         dt = state.dt
+        plan = _local(aplan) if aplan is not None else None
 
-        kk = jnp.arange(K)[:, None]
-        dofmask = (kk < ndofel[None, :]).astype(g.vol.dtype)
+        # p-adaptivity is not sharded (config gates it), so every dof is
+        # active and the mask can be skipped — which also enables the
+        # fully fused Pallas face pass per shard
+        dofmask = None
         mn = jnp.asarray(g.tables["mnorm"], dtype=g.vol.dtype)
         minv = jnp.tile(1.0 / (g.vol[None, :] * mn[:, None]), (C, 1))
+        fused = plan is not None and not self.needs_face_gp
 
         for s in range(3):
             # two exchanges per stage, like the reference's comsol + comlim
@@ -163,13 +190,27 @@ class SPMDDGSolver:
                 un = u
                 if self.const_dt is not None:
                     dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
-                else:
+                elif not fused:
                     dt = jax.lax.pmin(
                         dg_dt(self.system, g, u, dofmask)
                         * (self.cfl * self.cflscale),
                         AXIS,
                     )
-            r = dg_rhs(self.system, g, u, dofmask, state.t)
+            if fused and s == 0 and self.const_dt is None:
+                # the fused pass emits the dt charvel sweep for free
+                # (same as the single-chip solver)
+                r, mx = dg_rhs(self.system, g, u, dofmask, state.t,
+                               accum_plan=plan, face_gp=False,
+                               want_charvel=True)
+                dt = jax.lax.pmin(
+                    dg_dt_from_charvel(g, plan, mx)
+                    * (self.cfl * self.cflscale),
+                    AXIS,
+                )
+            else:
+                r = dg_rhs(self.system, g, u, dofmask, state.t,
+                           accum_plan=plan,
+                           face_gp=self.needs_face_gp)
             unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
             if self.evolve_ndof < K:
                 # rDG (P0P1): reconstructed dofs keep their values
@@ -249,7 +290,7 @@ class SPMDDGSolver:
         )
 
     def step(self, state: DGState) -> DGState:
-        return self._step(self.sharded, state)
+        return self._step(self.sharded, self.accum_plan, state)
 
     def nsteps(self, state, n):
         for _ in range(n):

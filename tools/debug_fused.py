@@ -80,11 +80,29 @@ def main():
     print("fused vs xla  :", np.abs(af - acc_xla).max() / scale)
     print("fused vs mixed:", np.abs(af - am).max() / scale)
 
-    # contribution-level comparison, per-face in geom (el-sorted) order
+    # weighted-flux comparison, per-face in geom (el-sorted) order
+    # (_debug_contrib emits the kernel's (C*G, F) weighted flux)
     _, cR_k = jax.jit(
         lambda u: fused_face_pass(system, geom, plan, u,
                                   _debug_contrib=True))(U)
-    cR_x = np.asarray(cR).reshape(C * K, -1)
+    def xla_wfl(U):
+        from quinoa_tpu.pde.dg import uview, eval_basis_cm, BC_INTERIOR
+        Uv = uview(U, C, K)
+        interior = geom.bctype == BC_INTERIOR
+        B_l = eval_basis_cm(K, geom.xi_l)
+        B_r = eval_basis_cm(K, geom.xi_r)
+        sL = jnp.einsum("kgf,ckf->cgf", B_l, Uv[:, :, geom.el],
+                        precision="highest")
+        sR = jnp.einsum("kgf,ckf->cgf", B_r, Uv[:, :, geom.er],
+                        precision="highest")
+        fnf = geom.fn[:, None, :]
+        sR = jnp.where(interior, sR,
+                       system.bc_state(geom.bctype, sL, fnf, None, 0.0))
+        fl = system.riemann(fnf, sL, sR, None, 0.0)
+        wt = jnp.asarray(geom.tables["w_face"], dtype=U.dtype)[:, None] * (
+            geom.farea * geom.fmask)
+        return (fl * wt[None]).reshape(-1, fl.shape[-1])
+    cR_x = np.asarray(jax.jit(xla_wfl)(U))
     cR_k = np.asarray(cR_k)
     d = np.abs(cR_k - cR_x).max(axis=0)
     print("contrib scale:", float(np.abs(cR_x).max()))
