@@ -1,0 +1,147 @@
+"""Incremental multi-level during-timestep AMR.
+
+The reference refines incrementally from the CURRENT mesh each dtref
+event, compounding up to MAX_REFINEMENT_LEVEL=4
+(src/Inciter/AMR/refinement.hpp:28,60; mesh_adapter refine/derefine
+cycle), and coarsens sibling groups whose error dropped.  This module
+drives that cycle on host state as a chain of one-level refinement
+events, reusing refine_mesh/derefine_mesh and their transfers:
+
+- chain: list of (coarse_mesh, rmap, coarse_elevel) — each entry maps
+  one level to the next; the last entry's refinement IS the current
+  mesh; elevel tracks per-element refinement depth (level cap).
+- each cycle: (1) coarsen top-level sibling groups whose elements' edge
+  errors are ALL below tol_derefine (popping exhausted levels), then
+  (2) refine current-mesh edges whose error exceeds tol_refine, only
+  where an incident element sits below maxlevels.
+
+The single-level retag-from-base scheme (cli._dtref_remesh) remains the
+default (maxlevels=1); decks opt in with `maxlevels N` in the amr block
+(an extension keyword — the reference hard-codes its cap at 4).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..mesh.derived import gen_inpoed, _TET_FACES  # noqa: F401
+from .error import edge_errors
+from .refine import (
+    refine_mesh, derefine_mesh, transfer_cg, transfer_dg,
+    transfer_cg_derefine, transfer_dg_derefine, _edge_key, _TET_EDGES,
+)
+
+
+class AdaptChain:
+    """Mutable multi-level refinement state for one run."""
+
+    def __init__(self, mesh):
+        self.levels: List[tuple] = []  # (coarse_mesh, rmap, coarse_elevel)
+        self.elevel = np.zeros(mesh.nelem, dtype=np.int64)
+
+
+def _elem_edge_err(mesh, uerr, method):
+    """Max edge-error per element of the current mesh."""
+    err = edge_errors(mesh, uerr, 0, method)
+    edges = gen_inpoed(mesh.inpoel)
+    keys = _edge_key(edges[:, 0], edges[:, 1])
+    order = np.argsort(keys)
+    ks, es = keys[order], err[order]
+    inpoel = mesh.inpoel.astype(np.int64)
+    ek = _edge_key(inpoel[:, _TET_EDGES[:, 0]], inpoel[:, _TET_EDGES[:, 1]])
+    pos = np.searchsorted(ks, ek)
+    return es[np.clip(pos, 0, len(ks) - 1)].max(axis=1)  # (E,)
+
+
+def _elem_volumes(mesh):
+    from ..mesh.geometry import tet_geometry
+
+    J, _ = tet_geometry(mesh.coords, mesh.inpoel)
+    return J / 6.0
+
+
+def dtref_adapt(mesh, chain: Optional[AdaptChain], uerr, u, cg_scheme,
+                ncomp, ndof, method="jump", tol_refine=0.2,
+                tol_derefine=0.05, maxlevels=4):
+    """One incremental AMR cycle on host state.
+
+    uerr : (C, nnode) nodal indicator field on the CURRENT mesh
+    u    : the solution to transfer ((C, nnode) nodal or (C*ndof, E)
+           modal)
+    Returns (changed, mesh, chain, u_transferred)."""
+    if chain is None:
+        chain = AdaptChain(mesh)
+    changed = False
+
+    # ---- (1) coarsen the top level ------------------------------------
+    if chain.levels:
+        coarse, rmap, coarse_lvl = chain.levels[-1]
+        eerr = _elem_edge_err(mesh, uerr, method)
+        ncoarse = coarse.nelem
+        cnt = np.bincount(rmap.parent, minlength=ncoarse)
+        worst = np.zeros(ncoarse)
+        np.maximum.at(worst, rmap.parent, eerr)
+        request = (cnt > 1) & (worst < tol_derefine)
+        if request.any():
+            vol_cur = None if cg_scheme else _elem_volumes(mesh)
+            mesh2, rmap2, coarsened = derefine_mesh(coarse, rmap, request)
+            if mesh2 is not None:
+                if cg_scheme:
+                    u = transfer_cg_derefine(rmap, rmap2, u)
+                else:
+                    u = transfer_dg_derefine(coarse, rmap, rmap2, u,
+                                             vol_cur, ncomp, ndof)
+                mesh = mesh2
+                changed = True
+                if len(rmap2.mid_edges) == 0:
+                    chain.levels.pop()
+                    chain.elevel = coarse_lvl.copy()
+                else:
+                    chain.levels[-1] = (coarse, rmap2, coarse_lvl)
+                    cnt2 = np.bincount(rmap2.parent, minlength=ncoarse)
+                    chain.elevel = (
+                        coarse_lvl + (cnt2 > 1).astype(np.int64)
+                    )[rmap2.parent]
+                # error field no longer matches the mesh; retag next
+                # cycle (refining stale fine-level tags would fight the
+                # coarsening we just did)
+                return changed, mesh, chain, u
+
+    # ---- (2) refine the current mesh ----------------------------------
+    edges = gen_inpoed(mesh.inpoel)
+    err = edge_errors(mesh, uerr, 0, method)
+    tag = err > tol_refine
+    if tag.any():
+        # drop tags where every incident element is at the level cap
+        keys = _edge_key(edges[:, 0], edges[:, 1])
+        order = np.argsort(keys)
+        ks = keys[order]
+        inpoel = mesh.inpoel.astype(np.int64)
+        ek = _edge_key(inpoel[:, _TET_EDGES[:, 0]],
+                       inpoel[:, _TET_EDGES[:, 1]])
+        pos = np.clip(np.searchsorted(ks, ek), 0, len(ks) - 1)  # (E,6)
+        below_sorted = np.zeros(len(edges), dtype=bool)
+        ok_el = chain.elevel < maxlevels
+        # an edge may be refined if ANY incident element is below the cap
+        below_sorted[pos[ok_el].ravel()] = True
+        tag = tag & below_sorted[np.searchsorted(ks, keys)]
+    tags = edges[tag].astype(np.int64)
+    if len(tags):
+        mesh3, rmap3 = refine_mesh(mesh, tags)
+        if mesh3.nelem > mesh.nelem:
+            if cg_scheme:
+                u = transfer_cg(rmap3, u)
+            else:
+                u = transfer_dg(rmap3, u, ncomp, ndof)
+            cnt3 = np.bincount(rmap3.parent, minlength=mesh.nelem)
+            new_lvl = (
+                chain.elevel + (cnt3 > 1).astype(np.int64)
+            )[rmap3.parent]
+            chain.levels.append((mesh, rmap3, chain.elevel.copy()))
+            chain.elevel = new_lvl
+            mesh = mesh3
+            changed = True
+
+    return changed, mesh, chain, u

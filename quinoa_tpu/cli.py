@@ -182,6 +182,36 @@ def _dtref_remesh(cfg, mesh, amr_base, amr_rmap, u_host, cg_scheme, ncomp,
             return True, mesh2, amr_base, amr_rmap, u2
         return False, mesh, amr_base, amr_rmap, None
 
+    if cfg.amr_maxlevels > 1:
+        # incremental multi-level cycle (amr/adapt.py): refine from the
+        # CURRENT mesh, coarsen sibling groups below tol_derefine
+        from .amr.adapt import dtref_adapt
+
+        if cg_scheme:
+            uerr = u_host
+            u_in = u_host
+        else:
+            from .pde.dg import dg_cell_avg
+            import jax.numpy as jnp
+
+            avg = np.asarray(dg_cell_avg(jnp.asarray(u_host), ncomp, ndof))
+            unod = np.zeros((avg.shape[0], mesh.nnode))
+            cnt = np.zeros(mesh.nnode)
+            for a in range(4):
+                np.add.at(cnt, mesh.inpoel[:, a], 1.0)
+                for c in range(avg.shape[0]):
+                    np.add.at(unod[c], mesh.inpoel[:, a], avg[c])
+            unod /= np.maximum(cnt, 1.0)
+            uerr = unod
+            u_in = u_host
+        changed, mesh2, chain, u2 = dtref_adapt(
+            mesh, amr_base, uerr, u_in, cg_scheme, ncomp, ndof,
+            method=cfg.amr_error, tol_refine=cfg.amr_tol,
+            tol_derefine=cfg.amr_tolderef, maxlevels=cfg.amr_maxlevels,
+        )
+        # the chain rides the amr_base slot; amr_rmap is unused here
+        return changed, mesh2, chain, None, (u2 if changed else None)
+
     # adaptive dtref, one level above the base mesh: retag every dtfreq
     # steps and rebuild refine_mesh(base, tags).  Regions no longer
     # tagged coarsen automatically (the transfer between two sibling

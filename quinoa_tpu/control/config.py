@@ -79,6 +79,9 @@ class InciterConfig:
     amr_error: str = "jump"
     amr_tol: float = 0.2
     amr_tolderef: float = 0.05
+    # >1 enables the incremental multi-level dtref cycle (amr/adapt.py;
+    # the reference hard-codes its cap at 4, refinement.hpp:28)
+    amr_maxlevels: int = 1
     partitioner: str = "sfc"  # rcb/rib/hsfc/mj/phg (partition.py), else sfc
 
 
@@ -178,6 +181,7 @@ def load_inciter(deck_text: str) -> InciterConfig:
         cfg.amr_error = first(amr, "error", "jump")
         cfg.amr_tol = _f(amr, "tol_refine", 0.2)
         cfg.amr_tolderef = _f(amr, "tol_derefine", 0.05)
+        cfg.amr_maxlevels = int(_f(amr, "maxlevels", 1))
         for hs in ("x-", "x+", "y-", "y+", "z-", "z+"):
             v = _f(amr, hs)
             if v is not None:
