@@ -393,6 +393,15 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
     from .inciter.fieldout import plot_fields
     from .io import write_exodus, write_exodus_pieces
 
+    if (args.pieces == args.npes
+            and getattr(args, "virtualization", 0.0) == 0.0):
+        # per-shard writes: each piece file is produced from its own
+        # device-local buffer (state.u.addressable_shards) — no global
+        # field gather, the MeshWriter file-per-chare analog at scale
+        _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
+                                cg_scheme)
+        return
+
     u = gather_u(state)
     fields = None
     elem_fields = None
@@ -421,6 +430,57 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
         write_exodus(f"{args.output}.e-s.{it}.exo", mesh,
                      node_fields=fields, elem_fields=elem_fields,
                      time=float(state.t))
+
+
+def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
+                            cg_scheme):
+    """One ExodusII piece per shard, valued from that shard's buffer.
+
+    The piece meshes come from the deterministic host partition (same
+    partitioner call the shard builder made); values come from each
+    device's addressable shard without assembling a global field."""
+    import numpy as np
+
+    from .inciter.fieldout import plot_fields
+    from .io import write_exodus
+    from .io.pieces import extract_piece, piece_path
+    from .parallel.partition import partition_elements
+
+    parts = partition_elements(mesh.coords, mesh.inpoel, args.npes,
+                               algorithm=cfg.partitioner)
+    shards = sorted(state.u.addressable_shards,
+                    key=lambda sh: sh.index[0].start or 0)
+    sh = solver.sharded
+    t = float(state.t)
+    for p in range(args.npes):
+        lm, nmap, emap = extract_piece(mesh, parts, p)
+        u_s = np.asarray(shards[p].data)[0]  # (C, Nl) / (C*K, El)
+        if cg_scheme:
+            shcg = sh.cg if hasattr(sh, "cg") else sh
+            gids = np.asarray(shcg.gids)[p]
+            g2l = {int(g): i for i, g in enumerate(gids) if g >= 0}
+            pos = np.array([g2l[int(n)] for n in nmap], dtype=np.int64)
+            vals = u_s[:, pos]
+            nf = plot_fields(cfg.pde, solver.system, vals,
+                             mesh.coords[nmap].T, t)
+            ef = None
+        else:
+            import jax.numpy as jnp
+
+            from .pde.dg import dg_cell_avg
+
+            eg = np.asarray(sh.eglobal)[p]
+            g2l = {int(g): i for i, g in enumerate(eg) if g >= 0}
+            pos = np.array([g2l[int(e)] for e in emap], dtype=np.int64)
+            avg = np.asarray(dg_cell_avg(
+                jnp.asarray(u_s), solver.system.ncomp,
+                sh.geom.ndof))[:, pos]
+            cen = mesh.coords[mesh.inpoel[emap]].mean(axis=1).T
+            ef = plot_fields(cfg.pde, solver.system, avg, cen, t)
+            nf = None
+        write_exodus(piece_path(args.output, it, args.npes, p), lm,
+                     node_fields=nf, elem_fields=ef, time=t,
+                     node_num_map=nmap, elem_num_map=emap)
 
 
 def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):

@@ -52,3 +52,52 @@ def test_cli_npes8_matches_single(tmp_path, meshfile, scheme):
     a, b = _read_diag(d1), _read_diag(d8)
     assert a.shape == b.shape and a.shape[0] == 10
     np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("scheme", ["diagcg", "dg"])
+def test_per_shard_piece_writes(tmp_path, meshfile, monkeypatch, scheme):
+    """--pieces == --npes writes each piece from its own device-local
+    buffer (no global field gather); the joined pieces must equal the
+    single-device field output."""
+    from quinoa_tpu.io.pieces import join_exodus_pieces
+    from quinoa_tpu.io.exodus import (
+        read_exodus_fields, read_exodus_elem_fields,
+    )
+
+    deck = tmp_path / "p.q"
+    deck.write_text(f"""
+inciter
+  nstep 4
+  cfl 0.8
+  scheme {scheme}
+  field_output interval 4 end
+  transport
+    physics advection problem slot_cyl ncomp 1 depvar c
+    bc_dirichlet sideset 1 2 3 4 5 6 end end
+  end
+  diagnostics interval 4 error l2 end
+end
+""")
+    monkeypatch.chdir(tmp_path)
+    assert main(["inciter", "-c", str(deck), "-i", meshfile,
+                 "--diag", "d1", "-o", "s1"]) == 0
+    assert main(["inciter", "-c", str(deck), "-i", meshfile,
+                 "--diag", "d4", "-o", "s4", "--npes", "4",
+                 "--pieces", "4"]) == 0
+    import glob
+
+    paths = sorted(glob.glob("s4.e-s.4.4.*"))
+    assert len(paths) == 4
+    jm, jn, je, jt = join_exodus_pieces(paths)
+    if scheme == "diagcg":
+        names, _, vals = read_exodus_fields("s1.e-s.4.exo")
+        ref = dict(zip(names, vals[-1]))
+        for k, v in jn.items():
+            np.testing.assert_allclose(v, ref[k], atol=1e-9)
+        assert jn
+    else:
+        names, _, vals = read_exodus_elem_fields("s1.e-s.4.exo")
+        ref = dict(zip(names, vals[-1]))
+        for k, v in je.items():
+            np.testing.assert_allclose(v, ref[k], atol=1e-9)
+        assert je
