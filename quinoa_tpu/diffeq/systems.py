@@ -259,6 +259,9 @@ class MixMassFractionBeta(_FractionBetaMixin, SDEBase):
     MixMassFractionBetaCoeffPolicy.cpp):
     - 'decay':     b = b'(1 - <y^2>/(<Y>(1-<Y>))), k = k'<y^2>
     - 'homdecay':  decay + S constrained so d<rho>/dt = 0
+    - 'montecarlo_homdecay': the same constraint from raw MC moments
+      (<YR^2>, <Y(1-Y)R^3>, <R^2>) instead of the closed-form density
+      expansion
     - 'hydrotimescale': b,k additionally scaled by the DNS inverse
       hydro-timescale (eps/k) and shaped by P/eps tables; S as homdecay
       but without the [0,1] clamp (update():470-616).  Needs hts/hp:
@@ -315,6 +318,20 @@ class MixMassFractionBeta(_FractionBetaMixin, SDEBase):
         if self.coeff == "homdecay":
             b, k = _decay_coeffs(bprime, kprime, m, v)
             S = _homdecay_S(b, k, r_, rho2_, d, d2, d3)
+            S = jnp.where((S < 0.0) | (S > 1.0), 0.5, S)
+        elif self.coeff == "montecarlo_homdecay":
+            # S from raw Monte Carlo moments instead of the closed-form
+            # density-moment expansion: S = (<YR^2> + 2k/b (r/rho2)
+            # <Y(1-Y)R^3>) / <R^2>
+            # (MixMassFracBetaCoeffMonteCarloHomDecay::update,
+            # MixMassFractionBetaCoeffPolicy.cpp:318-403)
+            b, k = _decay_coeffs(bprime, kprime, m, v)
+            R = self.rho(Y)
+            r2 = (R * R).mean(axis=0)
+            yr2 = (Y * R * R).mean(axis=0)
+            y1myr3 = (Y * (1.0 - Y) * R**3).mean(axis=0)
+            r2 = jnp.where(r2 < 1e-8, 0.5, r2)
+            S = (yr2 + 2.0 * k / b * r_ / rho2_ * y1myr3) / r2
             S = jnp.where((S < 0.0) | (S > 1.0), 0.5, S)
         elif self.coeff == "hydrotimescale":
             V = 1.0 / R

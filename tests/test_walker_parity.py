@@ -146,3 +146,32 @@ def test_mixmassfracbeta_hydrotimescale_runs():
     # the policy mixes: mass-fraction variance decays from the IC
     v = Y.var(axis=0)
     assert (v < v0).all(), (v0, v)
+
+
+def test_mixmassfracbeta_montecarlo_homdecay_runs():
+    """MONTE_CARLO_HOMOGENEOUS_DECAY: the homdecay d<rho>/dt=0
+    constraint from raw MC moments (<YR^2>, <Y(1-Y)R^3>, <R^2>;
+    MixMassFractionBetaCoeffPolicy.cpp:318-403). No committed baseline
+    exists for this policy either; require stable mixing AND agreement
+    of the converged means with the closed-form homdecay policy (the
+    two S constructions express the same constraint)."""
+    import numpy as np
+
+    base = open(f"{WROOT}/MixMassFracBeta/mixmassfracbeta.q").read()
+    deck = base.replace("coeff homdecay", "coeff montecarlo_homdecay")
+    cfg = load_walker(deck)
+    assert cfg.sdes[0].coeff == "montecarlo_homdecay"
+    w = build_walker(cfg, seed=2)
+    P, _ = w.run(200, P=w.initialize())
+    Y = np.asarray(P[:, :5])
+    assert np.isfinite(np.asarray(P)).all()
+    # Euler-Maruyama permits small boundary excursions (the reference
+    # does not clip either); require boundedness, not hard [0,1]
+    assert (Y > -0.01).all() and (Y < 1.01).all()
+
+    cfg2 = load_walker(base)
+    w2 = build_walker(cfg2, seed=2)
+    P2, _ = w2.run(200, P=w2.initialize())
+    Y2 = np.asarray(P2[:, :5])
+    np.testing.assert_allclose(Y.mean(axis=0), Y2.mean(axis=0),
+                               atol=0.08)
