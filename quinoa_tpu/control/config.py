@@ -640,7 +640,15 @@ def _build_sde(kind: str, blk) -> Any:
     elif kind == "dissipation":
         sde = dq.Dissipation(depvar=depvar)
     elif kind == "velocity":
-        sde = dq.Velocity(depvar=depvar, c0=_f(blk, "c0", 2.1))
+        vcoeff = first(blk, "coeff", "const_shear")
+        vhts = None
+        if vcoeff == "hydrotimescale":
+            from ..diffeq.hydro import hydro_table
+
+            names = first(blk, "hydrotimescales") or ()
+            vhts = hydro_table(names[0]) if names else None
+        sde = dq.Velocity(depvar=depvar, c0=_f(blk, "c0", 2.1),
+                          coeff=vcoeff, hts=vhts)
     else:
         raise ValueError(f"unknown SDE block {kind!r}")
 

@@ -624,14 +624,22 @@ class Dissipation(SDEBase):
 @dataclasses.dataclass
 class Velocity(SDEBase):
     """Simplified Langevin model (Velocity.hpp:111-155, Langevin.cpp):
-    dU_i = G_ij (U_j - <U_j>) dt + sqrt(C0 eps) dW_i with
-    G_ij = -(1/2 + 3C0/4) eps/k delta_ij, coupled to a Dissipation system
-    for the turbulence frequency (eps = k*<omega> variant) or a constant
-    eps."""
+    dU_i = G_ij (U_j - <U_j>) dt + sqrt(C0 eps) dW_i.
+
+    coeff selects the policy (VelocityCoeffPolicy.cpp):
+    - 'const_shear' : G = -(1/2+3C0/4) eps/k I - dU, eps from the
+      coupled Dissipation system (eps = k <omega>) or unit timescale
+    - 'stationary'  : eps=1, G = -(3C0/4) I — forces a statistically
+      stationary velocity PDF (update():102-141)
+    - 'hydrotimescale': ts = hts(t) (DNS eps/k table), eps = ts*k,
+      G = -(1/2+3C0/4) ts I (update():157-195)
+    """
 
     c0: float = 2.1
     dissipation_offset: Optional[int] = None
     dU: Sequence[float] = (0.0,) * 9  # mean velocity gradient (shear)
+    coeff: str = "const_shear"
+    hts: Optional[object] = None  # Table callable (hydrotimescale)
 
     ncomp = 3
 
@@ -640,13 +648,22 @@ class Velocity(SDEBase):
         fluc = U - U.mean(axis=0)
         rij = (fluc[:, :, None] * fluc[:, None, :]).mean(axis=0)
         k = 0.5 * (rij[0, 0] + rij[1, 1] + rij[2, 2])
-        if self.dissipation_offset is not None:
-            O = P[:, self.dissipation_offset].mean()
-            eps = k * O
-        else:
-            eps = k  # unit-timescale fallback
-        G = (-(0.5 + 0.75 * self.c0) * eps / k) * jnp.eye(3, dtype=U.dtype)
-        G = G - _arr(np.asarray(self.dU).reshape(3, 3))
+        eye = jnp.eye(3, dtype=U.dtype)
+        if self.coeff == "stationary":
+            eps = jnp.asarray(1.0, dtype=U.dtype)
+            G = (-0.75 * self.c0) * eye
+        elif self.coeff == "hydrotimescale":
+            ts = jnp.asarray(self.hts(t), dtype=U.dtype)
+            eps = ts * k
+            G = (-(0.5 + 0.75 * self.c0) * ts) * eye
+        else:  # const_shear
+            if self.dissipation_offset is not None:
+                O = P[:, self.dissipation_offset].mean()
+                eps = k * O
+            else:
+                eps = k  # unit-timescale fallback
+            G = (-(0.5 + 0.75 * self.c0) * eps / k) * eye
+            G = G - _arr(np.asarray(self.dU).reshape(3, 3))
         dW = _gauss(key, U.shape[0], 3, U.dtype)
         d = _sqrt_pos(self.c0 * eps * dt)
         U = U + (fluc @ G.T) * dt + d * dW

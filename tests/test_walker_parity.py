@@ -49,12 +49,12 @@ def _key(name):
     return (("C",) + term) if central else term
 
 
-def _check(deck, tol_of, skip_cols=()):
+def _check(deck, tol_of, skip_cols=(), std_name="stat.txt.std"):
     """tol_of(name) -> (abs_tol, rel_tol or None); both pass = 'any' rule."""
     import os
 
     suite = os.path.dirname(deck)
-    std = _read_std(os.path.join(suite, "stat.txt.std"))
+    std = _read_std(os.path.join(suite, std_name))
     cfg, mom, tend = _run_deck(deck, std["t"])
     assert std["t"] == pytest.approx(tend, rel=1e-6)
     checked = 0
@@ -175,3 +175,46 @@ def test_mixmassfracbeta_montecarlo_homdecay_runs():
     Y2 = np.asarray(P2[:, :5])
     np.testing.assert_allclose(Y.mean(axis=0), Y2.mean(axis=0),
                                atol=0.08)
+
+
+def test_velocity_stationary_parity():
+    """Velocity/stationary.q (coeff stationary, jointgaussian IC with
+    isotropic 2/3 Reynolds stresses) vs stationary.stat.txt.std: the
+    forced-stationary Langevin keeps <U>~0 and <uiuj>~(2/3)delta_ij
+    (stationary_velocity.ndiff.cfg: means abs=0.02, stresses any of
+    rel=0.01 abs=0.04)."""
+    def tol(name):
+        if name in ("<U1>", "<U2>", "<U3>"):
+            return (0.02, None)
+        return (0.04, 0.01)
+
+    n = _check(f"{WROOT}/Velocity/stationary.q", tol,
+               std_name="stationary.stat.txt.std")
+    assert n == 9
+
+
+def test_velocity_hydrotimescale_runs():
+    """Velocity coeff hydrotimescale: eps = hts(t)*k with the DNS eps/k
+    table, G = -(1/2+3C0/4) hts(t) I (VelocityCoeffPolicy.cpp:157-195).
+    No committed baseline; require finite decay of k toward the table's
+    forcing."""
+    import numpy as np
+
+    from quinoa_tpu.diffeq.systems import Velocity
+    from quinoa_tpu.diffeq.hydro import hydro_table
+    import jax
+
+    v = Velocity(depvar="u", offset=0, c0=2.1, coeff="hydrotimescale",
+                 hts=hydro_table("eq_A005S"))
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    P = 0.8 * jax.random.normal(jax.random.PRNGKey(1), (20000, 3))
+    k0 = float((P - P.mean(0)).var())
+    for i in range(50):
+        key, sub = jax.random.split(key)
+        P = v.advance(sub, P, 0.01, i * 0.01)
+    Pn = np.asarray(P)
+    assert np.isfinite(Pn).all()
+    k1 = Pn.var(axis=0).mean()
+    assert 0.0 < k1 < 10.0
