@@ -636,9 +636,18 @@ def _build_sde(kind: str, blk) -> Any:
     elif kind == "wright-fisher":
         sde = dq.WrightFisher(depvar=depvar, omega=fl("omega"))
     elif kind == "position":
-        sde = dq.Position(depvar=depvar)
+        # const_shear prescribes the hard-coded unit shear du1/dx2 = 1
+        # (PositionCoeffPolicy / VelocityCoeffPolicy.cpp:22)
+        pdU = (_SHEAR_DU if first(blk, "coeff", "const_shear")
+               == "const_shear" else (0.0,) * 9)
+        sde = dq.Position(depvar=depvar, dU=pdU)
+        sde._couple_velocity = first(blk, "velocity")
     elif kind == "dissipation":
-        sde = dq.Dissipation(depvar=depvar)
+        sde = dq.Dissipation(
+            depvar=depvar, c3=_f(blk, "C3", 1.0), c4=_f(blk, "C4", 0.25),
+            com1=_f(blk, "COM1", 0.44), com2=_f(blk, "COM2", 0.9),
+        )
+        sde._couple_velocity = first(blk, "velocity")
     elif kind == "velocity":
         vcoeff = first(blk, "coeff", "const_shear")
         vhts = None
@@ -647,8 +656,15 @@ def _build_sde(kind: str, blk) -> Any:
 
             names = first(blk, "hydrotimescales") or ()
             vhts = hydro_table(names[0]) if names else None
+        solve = first(blk, "solve", "fullvar")
+        # the shear enters the fluctuation solve only (Velocity.hpp:84
+        # zeroes m_dU for FULLVAR)
+        vdU = (_SHEAR_DU if vcoeff == "const_shear"
+               and solve == "fluctuation" else (0.0,) * 9)
         sde = dq.Velocity(depvar=depvar, c0=_f(blk, "c0", 2.1),
-                          coeff=vcoeff, hts=vhts)
+                          coeff=vcoeff, hts=vhts, dU=vdU,
+                          variant=first(blk, "variant", "slm"))
+        sde._couple_dissipation = first(blk, "dissipation")
     else:
         raise ValueError(f"unknown SDE block {kind!r}")
 
@@ -678,6 +694,13 @@ def _build_sde(kind: str, blk) -> Any:
             for g in occurrences(ic, "gaussian")
         ]
         sde.init = lambda k, np_: ip.init_jointgaussian(k, np_, gs)
+    elif init == "jointgamma":
+        ic = first(blk, "icgamma") or {}
+        gps = [
+            (float(g[0]), float(g[1]))
+            for g in occurrences(ic, "gammapdf")
+        ]
+        sde.init = lambda k, np_: ip.init_jointgamma(k, np_, gps)
     else:
         sde.init = lambda k, np_: ip.init_zero(k, np_, n)
     return sde
@@ -727,10 +750,25 @@ def load_walker(deck_text: str) -> WalkerConfig:
     return cfg
 
 
+#: hard-coded homogeneous-shear mean velocity gradient (du1/dx2 = 1),
+#: VelocityCoeffPolicy.cpp:22
+_SHEAR_DU = (0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
 def build_walker(cfg: WalkerConfig, seed: int = 0, mesh=None):
     from ..walker import Walker
 
     systems = Walker.layout(cfg.sdes)
+    # resolve cross-system couplings (deck `velocity u` / `dissipation o`
+    # inside position/velocity/dissipation blocks) to particle offsets
+    by_dv = {s.depvar: s for s in systems}
+    for s in systems:
+        cv = getattr(s, "_couple_velocity", None)
+        if cv and cv in by_dv:
+            s.velocity_offset = by_dv[cv].offset
+        cd = getattr(s, "_couple_dissipation", None)
+        if cd and cd in by_dv:
+            s.dissipation_offset = by_dv[cd].offset
     return Walker(
         systems,
         npar=cfg.npar,

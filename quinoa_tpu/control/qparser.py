@@ -92,7 +92,7 @@ LISTS = {
     "sideset", "gamma", "pstiff", "cv", "refvar",
     "sigmasq", "theta", "mu", "b", "S", "kappa", "bprime", "kappaprime",
     "rho2", "rcomma", "r", "rho", "cij", "omega", "T", "lambda", "u0",
-    "diffusivity", "spike", "betapdf", "gaussian",
+    "diffusivity", "spike", "betapdf", "gammapdf", "gaussian",
     "edgelist", "coords", "hydrotimescales", "hydroproductions",
     "r123_philox", "r123_threefry",
 }

@@ -621,6 +621,26 @@ class Dissipation(SDEBase):
         return self.put(P, Op)
 
 
+def _glm_G(hts, C0, rij, dU):
+    """Generalized Langevin model drift tensor (Langevin.cpp glm():
+    Haworth-Pope coefficients over the Reynolds-stress anisotropy)."""
+    A1, A2 = -(0.5 + 0.75 * C0), 3.7
+    B1, B2, B3 = -0.2, 0.8, -0.2
+    G1, G2, G3, G4, G5, G6 = -1.28, 3.01, -2.18, 0.0, 4.29, -3.09
+    eye = jnp.eye(3, dtype=rij.dtype)
+    tr = rij[0, 0] + rij[1, 1] + rij[2, 2]
+    b = rij / tr - eye / 3.0
+    trdU = dU[0, 0] + dU[1, 1] + dU[2, 2]
+    dtmp = (b * dU).sum()
+    G = (hts * A1 + B1 * trdU + G1 * dtmp) * eye
+    G = G + hts * A2 * b + B2 * dU + B3 * dU.T + G4 * b * trdU
+    G = G + G2 * jnp.einsum("jl,il->ij", b, dU)
+    G = G + G3 * jnp.einsum("jl,li->ij", b, dU)
+    G = G + G5 * jnp.einsum("il,lj->ij", b, dU)
+    G = G + G6 * jnp.einsum("il,jl->ij", b, dU)
+    return G
+
+
 @dataclasses.dataclass
 class Velocity(SDEBase):
     """Simplified Langevin model (Velocity.hpp:111-155, Langevin.cpp):
@@ -639,6 +659,7 @@ class Velocity(SDEBase):
     dissipation_offset: Optional[int] = None
     dU: Sequence[float] = (0.0,) * 9  # mean velocity gradient (shear)
     coeff: str = "const_shear"
+    variant: str = "slm"  # slm | glm (Langevin.cpp slm()/glm())
     hts: Optional[object] = None  # Table callable (hydrotimescale)
 
     ncomp = 3
@@ -662,8 +683,14 @@ class Velocity(SDEBase):
                 eps = k * O
             else:
                 eps = k  # unit-timescale fallback
-            G = (-(0.5 + 0.75 * self.c0) * eps / k) * eye
-            G = G - _arr(np.asarray(self.dU).reshape(3, 3))
+            dUm = _arr(np.asarray(self.dU).reshape(3, 3))
+            if self.variant == "glm":
+                G = _glm_G(eps / k, self.c0, rij, dUm)
+            else:
+                G = (-(0.5 + 0.75 * self.c0) * eps / k) * eye
+            # the prescribed shear is subtracted AFTER the policy tensor
+            # (Velocity.hpp:132)
+            G = G - dUm
         dW = _gauss(key, U.shape[0], 3, U.dtype)
         d = _sqrt_pos(self.c0 * eps * dt)
         U = U + (fluc @ G.T) * dt + d * dW

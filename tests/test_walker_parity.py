@@ -218,3 +218,19 @@ def test_velocity_hydrotimescale_runs():
     assert np.isfinite(Pn).all()
     k1 = Pn.var(axis=0).mean()
     assert 0.0 < k1 < 10.0
+
+
+@pytest.mark.parametrize("variant", ["slm", "glm"])
+def test_velocity_homogeneous_shear_parity(variant):
+    """Velocity/{slm,glm}_homogeneous_shear.q: the COUPLED
+    position-velocity-dissipation Langevin system under prescribed unit
+    shear vs its committed stat baseline (velocity.ndiff.cfg: <O>
+    rel=0.05; stresses any of rel=0.25 abs=0.2)."""
+    def tol(name):
+        if name.startswith("<O"):
+            return (0.0, 0.05)
+        return (0.2, 0.25)
+
+    n = _check(f"{WROOT}/Velocity/{variant}_homogeneous_shear.q", tol,
+               std_name=f"{variant}_homogeneous_shear.stat.txt.std")
+    assert n == 7
