@@ -618,14 +618,24 @@ def _build_sde(kind: str, blk) -> Any:
         sde = dq.Dirichlet(depvar=depvar, b=fl("b"), S=fl("S"),
                            kappa=fl("kappa"))
     elif kind == "gendir":
+        # the deck keyword for the c_ij vector is `c` (kw::sde_c)
         sde = dq.GeneralizedDirichlet(
             depvar=depvar, b=fl("b"), S=fl("S"), kappa=fl("kappa"),
-            cij=fl("cij"),
+            cij=(fl("c") or fl("cij")),
         )
     elif kind == "mixdirichlet":
+        norm = first(blk, "normalization", "light")
+        # rho pre-sorted by normalization (Grammar.hpp:495-506); r_i =
+        # rho_N/rho_i -+ 1 (MixDir_r)
+        rho_s = tuple(sorted(fl("rho"), reverse=(norm == "light")))
+        if norm == "light":
+            r_v = tuple(rho_s[-1] / x + 1.0 for x in rho_s[:-1])
+        else:
+            r_v = tuple(rho_s[-1] / x - 1.0 for x in rho_s[:-1])
         sde = dq.MixDirichlet(
             depvar=depvar, b=fl("b"), S=fl("S"), kprime=fl("kappaprime"),
-            rho=fl("rho"), r=fl("r"),
+            rho=rho_s, r=r_v, coeff=first(blk, "coeff", "const_coeff"),
+            normalization=norm,
         )
     elif kind == "gamma":
         sde = dq.Gamma(depvar=depvar, b=fl("b"), S=fl("S"),
@@ -694,6 +704,11 @@ def _build_sde(kind: str, blk) -> Any:
             for g in occurrences(ic, "gaussian")
         ]
         sde.init = lambda k, np_: ip.init_jointgaussian(k, np_, gs)
+    elif init == "jointdirichlet":
+        ic = first(blk, "icdirichlet") or {}
+        als = first(ic, "dirichletpdf") or ()
+        alphas = [float(x) for x in als]
+        sde.init = lambda k, np_: ip.init_jointdirichlet(k, np_, alphas)
     elif init == "jointgamma":
         ic = first(blk, "icgamma") or {}
         gps = [

@@ -73,6 +73,7 @@ BLOCK_PARENTS = {
     "icgaussian": {"*sde*"},
     "icjointgaussian": {"*sde*"},
     "icgamma": {"*sde*"},
+    "icdirichlet": {"*sde*"},
     # the reference's rngtest decks put the battery block at root
     # (tests/regression/rngtest/Crush_r123_threefry.q)
     "smallcrush": {"rngtest", "<root>"},
@@ -93,6 +94,7 @@ LISTS = {
     "sigmasq", "theta", "mu", "b", "S", "kappa", "bprime", "kappaprime",
     "rho2", "rcomma", "r", "rho", "cij", "omega", "T", "lambda", "u0",
     "diffusivity", "spike", "betapdf", "gammapdf", "gaussian",
+    "dirichletpdf", "c",
     "edgelist", "coords", "hydrotimescales", "hydroproductions",
     "r123_philox", "r123_threefry",
 }

@@ -81,3 +81,15 @@ def init_jointgamma(key, npar, gammas: Sequence[Tuple[float, float]],
         k = jax.random.fold_in(key, c)
         cols.append(scale * jax.random.gamma(k, a, (npar,), dtype=dtype))
     return jnp.stack(cols, axis=1)
+
+
+def init_jointdirichlet(key, npar, alphas, dtype=None):
+    """Dirichlet(alpha_1..alpha_N) samples via normalized unit-scale
+    gammas (InitPolicy.hpp:320-355): returns (npar, N) with sum 1."""
+    dtype = dtype or jnp.zeros(0).dtype
+    cols = []
+    for c, a in enumerate(alphas):
+        k = jax.random.fold_in(key, c)
+        cols.append(jax.random.gamma(k, a, (npar,), dtype=dtype))
+    Y = jnp.stack(cols, axis=1)
+    return Y / Y.sum(axis=1, keepdims=True)

