@@ -639,12 +639,13 @@ def _cmd_rngtest(argv):
 
         tree = parse_deck(open(args.control).read())
         rt = first(tree, "rngtest") or tree  # battery block may be at root
-        name = ("crush" if "crush" in rt else
-                "bigcrush" if "bigcrush" in rt else "smallcrush")
-        if name == "bigcrush":
-            name = "crush"  # BigCrush-scale runs map to the crush battery
+        name = ("bigcrush" if "bigcrush" in rt else
+                "crush" if "crush" in rt else "smallcrush")
     name = name or "smallcrush"
-    battery = Crush if name == "crush" else SmallCrush
+    from .rngtest.battery import BigCrush
+
+    battery = (BigCrush if name == "bigcrush"
+               else Crush if name == "crush" else SmallCrush)
     results, failed = run_battery(seed=args.seed, impl=args.impl,
                                   battery=battery)
     print(f"{name} battery, rng={args.impl}, seed={args.seed}")

@@ -498,6 +498,40 @@ Crush: List[Callable] = [
 ]
 
 
+#: BigCrush-scale battery (src/RNGTest/BigCrush.cpp): the same exact-law
+#: families at multiple parameter points and 4-16x the Crush stream
+#: sizes — the reference's BigCrush is likewise its Crush families
+#: re-parameterized and enlarged (106 parameterized instances over the
+#: same test structures).
+BigCrush: List[Callable] = Crush + [
+    lambda k: birthday_spacings(k, n=2**13, d=2**30, reps=128),
+    lambda k: collision(k, n=2**18, d=2**28, reps=32),
+    lambda k: gap(k, n=2**24, alpha=0.0, beta=0.0625, tmax=32),
+    lambda k: gap(k, n=2**22, alpha=0.5, beta=0.625, tmax=32),
+    lambda k: simp_poker(k, n=2**22),
+    lambda k: coupon_collector(k, n=2**22, d=16, tmax=80),
+    lambda k: max_of_t(k, n=2**21, t=16, bins=64),
+    lambda k: weight_distrib(k, n=2**21),
+    lambda k: matrix_rank(k, n=2048, dim=64),
+    lambda k: hamming_indep(k, n=2**19),
+    lambda k: random_walk(k, n=2**17, steps=512),
+    lambda k: ks_uniform(k, n=2**22),
+    lambda k: permutation(k, n=2**21, t=7),
+    lambda k: serial_pairs(k, n=2**22, d=256),
+    lambda k: autocorrelation(k, n=2**24, lag=1),
+    lambda k: autocorrelation(k, n=2**24, lag=2),
+    lambda k: serial_over(k, n=2**22, d=256),
+    lambda k: collision_over(k, n=2**20, d=2**14),
+    lambda k: runs_up(k, n=2**22),
+    lambda k: longest_head_run(k, nblocks=2**16, L=64),
+    lambda k: sample_prod(k, m=2**18, t=16),
+    lambda k: sample_mean(k, m=2**18, t=20),
+    lambda k: sample_corr(k, n=2**22, lag=2),
+    lambda k: walk_last_return(k, nwalks=2**17, m=32),
+    lambda k: hamming_weight_blocks(k, nblocks=2**19, L=32),
+]
+
+
 def run_battery(seed: int = 0, battery=None, impl: str = "threefry2x32"):
     """Run a battery; returns (results, failed_names)."""
     battery = battery or SmallCrush

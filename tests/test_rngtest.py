@@ -127,3 +127,26 @@ def test_crush_families_reject_randu():
         jax.random.uniform = orig_uniform
         jax.random.randint = orig_randint
     assert failed, [(r.name, r.pvalue) for r in results]
+
+
+def test_bigcrush_battery_structure():
+    """BigCrush = the Crush families re-parameterized and enlarged
+    (src/RNGTest/BigCrush.cpp structure); every entry callable and the
+    battery strictly larger than Crush."""
+    from quinoa_tpu.rngtest.battery import SmallCrush, Crush, BigCrush
+
+    assert len(BigCrush) > len(Crush) > len(SmallCrush)
+    assert len(BigCrush) >= 45
+
+
+@pytest.mark.slow
+def test_threefry_passes_bigcrush_sample():
+    """A sample of the enlarged BigCrush entries passes for threefry."""
+    import jax.random as jr
+
+    from quinoa_tpu.rngtest.battery import BigCrush
+
+    key = jr.PRNGKey(3)
+    for idx in (25, 28, 33, 38, 42, 47):
+        r = BigCrush[idx](jr.fold_in(key, idx))
+        assert r.passed, (idx, r.name, r.pvalue)
