@@ -403,10 +403,11 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
 
     cfl = cfg.cfl if cfg.cfl is not None else 0.5
 
-    if virtualization > 0.0 and cfg.scheme != "diagcg":
+    if virtualization > 0.0 and cfg.scheme not in (
+            "diagcg", "dg", "p0p1", "dgp1", "dgp2"):
         raise ValueError(
-            "virtualization (overdecomposition) is currently implemented "
-            "for scheme diagcg; run other schemes with virtualization 0"
+            "virtualization (overdecomposition) is implemented for "
+            "diagcg and the DG schemes; run others with virtualization 0"
         )
 
     if cfg.scheme in ("diagcg", "alecg"):
@@ -482,10 +483,20 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             if cfg.pde == "transport"
             else DGCompFlow(problem, riemann_flux=cfg.flux)
         )
-        sharded = build_dg_shards(
-            mesh, npes, ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
-            algorithm=cfg.partitioner,
-        )
+        if virtualization > 0.0:
+            from ..parallel.overdecomp import build_overdecomposed_dg
+
+            over = build_overdecomposed_dg(
+                mesh, npes, virtualization,
+                ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
+                algorithm=cfg.partitioner,
+            )
+            sharded = over.sharded
+        else:
+            sharded = build_dg_shards(
+                mesh, npes, ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
+                algorithm=cfg.partitioner,
+            )
         return SPMDDGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
             limiter=cfg.limiter, cweight=cfg.cweight,

@@ -185,3 +185,128 @@ def build_overdecomposed_cg(
         sharded=merged, npes=npes, cpd=cpd,
         assign=tuple(map(tuple, assign.tolist())),
     )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["sharded"],
+    meta_fields=["npes", "cpd", "assign"],
+)
+@dataclasses.dataclass(frozen=True)
+class OverdecomposedDG:
+    """A merged ShardedDG (nshard=npes) plus chunk bookkeeping."""
+
+    sharded: object
+    npes: int
+    cpd: int
+    assign: tuple
+
+
+def build_overdecomposed_dg(
+    mesh,
+    npes: int,
+    virtualization: float,
+    ndof: int,
+    bc_sidesets=None,
+    algorithm: str = "sfc",
+    dtype=None,
+) -> OverdecomposedDG:
+    """DG overdecomposition: cut linearLoadDistributor-many chunks with
+    the existing stacked builder (uniformly padded El/Fl per chunk),
+    LPT-assign, and merge each device's chunks along the element/face
+    axes (connectivity offset per chunk block).  Ghost exchange runs
+    through the global interface buffer (each interface element has ONE
+    owner chunk, so the push table stays single-copy; same-device
+    ghost copies pull through the buffer like remote ones)."""
+    from ..pde.dg import DGGeom
+    from .dg_shard import ShardedDG, build_dg_shards
+
+    _, nchare = linear_load_distributor(virtualization, mesh.nelem, npes)
+    cpd = max(math.ceil(nchare / npes), 1)
+    nchunk = cpd * npes
+    base = build_dg_shards(mesh, nchunk, ndof, bc_sidesets=bc_sidesets,
+                           algorithm=algorithm, dtype=dtype)
+    g = base.geom
+    costs = np.asarray(base.owned).sum(axis=1)
+    assign = lpt_assign(costs, npes, cpd)
+    perm = assign.reshape(-1)
+
+    El = int(np.asarray(g.vol).shape[1])
+    Fl = int(np.asarray(g.el).shape[1])
+    ElM, FlM = cpd * El, cpd * Fl
+    nslots = base.nslots
+
+    def grp(a):
+        return np.asarray(a)[perm].reshape((npes, cpd) + a.shape[1:])
+
+    def cat_e(a):  # (npes, cpd, ..., El) -> (npes, ..., cpd*El)
+        x = grp(a)
+        return np.moveaxis(x, 1, -2).reshape(
+            x.shape[:1] + x.shape[2:-1] + (ElM,))
+
+    def cat_f(a):
+        x = grp(a)
+        return np.moveaxis(x, 1, -2).reshape(
+            x.shape[:1] + x.shape[2:-1] + (FlM,))
+
+    eoff = (np.arange(cpd) * El)[None, :, None]
+    foff = (np.arange(cpd) * Fl)[None, :, None]
+
+    el = grp(base.geom.el) + eoff
+    er = grp(base.geom.er) + eoff
+    el = np.moveaxis(el, 1, -2).reshape(npes, FlM)
+    er = np.moveaxis(er, 1, -2).reshape(npes, FlM)
+
+    fose = grp(base.geom.fose)  # (npes, cpd, 4, El); pad = Fl
+    fose = np.where(fose == Fl, FlM, fose + foff[:, :, None, :])
+    fose = np.moveaxis(fose, 1, -2).reshape(npes, 4, ElM)
+
+    esu = grp(base.geom.esuelT)  # (npes, cpd, 4, El); -1 absent
+    esu = np.where(esu < 0, -1, esu + eoff[:, :, None, :])
+    esu = np.moveaxis(esu, 1, -2).reshape(npes, 4, ElM)
+
+    # per-device single-copy push table: the owning chunk's local id
+    grev = grp(base.grev)  # (npes, cpd, nslots+1); pad = El
+    grev_m = np.full((npes, nslots + 1), ElM, dtype=np.int32)
+    for d in range(npes):
+        for c in range(cpd):
+            own = grev[d, c] < El
+            grev_m[d, own] = c * El + grev[d, c][own]
+
+    dt_ = np.asarray(g.vol).dtype
+    geom = DGGeom(
+        vol=jnp.asarray(cat_e(g.vol), dtype=dt_),
+        jacInv=jnp.asarray(cat_e(g.jacInv), dtype=dt_),
+        Jmat=jnp.asarray(cat_e(g.Jmat), dtype=dt_),
+        node0=jnp.asarray(cat_e(g.node0), dtype=dt_),
+        emask=jnp.asarray(cat_e(g.emask), dtype=dt_),
+        el=jnp.asarray(el),
+        er=jnp.asarray(er),
+        fn=jnp.asarray(cat_f(g.fn), dtype=dt_),
+        farea=jnp.asarray(cat_f(g.farea), dtype=dt_),
+        xi_l=jnp.asarray(cat_f(g.xi_l), dtype=dt_),
+        xi_r=jnp.asarray(cat_f(g.xi_r), dtype=dt_),
+        bctype=jnp.asarray(cat_f(g.bctype)),
+        fmask=jnp.asarray(cat_f(g.fmask), dtype=dt_),
+        fose=jnp.asarray(fose),
+        fsideR=jnp.asarray(cat_e(g.fsideR), dtype=dt_),
+        esuelT=jnp.asarray(esu),
+        ndof=int(ndof),
+        nelem_real=g.nelem_real,
+        tables=g.tables,
+    )
+    merged = ShardedDG(
+        geom=geom,
+        owned=jnp.asarray(cat_e(base.owned), dtype=dt_),
+        gslot=jnp.asarray(cat_e(base.gslot)),
+        grev=jnp.asarray(grev_m),
+        eglobal=jnp.asarray(cat_e(base.eglobal)),
+        ghalo=None,  # same-device ghosts ride the interface buffer
+        nshard=npes,
+        nslots=nslots,
+        nelem_global=base.nelem_global,
+    )
+    return OverdecomposedDG(
+        sharded=merged, npes=npes, cpd=cpd,
+        assign=tuple(map(tuple, assign.tolist())),
+    )

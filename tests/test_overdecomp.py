@@ -126,3 +126,71 @@ end
                          for ln in open(p) if not ln.startswith("#")])
 
     np.testing.assert_allclose(rows("dv"), rows("d1"), rtol=0, atol=1e-9)
+
+
+def test_dg_overdecomposed_matches_single():
+    """2 devices x several DG chunks reproduces the single-device DG
+    run (merged chunk blocks + interface-buffer ghosts)."""
+    import jax.numpy as jnp
+
+    from quinoa_tpu.pde.dg import build_dggeom, BC_EXTRAPOLATE, BC_SYMMETRY
+    from quinoa_tpu.pde.dg_compflow import DGCompFlow
+    from quinoa_tpu.pde.problems import SodShocktube
+    from quinoa_tpu.inciter.dg import DGSolver
+    from quinoa_tpu.parallel.dg_spmd import SPMDDGSolver
+    from quinoa_tpu.parallel.overdecomp import build_overdecomposed_dg
+
+    m = box_tet_mesh(10, 3, 3, hi=(1.0, 0.3, 0.3))
+    bc = {1: BC_EXTRAPOLATE, 2: BC_EXTRAPOLATE, 3: BC_SYMMETRY,
+          4: BC_SYMMETRY, 5: BC_SYMMETRY, 6: BC_SYMMETRY}
+    system = DGCompFlow(SodShocktube(), riemann_flux="hllc")
+
+    geom1 = build_dggeom(m, ndof=4, bc_sidesets=bc)
+    s1solver = DGSolver(system, geom1, cfl=0.5, limiter="superbeep1")
+    s1 = s1solver.nsteps(s1solver.initial_state(), 3)
+
+    over = build_overdecomposed_dg(m, 2, 0.8, ndof=4, bc_sidesets=bc)
+    assert over.cpd > 1
+    sN = SPMDDGSolver(system, over.sharded, _mesh_devices(2), cfl=0.5,
+                      limiter="superbeep1")
+    st = sN.nsteps(sN.initial_state(), 3)
+
+    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    uN = sN.gather_global(st)
+    u1 = np.asarray(s1.u)
+    err = np.abs(uN - u1).max()
+    assert err < 1e-9, err
+
+
+@pytest.mark.slow
+def test_cli_dg_virtualization(tmp_path, monkeypatch):
+    """'scheme dg' with --npes 2 -u 0.8 reproduces the single-device
+    CLI diag file."""
+    from quinoa_tpu.cli import main
+
+    deck = tmp_path / "t.q"
+    deck.write_text("""
+inciter
+  nstep 5
+  cfl 0.8
+  scheme dg
+  transport
+    physics advection problem gauss_hump ncomp 1 depvar c
+    bc_extrapolate sideset 1 2 3 4 5 6 end end
+  end
+  diagnostics interval 1 error l2 end
+end
+""")
+    src = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+           "dtref/unitcube_1k.exo")
+    monkeypatch.chdir(tmp_path)
+    assert main(["inciter", "-c", str(deck), "-i", src,
+                 "--diag", "d1"]) == 0
+    assert main(["inciter", "-c", str(deck), "-i", src, "--diag", "dv",
+                 "--npes", "2", "-u", "0.8"]) == 0
+
+    def rows(p):
+        return np.array([[float(x) for x in ln.split()]
+                         for ln in open(p) if not ln.startswith("#")])
+
+    np.testing.assert_allclose(rows("dv"), rows("d1"), rtol=0, atol=1e-9)
