@@ -404,10 +404,11 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
     cfl = cfg.cfl if cfg.cfl is not None else 0.5
 
     if virtualization > 0.0 and cfg.scheme not in (
-            "diagcg", "dg", "p0p1", "dgp1", "dgp2"):
+            "diagcg", "alecg", "dg", "p0p1", "dgp1", "dgp2"):
         raise ValueError(
             "virtualization (overdecomposition) is implemented for "
-            "diagcg and the DG schemes; run others with virtualization 0"
+            "diagcg, alecg, and the DG schemes; run others with "
+            "virtualization 0"
         )
 
     if cfg.scheme in ("diagcg", "alecg"):
@@ -429,10 +430,20 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
                 bcnodes.append(mesh.bnode[ss])
         bcnodes = np.unique(np.concatenate(bcnodes)) if bcnodes else None
         if cfg.scheme == "alecg":
-            sharded = build_alecg_shards(
-                mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
-                algorithm=cfg.partitioner,
-            )
+            if virtualization > 0.0:
+                from ..parallel.overdecomp import (
+                    build_overdecomposed_alecg,
+                )
+
+                sharded = build_overdecomposed_alecg(
+                    mesh, npes, virtualization, ncomp=system.ncomp,
+                    bcnodes=bcnodes, algorithm=cfg.partitioner,
+                ).sharded
+            else:
+                sharded = build_alecg_shards(
+                    mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
+                    algorithm=cfg.partitioner,
+                )
             return SPMDALECGSolver(
                 system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt
             )

@@ -86,6 +86,7 @@ def build_overdecomposed_cg(
     bcnodes: Optional[np.ndarray] = None,
     algorithm: str = "sfc",
     dtype=None,
+    epart: Optional[np.ndarray] = None,
 ) -> OverdecomposedCG:
     """Partition into linear_load_distributor-many chunks, LPT-assign
     them to devices, and merge each device's chunks into a super-shard
@@ -95,7 +96,7 @@ def build_overdecomposed_cg(
     nchunk = cpd * npes
     base = build_cg_shards(
         mesh, nchunk, ncomp, bcnodes=bcnodes, algorithm=algorithm,
-        dtype=dtype,
+        dtype=dtype, epart=epart,
     )
     costs = np.asarray(base.geom.emask).sum(axis=1)
     assign = lpt_assign(costs, npes, cpd)
@@ -310,3 +311,74 @@ def build_overdecomposed_dg(
         sharded=merged, npes=npes, cpd=cpd,
         assign=tuple(map(tuple, assign.tolist())),
     )
+
+
+def build_overdecomposed_alecg(
+    mesh,
+    npes: int,
+    virtualization: float,
+    ncomp: int,
+    bcnodes: Optional[np.ndarray] = None,
+    algorithm: str = "sfc",
+    dtype=None,
+):
+    """ALECG overdecomposition: the CG node/element merge plus per-chunk
+    edge tables merged along the edge axis (slot space offset per
+    chunk).  Shared-node dual-face areas stay per-chunk partial sums —
+    the boundary-node combine totals them exactly as across shards."""
+    from .alecg_spmd import ShardedALECG, edge_arrays_np
+    from .partition import partition_elements
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    _, nchare = linear_load_distributor(virtualization, mesh.nelem, npes)
+    cpd = max(math.ceil(nchare / npes), 1)
+    nchunk = cpd * npes
+    coords, inpoel = mesh.coords, mesh.inpoel
+    epart = partition_elements(coords, inpoel, nchunk, algorithm)
+    over = build_overdecomposed_cg(
+        mesh, npes, virtualization, ncomp, bcnodes=bcnodes,
+        algorithm=algorithm, dtype=dtype, epart=epart,
+    )
+    assert over.cpd == cpd
+
+    elems = [np.nonzero(epart == c)[0] for c in range(nchunk)]
+    nodes = [np.unique(inpoel[e].ravel()) for e in elems]
+    Nl = over.sharded.geom.nnode // cpd
+
+    per = []
+    for c in range(nchunk):
+        g2l = np.full(mesh.nnode, -1, dtype=np.int64)
+        g2l[nodes[c]] = np.arange(len(nodes[c]))
+        loc_inpoel = g2l[inpoel[elems[c]]]
+        edges, A, ensup, D = edge_arrays_np(
+            coords[nodes[c]], loc_inpoel, len(nodes[c])
+        )
+        per.append((edges, A, ensup, len(nodes[c])))
+
+    EE = max(len(p[0]) for p in per)
+    De = max(p[2].shape[0] for p in per)
+    EEM = cpd * EE
+    s_edges = np.zeros((npes, 2, EEM), dtype=np.int32)
+    s_A = np.zeros((npes, EEM))
+    s_ensup = np.full((npes, De, cpd * Nl), 2 * EEM, dtype=np.int32)
+    for d, row in enumerate(over.assign):
+        for j, c in enumerate(row):
+            edges, A, ensup, nn = per[c]
+            ne = len(edges)
+            s_edges[d, :, j * EE : j * EE + ne] = edges.T + j * Nl
+            s_A[d, j * EE : j * EE + ne] = A
+            a_idx = ensup // ne if ne else ensup
+            e_idx = ensup % ne if ne else ensup
+            valid = ensup < 2 * ne
+            s_ensup[d, : ensup.shape[0], j * Nl : j * Nl + nn] = np.where(
+                valid, a_idx * EEM + j * EE + e_idx, 2 * EEM
+            )
+    sh = ShardedALECG(
+        cg=over.sharded,
+        edgesT=jnp.asarray(s_edges),
+        eA=jnp.asarray(s_A, dtype=dtype),
+        ensup=jnp.asarray(s_ensup),
+    )
+    return OverdecomposedCG(sharded=sh, npes=npes, cpd=cpd,
+                            assign=over.assign)

@@ -194,3 +194,32 @@ end
                          for ln in open(p) if not ln.startswith("#")])
 
     np.testing.assert_allclose(rows("dv"), rows("d1"), rtol=0, atol=1e-9)
+
+
+def test_alecg_overdecomposed_matches_single():
+    """2 devices x several ALECG chunks reproduces the single-device
+    ALECG run (CG merge + per-chunk edge tables)."""
+    from quinoa_tpu.inciter.alecg import ALECGSolver, build_edge_tables
+    from quinoa_tpu.pde.cg import make_cggeom
+    from quinoa_tpu.parallel.alecg_spmd import SPMDALECGSolver
+    from quinoa_tpu.parallel.overdecomp import build_overdecomposed_alecg
+
+    m = box_tet_mesh(8, 8, 3, hi=(1.0, 1.0, 0.375))
+    system = CGTransport(SlotCyl())
+    bc = m.all_bnodes()
+
+    ref = ALECGSolver(system, make_cggeom(m), build_edge_tables(m),
+                      cfl=0.6, bcnodes=bc)
+    sr = ref.nsteps(ref.initial_state(), 4)
+
+    over = build_overdecomposed_alecg(m, 2, 0.8, ncomp=system.ncomp,
+                                      bcnodes=bc)
+    assert over.cpd > 1
+    sol = SPMDALECGSolver(system, over.sharded, _mesh_devices(2),
+                          cfl=0.6)
+    so = sol.nsteps(sol.initial_state(), 4)
+
+    assert np.isclose(float(so.t), float(sr.t), rtol=1e-12)
+    u_over = gather_global_field(over.sharded.cg, so.u)
+    np.testing.assert_allclose(u_over, np.asarray(sr.u), rtol=0,
+                               atol=1e-9)
