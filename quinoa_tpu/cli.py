@@ -588,6 +588,9 @@ def _cmd_meshconv(argv):
                     help="input mesh, or several exodus PIECES "
                          "(out.e-s.<it>.<N>.<p>) to join into one file")
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--netcdf4", action="store_true",
+                    help="write exodus output in the HDF5-based "
+                         "netCDF-4 layout instead of NetCDF-3 classic")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -603,7 +606,8 @@ def _cmd_meshconv(argv):
                   f"{args.output}: {mesh.nnode} nodes, {mesh.nelem} tets, "
                   f"{len(nf)} nodal + {len(ef)} element fields")
         write_exodus(args.output, mesh, node_fields=nf or None,
-                     elem_fields=ef or None, time=t)
+                     elem_fields=ef or None, time=t,
+                     fmt="netcdf4" if args.netcdf4 else "classic")
         return 0
 
     args.input = args.input[0]
@@ -615,7 +619,12 @@ def _cmd_meshconv(argv):
             f"{mesh.nnode} nodes, {mesh.nelem} tets, "
             f"{sum(len(v) for v in mesh.bface.values())} boundary tris"
         )
-    write_mesh(args.output, mesh)
+    if args.netcdf4:
+        from .io import write_exodus as _we
+
+        _we(args.output, mesh, fmt="netcdf4")
+    else:
+        write_mesh(args.output, mesh)
     return 0
 
 

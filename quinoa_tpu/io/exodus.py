@@ -222,6 +222,66 @@ def read_exodus_maps(path: str):
         f.close()
 
 
+
+
+class _H5Var:
+    """Sliceable variable wrapper: extra attribute sets become HDF5
+    attrs (scipy's v.name = b"ID" convention)."""
+
+    def __init__(self, ds):
+        object.__setattr__(self, "_ds", ds)
+
+    def __setitem__(self, idx, val):
+        self._ds[idx] = val
+
+    def __getitem__(self, idx):
+        return self._ds[idx]
+
+    def __setattr__(self, k, v):
+        self._ds.attrs[k] = v
+
+
+class _H5NetCDFWriter:
+    """scipy.io.netcdf_file-shaped WRITE adapter over h5py producing the
+    netCDF-4 layout (dimension-scale datasets + attached scales), the
+    format SEACAS emits when built with HDF5.  Covers exactly the calls
+    write_exodus makes."""
+
+    def __init__(self, path: str):
+        import h5py
+
+        object.__setattr__(self, "_f", h5py.File(path, "w"))
+        object.__setattr__(self, "_dims", {})
+        object.__setattr__(self, "_h5py", h5py)
+
+    def __setattr__(self, k, v):  # global attributes
+        self._f.attrs[k] = v
+
+    def createDimension(self, name, size):
+        n = 1 if size is None else int(size)
+        ds = self._f.create_dataset(name, data=np.zeros(max(n, 1)))
+        ds.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+        ds.attrs["NAME"] = np.bytes_(
+            "This is a netCDF dimension but not a netCDF variable."
+            f"{n:10d}")
+        ds.make_scale(name)
+        self._dims[name] = (n, size is None, ds)
+
+    def createVariable(self, name, typ, dims):
+        dtype = {"d": "f8", "i": "i4", "c": "S1"}[typ]
+        shape = tuple(self._dims[d][0] for d in dims)
+        maxshape = tuple(
+            None if self._dims[d][1] else self._dims[d][0] for d in dims)
+        ds = self._f.create_dataset(name, shape=shape, dtype=dtype,
+                                    maxshape=maxshape)
+        for i, d in enumerate(dims):
+            ds.dims[i].attach_scale(self._dims[d][2])
+        return _H5Var(ds)
+
+    def close(self):
+        self._f.close()
+
+
 def write_exodus(
     path: str,
     mesh: UnsMesh,
@@ -231,12 +291,14 @@ def write_exodus(
     title: str = "quinoa_tpu",
     node_num_map: Optional[np.ndarray] = None,
     elem_num_map: Optional[np.ndarray] = None,
+    fmt: str = "classic",
 ) -> None:
     """Write a TET4 ExodusII file with side sets and optional nodal/element
     fields.  node_num_map/elem_num_map (0-based global ids) mark the file
     as a piece of a partitioned mesh (the ExodusII number-map convention
-    the joiner in io/pieces.py consumes)."""
-    f = netcdf_file(path, "w")
+    the joiner in io/pieces.py consumes).  fmt="netcdf4" writes the
+    HDF5-based netCDF-4 layout instead of NetCDF-3 classic."""
+    f = _H5NetCDFWriter(path) if fmt == "netcdf4" else netcdf_file(path, "w")
     try:
         f.title = title.encode()
         f.api_version = np.float32(5.22)

@@ -346,3 +346,25 @@ def test_exodus_hdf5_netcdf4(tmp_path):
     assert set(a.bface) == set(b.bface)
     for k in a.bface:
         np.testing.assert_array_equal(a.bface[k], b.bface[k])
+
+
+def test_exodus_netcdf4_writer_round_trip(mesh, tmp_path):
+    """fmt='netcdf4' writes the HDF5 layout (dimension scales) that the
+    h5py read adapter and any netCDF-4 reader consume; round-trips the
+    mesh, side sets, and nodal fields."""
+    from quinoa_tpu.io.exodus import read_exodus, read_exodus_fields, \
+        write_exodus
+
+    p = str(tmp_path / "m4.exo")
+    nf = {"c0_numerical": np.linspace(0.0, 1.0, mesh.nnode)}
+    write_exodus(p, mesh, node_fields=nf, time=0.25, fmt="netcdf4")
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"\x89HDF"
+    m2 = read_exodus(p)
+    np.testing.assert_array_equal(m2.inpoel, mesh.inpoel)
+    np.testing.assert_allclose(m2.coords, mesh.coords)
+    assert set(m2.bface) == set(mesh.bface)
+    names, times, vals = read_exodus_fields(p)
+    assert names == ["c0_numerical"]
+    np.testing.assert_allclose(vals[0, 0], nf["c0_numerical"])
+    assert times[0] == 0.25
