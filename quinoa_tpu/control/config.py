@@ -467,11 +467,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             ctau=cfg.ctau, fct=cfg.fct,
         )
 
-    if cfg.scheme in _SCHEME_NDOF:
-        if cfg.pref or cfg.scheme == "pdg":
-            raise ValueError(
-                "p-adaptive DG is not sharded yet; run without --npes"
-            )
+    if cfg.scheme in _SCHEME_NDOF or cfg.scheme == "pdg":
         from ..pde.dg import (
             BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE, BC_INLET, BC_OUTLET,
         )
@@ -512,6 +508,8 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
             limiter=cfg.limiter, cweight=cfg.cweight,
             evolve_ndof=1 if cfg.scheme == "p0p1" else None,
+            pref=(cfg.scheme == "pdg") or cfg.pref,
+            tolref=cfg.tolref,
         )
 
     raise ValueError(f"unknown scheme {cfg.scheme!r}")

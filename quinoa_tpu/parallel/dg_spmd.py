@@ -46,6 +46,8 @@ class SPMDDGSolver:
         limiter: Optional[str] = None,
         cweight: float = 30.0,
         evolve_ndof: Optional[int] = None,
+        pref: bool = False,
+        tolref: float = 0.5,
     ):
         if mesh.shape[AXIS] != sharded.nshard:
             raise ValueError("device mesh size != shard count")
@@ -56,6 +58,8 @@ class SPMDDGSolver:
         self.const_dt = const_dt
         self.limiter = limiter
         self.cweight = cweight
+        self.pref = pref
+        self.tolref = tolref
         K = sharded.geom.ndof
         self.evolve_ndof = evolve_ndof or K
         p = {1: 0.0, 4: 1.0, 10: 2.0}[self.evolve_ndof]
@@ -149,6 +153,29 @@ class SPMDDGSolver:
 
     # -- per-shard bodies -------------------------------------------------------
 
+    def _eval_ndof(self, geom, u):
+        """p-adaptive indicator, identical to the single-device one
+        (DG.cpp eval_ndof:1089-1163); ghosts hold the owner's refreshed
+        u, so every copy reaches the same decision without a dedicated
+        ndof message (the comsol-piggybacked propagate_ndof analog)."""
+        from ..pde.dg import uview
+
+        g = geom
+        C, K = self.system.ncomp, g.ndof
+        Uv = uview(u, C, K)
+        u1, u2, u3 = Uv[:, 1, :], Uv[:, 2, :], Uv[:, 3, :]
+        dxi = (2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3)
+        grad2 = None
+        for j in range(3):
+            d = (
+                dxi[0] * g.jacInv[0, j]
+                + dxi[1] * g.jacInv[1, j]
+                + dxi[2] * g.jacInv[2, j]
+            )
+            grad2 = d * d if grad2 is None else grad2 + d * d
+        keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
+        return jnp.where(keep, 4, 1).astype(jnp.int32)
+
     def _limit(self, geom, u, dofmask):
         C = self.system.ncomp
         if self.limiter == "wenop1":
@@ -168,19 +195,23 @@ class SPMDDGSolver:
         dt = state.dt
         plan = _local(aplan) if aplan is not None else None
 
-        # p-adaptivity is not sharded (config gates it), so every dof is
-        # active and the mask can be skipped — which also enables the
-        # fully fused Pallas face pass per shard
-        dofmask = None
         mn = jnp.asarray(g.tables["mnorm"], dtype=g.vol.dtype)
         minv = jnp.tile(1.0 / (g.vol[None, :] * mn[:, None]), (C, 1))
-        fused = plan is not None and not self.needs_face_gp
+        fused = (plan is not None and not self.needs_face_gp
+                 and not self.pref)
 
         for s in range(3):
             # two exchanges per stage, like the reference's comsol + comlim
             # (DG.cpp:1010-1360): ghosts limited with incomplete neighbor
             # sets must be overwritten by the owner's limited values.
             u = self._exchange(sh, u)
+            if s == 0 and self.pref and K >= 4:
+                ndofel = self._eval_ndof(g, u)
+            # dofmask None when every dof is active (enables the fused
+            # Pallas path, as in the single-chip solver)
+            kk = jnp.arange(K)[:, None]
+            dofmask = ((kk < ndofel[None, :]).astype(g.vol.dtype)
+                       if self.pref else None)
             u = self._limit(g, u, dofmask)
             if self.limiter is not None:
                 u = self._exchange(sh, u)
@@ -218,6 +249,10 @@ class SPMDDGSolver:
                 unew = jnp.where(
                     (kk < self.evolve_ndof)[:, None], unew, u
                 )
+            if dofmask is not None:
+                # inactive dofs hold the RK anchor (DG.cpp:1479-1488)
+                dmflat = jnp.tile(dofmask, (C, 1))
+                unew = jnp.where(dmflat > 0, unew, un)
             # only owned elements advance; ghosts refresh via exchange
             u = jnp.where(sh.owned[None, :] > 0, unew, u)
 

@@ -82,3 +82,35 @@ def test_spmd_dg_transport():
     st = sN.nsteps(sN.initial_state(), 3)
     err = np.abs(sN.gather_global(st) - np.asarray(s1.u)).max()
     assert err < 1e-10, err
+
+
+@pytest.mark.parametrize("nshard", [
+    2, pytest.param(4, marks=pytest.mark.slow)])
+def test_spmd_pdg_matches_single(nshard):
+    """p-adaptive DG over shards: the element-local eval_ndof indicator
+    reaches identical decisions on owner and ghost copies, so the
+    sharded run reproduces the single-device pDG run exactly."""
+    from quinoa_tpu.pde.problems import GaussHump
+    from quinoa_tpu.pde.dg_compflow import DGTransport
+    from quinoa_tpu.pde.dg import BC_EXTRAPOLATE
+
+    mesh = box_tet_mesh(8, 8, 2, hi=(1.0, 1.0, 0.25))
+    bc = {i: BC_EXTRAPOLATE for i in range(1, 7)}
+    system = DGTransport(GaussHump(ncomp=1))
+
+    geom1 = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    s1solver = DGSolver(system, geom1, cfl=0.5, pref=True, tolref=0.2)
+    s1 = s1solver.nsteps(s1solver.initial_state(), 3)
+    assert int(np.asarray(s1.ndofel).min()) == 1  # adaptivity active
+    assert int(np.asarray(s1.ndofel).max()) == 4
+
+    sharded = build_dg_shards(mesh, nshard, ndof=4, bc_sidesets=bc)
+    dmesh = Mesh(np.array(jax.devices()[:nshard]), ("shard",))
+    sN = SPMDDGSolver(system, sharded, dmesh, cfl=0.5, pref=True,
+                      tolref=0.2)
+    st = sN.nsteps(sN.initial_state(), 3)
+
+    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    uN = sN.gather_global(st)
+    err = np.abs(uN - np.asarray(s1.u)).max()
+    assert err < 1e-9, err
