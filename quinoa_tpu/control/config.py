@@ -378,7 +378,44 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
         dmesh = _JMesh(np.array(devices[:npes]), ("shard",))
 
     if cfg.pde == "multimat":
-        raise ValueError("multimat is not sharded yet; run without --npes")
+        from ..pde.dg import BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE
+        from ..pde.multimat import MultiMatSystem
+        from ..pde.problems.multimat import (
+            MMInterfaceAdvection, MMSodShocktube,
+        )
+        from ..pde.eos import StiffenedGas
+        from ..parallel import build_dg_shards
+        from ..parallel.dg_spmd import SPMDMultiMatSolver
+
+        nmat = cfg.params.get("nmat", 2)
+        eos = tuple(
+            StiffenedGas(gamma=g, cv=cv)
+            for g, cv in zip(cfg.params.get("gammas", (1.4,) * nmat),
+                             cfg.params.get("cvs", (717.5,) * nmat))
+        )
+        if cfg.problem == "interface_advection":
+            mmprob = MMInterfaceAdvection(nmat=nmat, eos=eos)
+        elif cfg.problem == "sod_shocktube":
+            mmprob = MMSodShocktube(nmat=nmat, eos=eos)
+        else:
+            raise ValueError(f"unknown multimat problem {cfg.problem!r}")
+        bc = {}
+        for ss in cfg.bc_dirichlet:
+            bc[ss] = BC_DIRICHLET
+        for ss in cfg.bc_sym:
+            bc[ss] = BC_SYMMETRY
+        for ss in cfg.bc_extrapolate:
+            bc[ss] = BC_EXTRAPOLATE
+        mmsys = MultiMatSystem(mmprob)
+        sharded = build_dg_shards(
+            mesh, npes, ndof=1, bc_sidesets=bc,
+            algorithm=cfg.partitioner,
+        )
+        return SPMDMultiMatSolver(
+            mmsys, sharded, dmesh,
+            cfl=cfg.cfl if cfg.cfl is not None else 0.5,
+            const_dt=cfg.dt,
+        )
 
     kwargs = {}
     if cfg.pde == "transport":

@@ -346,3 +346,41 @@ class SPMDDGSolver:
             m = owned[s]
             out[:, eg[s][m]] = u[s][:, m]
         return out
+
+
+class SPMDMultiMatSolver(SPMDDGSolver):
+    """Multi-material DG(P0) over a device mesh: the DG ghost/exchange
+    machinery with the multimat rhs (AUSM+up + non-conservative terms,
+    pde/multimat.py) — the distributed counterpart of MultiMatSolver."""
+
+    def __init__(self, system, sharded: ShardedDG, mesh: Mesh,
+                 cfl: float = 0.5, const_dt=None):
+        super().__init__(system, sharded, mesh, cfl=cfl,
+                         const_dt=const_dt, limiter=None)
+
+    def _step_local(self, sharded, aplan, state):
+        sh: ShardedDG = _local(sharded)
+        g = sh.geom
+        plan = _local(aplan) if aplan is not None else None
+        un = state.u[0]
+        u = un
+        dt = state.dt
+        minv = 1.0 / g.vol
+        for s in range(3):
+            u = self._exchange(sh, u)
+            if s == 0:
+                # dt AFTER the ghost refresh: a face against a ghost must
+                # see the owner's current value, as it does single-device
+                un = u
+                if self.const_dt is not None:
+                    dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
+                else:
+                    # emask marks OWNED elements, so the local min spans
+                    # exactly the single-device element set
+                    dt = jax.lax.pmin(
+                        self.system.dt_p0(g, u) * self.cfl, AXIS)
+            r = self.system.rhs_p0(g, u, state.t, accum_plan=plan)
+            unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
+            u = jnp.where(sh.owned[None, :] > 0, unew, u)
+        return DGState(u=u[None], ndofel=state.ndofel,
+                       t=state.t + dt, it=state.it + 1, dt=dt)

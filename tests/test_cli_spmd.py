@@ -101,3 +101,24 @@ end
         for k, v in je.items():
             np.testing.assert_allclose(v, ref[k], atol=1e-9)
         assert je
+
+
+def test_cli_multimat_npes_matches_single(tmp_path, monkeypatch):
+    """The reference multimat Sod deck runs under --npes 4 and
+    reproduces the single-device diag file (SPMDMultiMatSolver)."""
+    base = ("/root/reference/tests/regression/inciter/multimat/"
+            "SodShocktube/")
+    monkeypatch.chdir(tmp_path)
+    import re
+
+    deck = open(base + "sod_shocktube_dg.q").read()
+    deck = re.sub(r"nstep\s+\d+", "nstep 6", deck)
+    (tmp_path / "mm.q").write_text(deck)
+    assert main(["inciter", "-c", str(tmp_path / "mm.q"),
+                 "-i", base + "rectangle_01_1.5k.exo",
+                 "--diag", "d1"]) == 0
+    assert main(["inciter", "-c", str(tmp_path / "mm.q"),
+                 "-i", base + "rectangle_01_1.5k.exo",
+                 "--diag", "d4", "--npes", "4"]) == 0
+    np.testing.assert_allclose(_read_diag("d4"), _read_diag("d1"),
+                               rtol=0, atol=1e-9)

@@ -65,3 +65,35 @@ def test_mm_sod_shock():
     a = u[:nmat]
     assert a.min() > -1e-8 and a.max() < 1.0 + 1e-8
     assert float(s.t) > 0.005
+
+
+@pytest.mark.parametrize("nshard", [
+    2, pytest.param(4, marks=pytest.mark.slow)])
+def test_mm_spmd_matches_single(nshard):
+    """Sharded multimat P0 (SPMDMultiMatSolver: DG ghost exchange + the
+    multimat rhs) reproduces the single-device Sod run."""
+    import jax
+    from jax.sharding import Mesh
+
+    from quinoa_tpu.parallel.dg_shard import build_dg_shards
+    from quinoa_tpu.parallel.dg_spmd import SPMDMultiMatSolver
+
+    prob = MMSodShocktube()
+    system = MultiMatSystem(prob)
+    mesh = box_tet_mesh(16, 2, 2, hi=(1.0, 0.125, 0.125))
+    bc = {1: BC_EXTRAPOLATE, 2: BC_EXTRAPOLATE,
+          3: BC_SYMMETRY, 4: BC_SYMMETRY, 5: BC_SYMMETRY, 6: BC_SYMMETRY}
+
+    geom = build_dggeom(mesh, ndof=1, bc_sidesets=bc)
+    s1solver = MultiMatSolver(system, geom, cfl=0.5)
+    s1 = s1solver.nsteps(s1solver.initial_state(), 8)
+
+    sharded = build_dg_shards(mesh, nshard, ndof=1, bc_sidesets=bc)
+    dmesh = Mesh(np.array(jax.devices()[:nshard]), ("shard",))
+    sN = SPMDMultiMatSolver(system, sharded, dmesh, cfl=0.5)
+    st = sN.nsteps(sN.initial_state(), 8)
+
+    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    uN = sN.gather_global(st)
+    err = np.abs(uN - np.asarray(s1.u)).max()
+    assert err < 1e-9, err
