@@ -665,11 +665,52 @@ def _cmd_rngtest(argv):
     return 1 if failed else 0
 
 
+def _cmd_fileconv(argv):
+    """Field-file conversion (the reference's fileconv executable,
+    src/Main/FileConv.cpp). Its ROOT<->ExodusII half needs the ROOT
+    library (absent in this build); the ExodusII side converts between
+    the NetCDF-3 classic and netcdf-4/HDF5 layouts, carrying nodal and
+    element variables."""
+    ap = argparse.ArgumentParser(prog="quinoa_tpu fileconv")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    with open(args.input, "rb") as fh:
+        magic = fh.read(4)
+    if magic not in (b"CDF\x01", b"CDF\x02", b"\x89HDF"):
+        print("fileconv: ROOT field files need the ROOT library, which "
+              "is not in this build; only ExodusII inputs are supported",
+              file=sys.stderr)
+        return 1
+    from .io.exodus import (
+        read_exodus, read_exodus_fields, read_exodus_elem_fields,
+        write_exodus,
+    )
+
+    mesh = read_exodus(args.input)
+    nnames, ntimes, nvals = read_exodus_fields(args.input)
+    enames, etimes, evals = read_exodus_elem_fields(args.input)
+    nf = {n: nvals[-1, i] for i, n in enumerate(nnames)} or None
+    ef = {n: evals[-1, i] for i, n in enumerate(enames)} or None
+    t = float(ntimes[-1]) if len(ntimes) else (
+        float(etimes[-1]) if len(etimes) else 0.0)
+    fmt = "classic" if magic == b"\x89HDF" else "netcdf4"
+    write_exodus(args.output, mesh, node_fields=nf, elem_fields=ef,
+                 time=t, fmt=fmt)
+    if args.verbose:
+        print(f"fileconv: {args.input} -> {args.output} ({fmt}): "
+              f"{len(nnames)} nodal + {len(enames)} element fields")
+    return 0
+
+
 _COMMANDS = {
     "inciter": _cmd_inciter,
     "walker": _cmd_walker,
     "meshconv": _cmd_meshconv,
     "rngtest": _cmd_rngtest,
+    "fileconv": _cmd_fileconv,
 }
 
 

@@ -19,6 +19,15 @@ from .hypermesh import read_hypermesh
 
 def detect_format(path: str) -> str:
     """Detect a mesh file's format from magic bytes / structure."""
+    import os
+
+    if path.endswith(".osh") or os.path.isdir(path):
+        # the reference gates its Omega_h reader behind ENABLE_OMEGA_H
+        # (the library is not in this image either)
+        raise ValueError(
+            "Omega_h (.osh) meshes are not supported in this build "
+            "(no Omega_h library); convert to ExodusII or Gmsh first"
+        )
     with open(path, "rb") as fh:
         head = fh.read(16)
     if head.startswith(b"CDF") or head.startswith(b"\x89HDF"):

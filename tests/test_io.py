@@ -368,3 +368,31 @@ def test_exodus_netcdf4_writer_round_trip(mesh, tmp_path):
     assert names == ["c0_numerical"]
     np.testing.assert_allclose(vals[0, 0], nf["c0_numerical"])
     assert times[0] == 0.25
+
+
+def test_fileconv_classic_to_netcdf4(mesh, tmp_path, monkeypatch):
+    """fileconv converts ExodusII field files between the classic and
+    netcdf-4 layouts (the executable's ROOT half needs the absent ROOT
+    lib and reports so)."""
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io.exodus import read_exodus_fields, write_exodus
+
+    src = str(tmp_path / "in.exo")
+    nf = {"c0_numerical": np.linspace(0.0, 1.0, mesh.nnode)}
+    write_exodus(src, mesh, node_fields=nf, time=0.5)
+    dst = str(tmp_path / "out4.exo")
+    assert main(["fileconv", "-i", src, "-o", dst]) == 0
+    with open(dst, "rb") as fh:
+        assert fh.read(4) == b"\x89HDF"
+    names, times, vals = read_exodus_fields(dst)
+    assert names == ["c0_numerical"]
+    np.testing.assert_allclose(vals[-1, 0], nf["c0_numerical"])
+    # and back to classic
+    back = str(tmp_path / "back.exo")
+    assert main(["fileconv", "-i", dst, "-o", back]) == 0
+    with open(back, "rb") as fh:
+        assert fh.read(3) == b"CDF"
+    # a non-exodus input reports the missing ROOT backend
+    bad = tmp_path / "x.root"
+    bad.write_bytes(b"root\x00\x00\x00\x00")
+    assert main(["fileconv", "-i", str(bad), "-o", "y"]) == 1
