@@ -486,7 +486,11 @@ class MixDirichlet(SDEBase):
         b = _arr(self.b)
         k = _arr(self.kprime)  # k = kprime for const/homogeneous
         rhoN = _arr(self.rho)
-        if self.coeff == "homogeneous":
+        if self.coeff in ("homogeneous", "hydrotimescale"):
+            # the reference's MixDirichletHydroTimeScale::update ACTIVE
+            # code is identical to Homogeneous (every table-driven S
+            # variant is commented out, MixDirichletCoeffPolicy.cpp:
+            # 479-508), so the policies share this branch
             R = P[:, o + n + 1 : o + n + 2]  # derived density slot
             R2Y = (R * R * Y).mean(axis=0)             # <R^2 Yc>
             R2YN = (R * R * yn).mean()                 # <R^2 YN>
