@@ -223,3 +223,38 @@ def test_alecg_overdecomposed_matches_single():
     u_over = gather_global_field(over.sharded.cg, so.u)
     np.testing.assert_allclose(u_over, np.asarray(sr.u), rtol=0,
                                atol=1e-9)
+
+
+@pytest.mark.slow
+def test_cli_alecg_virtualization(tmp_path, monkeypatch):
+    """'scheme alecg' with --npes 2 -u 0.5 reproduces the single-device
+    CLI diag file (completing the asynclogic scheme x virtualization
+    matrix the reference sweeps)."""
+    from quinoa_tpu.cli import main
+
+    deck = tmp_path / "t.q"
+    deck.write_text("""
+inciter
+  nstep 5
+  dt 0.001
+  scheme alecg
+  transport
+    physics advection problem slot_cyl ncomp 1 depvar c
+    bc_dirichlet sideset 1 2 3 4 5 6 end end
+  end
+  diagnostics interval 1 error l2 end
+end
+""")
+    src = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+           "dtref/unitcube_1k.exo")
+    monkeypatch.chdir(tmp_path)
+    assert main(["inciter", "-c", str(deck), "-i", src,
+                 "--diag", "d1"]) == 0
+    assert main(["inciter", "-c", str(deck), "-i", src, "--diag", "dv",
+                 "--npes", "2", "-u", "0.5"]) == 0
+
+    def rows(p):
+        return np.array([[float(x) for x in ln.split()]
+                         for ln in open(p) if not ln.startswith("#")])
+
+    np.testing.assert_allclose(rows("dv"), rows("d1"), rtol=0, atol=1e-9)
