@@ -96,3 +96,43 @@ end
     rows = [ln.split() for ln in open("d") if not ln.startswith("#")]
     vals = np.array([[float(x) for x in r] for r in rows])
     assert np.isfinite(vals).all()
+
+
+@pytest.mark.slow
+def test_cli_multilevel_dtref_spmd(tmp_path, monkeypatch):
+    """maxlevels 2 under --npes 4: every remesh is a resharding event;
+    the sharded run reproduces the single-device multi-level diag."""
+    from quinoa_tpu.cli import main
+
+    deck = tmp_path / "ml.q"
+    deck.write_text("""
+inciter
+  nstep 9
+  cfl 0.8
+  scheme diagcg
+  amr
+    dtref true
+    dtfreq 3
+    error jump
+    tol_refine 0.08
+    tol_derefine 0.01
+    maxlevels 2
+  end
+  transport
+    physics advection problem gauss_hump ncomp 1 depvar c
+    bc_dirichlet sideset 1 2 3 4 5 6 end end
+  end
+  diagnostics interval 3 error l2 end
+end
+""")
+    src = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+           "dtref/unitcube_01_112_ss3.exo")
+    monkeypatch.chdir(tmp_path)
+    assert main(["inciter", "-c", str(deck), "-i", src,
+                 "--diag", "d1"]) == 0
+    assert main(["inciter", "-c", str(deck), "-i", src, "--diag", "d4",
+                 "--npes", "4"]) == 0
+    rows = lambda p: np.array([[float(x) for x in ln.split()]
+                               for ln in open(p)
+                               if not ln.startswith("#")])
+    np.testing.assert_allclose(rows("d4"), rows("d1"), rtol=0, atol=1e-9)
