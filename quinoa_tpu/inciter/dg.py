@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..pde.dg import (
-    DGGeom, dg_rhs, dg_dt, dg_dt_from_charvel, dg_initialize, uview,
+    DGGeom, dg_rhs, dg_dt, dg_dt_from_delt, dg_initialize, uview,
     _phys_gp,
 )
 from ..pde.limiter import weno_p1, superbee_p1
@@ -215,10 +215,10 @@ class DGSolver:
                 # one fused pass emits both the rhs and the dt sweep's
                 # per-face charvel (dg_dt's isolated sweep costs more
                 # than the whole fused rhs at bench scale)
-                r, mx = dg_rhs(self.system, g, u, dofmask, state.t,
-                               accum_plan=accum_plan, face_gp=False,
-                               want_charvel=True)
-                dt = dg_dt_from_charvel(g, accum_plan, mx) * (
+                r, delt = dg_rhs(self.system, g, u, dofmask, state.t,
+                                 accum_plan=accum_plan, face_gp=False,
+                                 want_charvel=True)
+                dt = dg_dt_from_delt(g, delt) * (
                     self.cfl * self.cflscale
                 )
             else:

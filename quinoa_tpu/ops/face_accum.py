@@ -37,8 +37,69 @@ from jax.experimental.pallas import tpu as pltpu
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
+        "ks", "ker", "blk", "mlo", "mhi",
+        "xil", "xir", "fn", "fa", "bt",
+    ],
+    meta_fields=["ntile", "nblk", "W"],
+)
+@dataclasses.dataclass(frozen=True)
+class FusedStream:
+    """One el-sorted face stream for the near/far fused pass: window
+    tables plus the stream-permuted static face tables (so the kernel
+    reads them blocked, no runtime permute)."""
+
+    ks: jnp.ndarray    # (1, Fp) i32 el target per face (-1 pad)
+    ker: jnp.ndarray   # (1, Fp) i32 er target (-1 pad/boundary-no-R)
+    blk: jnp.ndarray   # (ntile,) i32
+    mlo: jnp.ndarray   # (1, (nblk+2)*W)
+    mhi: jnp.ndarray
+    xil: jnp.ndarray   # (3G, Fp) static face Gauss coords (left)
+    xir: jnp.ndarray
+    fn: jnp.ndarray    # (3, Fp)
+    fa: jnp.ndarray    # (1, Fp) farea*fmask
+    bt: jnp.ndarray    # (1, Fp) i32 bctype
+    ntile: int
+    nblk: int
+    W: int             # this stream's window (far streams need wider)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "near", "far", "erF",
+        "ksRF", "blkRF", "mloRF", "mhiRF", "xirRF", "permRF",
+    ],
+    meta_fields=["ntileRF", "nblkRF", "Fn", "Ff", "WRF"],
+)
+@dataclasses.dataclass(frozen=True)
+class FusedPlan:
+    """Near/far split for the fused face pass: 'near' faces have er in
+    the same W-block as el (67-84% on SFC meshes), so the kernel
+    gathers BOTH states in-window and accumulates both sides (plus the
+    dt charvel row) directly; only 'far' faces pre-gather er states and
+    run the er-sorted R pass."""
+
+    near: FusedStream
+    far: FusedStream
+    erF: jnp.ndarray     # (FpF,) i32 er of far faces (0 pad) for UvR
+    ksRF: jnp.ndarray    # far R pass tables (er-sorted within far)
+    blkRF: jnp.ndarray
+    mloRF: jnp.ndarray
+    mhiRF: jnp.ndarray
+    xirRF: jnp.ndarray   # (3G, FpRF) er-sorted static xi_r of far faces
+    permRF: jnp.ndarray  # (FpF,) er-sort permutation of the far stream
+    ntileRF: int
+    nblkRF: int
+    Fn: int
+    Ff: int
+    WRF: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
         "ksL", "blkL", "mloL", "mhiL",
-        "permR", "ksR", "blkR", "mloR", "mhiR", "xirR",
+        "permR", "ksR", "blkR", "mloR", "mhiR", "xirR", "fused",
     ],
     meta_fields=["ntileL", "nblkL", "ntileR", "nblkR", "TF", "W", "F", "E"],
 )
@@ -57,6 +118,7 @@ class AccumPlan:
     mloR: jnp.ndarray
     mhiR: jnp.ndarray
     xirR: Optional[jnp.ndarray]  # (3G, FpR) er-sorted face Gauss coords
+    fused: Optional[FusedPlan]   # near/far split (single-chip builds)
     ntileL: int
     nblkL: int
     ntileR: int
@@ -140,6 +202,99 @@ def _plan_arrays(el, er, xi_r, E, dtype, TF, W, fmask=None):
     )
 
 
+def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
+    """Near/far face split for the fully fused pass (single-chip
+    geoms: exact face count, no padding)."""
+    el = np.asarray(geom.el).astype(np.int64)
+    er = np.asarray(geom.er).astype(np.int64)
+    interior = er != el
+    # near: er shares el's W-block, so it is inside the tile's
+    # two-block output window regardless of which block the tile
+    # anchors on; boundary faces are trivially near
+    near = (~interior) | ((er // W) == (el // W))
+    idxN = np.nonzero(near)[0]
+    idxF = np.nonzero(~near)[0]
+    G = np.asarray(geom.xi_l).shape[1]
+
+    xils = np.asarray(geom.xi_l).reshape(3 * G, -1).astype(dtype)
+    xirs = np.asarray(geom.xi_r).reshape(3 * G, -1).astype(dtype)
+    fns = np.asarray(geom.fn).astype(dtype)
+    fas = (np.asarray(geom.farea) * np.asarray(geom.fmask)).astype(dtype)
+    bts = np.asarray(geom.bctype).astype(np.int32)
+
+    def fit_tables(key):
+        """Widen the window until every tile's span fits (sparse far
+        streams span more elements per TF faces than the full stream)."""
+        Wt = W
+        while True:
+            try:
+                return (Wt,) + _pass_tables(key, TF, Wt, dtype)
+            except ValueError:
+                if Wt >= 8192:
+                    raise
+                Wt *= 2
+
+    def stream(idx):
+        ks_el = el[idx].astype(np.int32)
+        Ws, ks, blk, mlo, mhi, ntile, nblk = fit_tables(ks_el)
+        Fp = ntile * TF
+        kerp = np.full(Fp, -1, np.int32)
+        kerp[: len(idx)] = np.where(interior[idx], er[idx], -1)
+
+        def tab(a, pad=0.0):
+            out = np.full(a.shape[:-1] + (Fp,), pad, dtype=a.dtype)
+            out[..., : len(idx)] = a[..., idx]
+            return jnp.asarray(out if out.ndim == 2 else out[None])
+
+        return FusedStream(
+            ks=jnp.asarray(ks.reshape(1, -1)),
+            ker=jnp.asarray(kerp.reshape(1, -1)),
+            blk=jnp.asarray(blk),
+            mlo=jnp.asarray(mlo),
+            mhi=jnp.asarray(mhi),
+            xil=tab(xils), xir=tab(xirs), fn=tab(fns),
+            fa=tab(fas), bt=tab(bts),
+            ntile=ntile, nblk=nblk, W=Ws,
+        )
+
+    sN = stream(idxN)
+    sF = stream(idxF)
+
+    # far R pass: er-sort within the far stream
+    erf = er[idxF]
+    permRF = np.argsort(erf, kind="stable").astype(np.int32)
+    WRF = W
+    while True:
+        try:
+            ksRF, blkRF, mloRF, mhiRF, ntileRF, nblkRF = _pass_tables(
+                erf[permRF].astype(np.int32), TF, WRF, dtype)
+            break
+        except ValueError:
+            if WRF >= 8192:
+                raise
+            WRF *= 2
+    FpRF = ntileRF * TF
+    xirRF = np.zeros((3 * G, FpRF), dtype=dtype)
+    xirRF[:, : len(idxF)] = xirs[:, idxF][:, permRF]
+
+    FpF = sF.ntile * TF
+    erF = np.zeros(FpF, np.int32)
+    erF[: len(idxF)] = er[idxF]
+
+    return FusedPlan(
+        near=sN, far=sF,
+        erF=jnp.asarray(erF),
+        ksRF=jnp.asarray(ksRF.reshape(1, -1)),
+        blkRF=jnp.asarray(blkRF),
+        mloRF=jnp.asarray(mloRF),
+        mhiRF=jnp.asarray(mhiRF),
+        xirRF=jnp.asarray(xirRF),
+        permRF=jnp.asarray(permRF),
+        ntileRF=ntileRF, nblkRF=nblkRF,
+        Fn=len(idxN), Ff=len(idxF), WRF=WRF,
+    )
+
+
 def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
     """Host-side plan from an el-sorted DGGeom.  W must exceed the widest
     per-tile element span of both passes (el-sorted tiles span <= ~TF/2;
@@ -149,6 +304,7 @@ def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
     dtype = np.dtype(np.asarray(geom.vol).dtype)
     p = _plan_arrays(geom.el, geom.er, geom.xi_r, int(geom.nelem),
                      dtype, TF, W)
+    fused = _build_fused_plan(geom, TF, W, dtype)
     return AccumPlan(
         ksL=jnp.asarray(p["ksL"]),
         blkL=jnp.asarray(p["blkL"]),
@@ -160,6 +316,7 @@ def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
         mloR=jnp.asarray(p["mloR"]),
         mhiR=jnp.asarray(p["mhiR"]),
         xirR=jnp.asarray(p["xirR"]),
+        fused=fused,
         ntileL=p["ntileL"], nblkL=p["nblkL"],
         ntileR=p["ntileR"], nblkR=p["nblkR"],
         TF=TF, W=W, F=p["F"], E=p["E"],
@@ -214,6 +371,7 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 256,
         mloR=stack("mloR", (nblkR + 2) * W),
         mhiR=stack("mhiR", (nblkR + 2) * W),
         xirR=stack("xirR"),
+        fused=None,  # SPMD shards use the single-stream fused kernel
         ntileL=ntileL, nblkL=nblkL, ntileR=ntileR, nblkR=nblkR,
         TF=TF, W=W, F=plans[0]["F"], E=El,
     )

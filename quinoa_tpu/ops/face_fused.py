@@ -327,3 +327,289 @@ def fused_face_pass(system, geom, plan: AccumPlan, U, emit_charvel=False,
 
 def _padU(U, NBW):
     return jnp.pad(U, ((0, 0), (0, NBW - U.shape[1])))
+
+
+def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
+    """Shared near/far fused kernel.
+
+    Both variants gather LEFT states in-window, run basis+BC+Riemann,
+    and accumulate [left contributions; dt charvel row] at el.  The
+    NEAR variant additionally gathers the RIGHT states in-window (er
+    shares el's W-block by construction) and accumulates the right
+    contributions + dt row at er — no pre-gather, no permute, no
+    second pass.  The FAR variant takes pre-gathered right states and
+    emits [weighted flux; charvel] rows for the er-sorted R pass."""
+    from ..pde.dg import BC_INTERIOR
+
+    def kernel(blk_ref, ks_ref, ker_ref, ulo_ref, uhi_ref, *rest):
+        if far:
+            (uvr_ref, xil_ref, xir_ref, fn_ref, fa_ref, bt_ref,
+             lo_ref, hi_ref, wfl_ref) = rest
+        else:
+            (xil_ref, xir_ref, fn_ref, fa_ref, bt_ref,
+             lo_ref, hi_ref) = rest
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        dt_ = ulo_ref.dtype
+        ks = ks_ref[0, :]
+        loc = ks - b * W
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        hot_lo = jnp.where(locc == iota_a, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        hot_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+
+        def dotT(a, b_):
+            return jax.lax.dot_general(
+                a, b_, (((1,), (1,)), ((), ())), precision="highest")
+
+        UvL = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
+        UvL = UvL.reshape(C, K, TF)
+
+        if far:
+            UvR = uvr_ref[...].reshape(C, K, TF)
+        else:
+            ker = ker_ref[0, :]
+            locr = (ker - b * W)[:, None]
+            validr = jnp.where(ker >= 0, 1.0, 0.0).astype(dt_)
+            hot_rlo = jnp.where(locr == iota_a, 1.0, 0.0).astype(dt_) \
+                * validr[:, None]
+            hot_rhi = jnp.where(locr - W == iota_a, 1.0, 0.0) \
+                .astype(dt_) * validr[:, None]
+            UvR = (dotT(ulo_ref[...], hot_rlo)
+                   + dotT(uhi_ref[...], hot_rhi)).reshape(C, K, TF)
+
+        xi_l = xil_ref[...].reshape(3, G, TF)
+        xi_r = xir_ref[...].reshape(3, G, TF)
+        B_l = eval_basis_cm(K, xi_l)
+        B_r = eval_basis_cm(K, xi_r)
+
+        def row3(a, k):
+            return jax.lax.squeeze(
+                jax.lax.slice_in_dim(a, k, k + 1, axis=0), (0,))
+
+        def dof3(a, k):
+            return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
+
+        sL = sum(row3(B_l, k)[None] * dof3(UvL, k) for k in range(K))
+        sR = sum(row3(B_r, k)[None] * dof3(UvR, k) for k in range(K))
+        vf3 = validf[None, None, :] > 0
+        sL = jnp.where(vf3, sL, 1.0)
+        sR = jnp.where(vf3, sR, 1.0)
+
+        fnf = fn_ref[...][:, None, :]
+        bt = bt_ref[...]
+        interior = (bt == BC_INTERIOR)[:, None, :]
+        sR = jnp.where(interior, sR, system.bc_state(bt[:, None, :], sL,
+                                                     fnf, None, 0.0))
+        fl = system.riemann(fnf, sL, sR, None, 0.0)
+
+        fa = jax.lax.squeeze(fa_ref[...], (0,)) * validf
+        wt = jnp.stack([float(wface[g]) * fa for g in range(G)])
+        wfl = fl * wt[None]
+
+        # dt charvel row (DG.cpp:1361-1430): wt-weighted max wave speed
+        vl = system.charvel(sL, fnf, None)
+        vr = system.charvel(sR, fnf, None)
+        mx = (wt * jnp.where(interior[0], jnp.maximum(vl, vr), vl)).sum(0)
+
+        rowsL = [
+            -(row3(B_l, k) * row3(wfl, c)).sum(0)
+            for c in range(C) for k in range(K)
+        ] + [mx]
+        contribL = jnp.stack(rowsL)             # (CK+1, TF)
+        lo_ref[...] += jax.lax.dot(contribL, hot_lo, precision="highest")
+        hi_ref[...] += jax.lax.dot(contribL, hot_hi, precision="highest")
+
+        if far:
+            wfl_ref[...] = jnp.concatenate(
+                [wfl.reshape(C * G, TF), mx[None]], axis=0)
+        else:
+            rowsR = [
+                (row3(B_r, k) * row3(wfl, c)).sum(0)
+                for c in range(C) for k in range(K)
+            ] + [mx]
+            contribR = jnp.stack(rowsR)
+            # hot_r* are already zero for boundary/pad faces (ker=-1)
+            lo_ref[...] += jax.lax.dot(contribR, hot_rlo,
+                                       precision="highest")
+            hi_ref[...] += jax.lax.dot(contribR, hot_rhi,
+                                       precision="highest")
+
+    return kernel
+
+
+def _make_far_raccum_kernel(TF, W, C, K, G):
+    """Far R pass: contract [wfl; mx] rows against B_r(er-sorted xi_r)
+    and window-accumulate (CK+1 rows incl. the dt charvel row)."""
+
+    def kernel(blk_ref, ks_ref, xir_ref, w_ref, lo_ref, hi_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        dt_ = w_ref.dtype
+        ks = ks_ref[0, :]
+        loc = ks - b * W
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+
+        xi_r = xir_ref[...].reshape(3, G, TF)
+        B_r = eval_basis_cm(K, xi_r)            # (K, G, TF)
+        w = w_ref[...]                          # (CG+1, TF)
+
+        def brow(k, g):
+            s1 = jax.lax.slice_in_dim(B_r, k, k + 1, axis=0)
+            s1 = jax.lax.slice_in_dim(s1, g, g + 1, axis=1)
+            return jax.lax.squeeze(s1, (0, 1))
+
+        def wrow(i):
+            return jax.lax.squeeze(
+                jax.lax.slice_in_dim(w, i, i + 1, axis=0), (0,))
+
+        rows = [
+            sum(brow(k, g) * wrow(c * G + g) for g in range(G))
+            for c in range(C) for k in range(K)
+        ]
+        rows.append(wrow(C * G))                # dt charvel passthrough
+        x = jnp.stack(rows)                     # (CK+1, TF)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+
+    return kernel
+
+
+def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
+                            interpret=None):
+    """Near/far fused face pass: returns (acc (C*K, E), delt (E,)) —
+    the accumulated surface integral AND the dt sweep's per-element
+    summed charvel (DG.cpp dt's delt), both from the same kernels.
+
+    Near faces (er in el's W-block, 67-84% on SFC meshes) never touch
+    HBM for states or contributions beyond the window blocks; far faces
+    pre-gather er states and run the 16-row er-sorted R pass."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fp = plan.fused
+    C = system.ncomp
+    K = geom.ndof
+    G = np.asarray(geom.tables["w_face"]).shape[0]
+    CK = C * K
+    CK1 = CK + 1
+    CG1 = C * G + 1
+    TF, W = plan.TF, plan.W
+    dt_ = U.dtype
+    wface = np.asarray(geom.tables["w_face"])
+
+    def stream_call(st, far, extra_in=()):
+        nblk = st.nblk
+        Ws = st.W
+        NBW = (nblk + 2) * Ws
+        Upad = _padU(U, NBW)
+        out_shape = [
+            jax.ShapeDtypeStruct((CK1, NBW), dt_),
+            jax.ShapeDtypeStruct((CK1, NBW), dt_),
+        ]
+        out_specs = [
+            pl.BlockSpec((CK1, Ws), lambda t, blk: (0, blk[t])),
+            pl.BlockSpec((CK1, Ws), lambda t, blk: (0, blk[t] + 1)),
+        ]
+        in_specs = [
+            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # ks
+            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # ker
+            pl.BlockSpec((CK, Ws), lambda t, blk: (0, blk[t])),
+            pl.BlockSpec((CK, Ws), lambda t, blk: (0, blk[t] + 1)),
+        ]
+        args = [st.blk, st.ks, st.ker, Upad, Upad]
+        if far:
+            in_specs.append(pl.BlockSpec((CK, TF), lambda t, blk: (0, t)))
+            args.append(extra_in[0])
+            out_shape.append(
+                jax.ShapeDtypeStruct((CG1, st.ntile * TF), dt_))
+            out_specs.append(pl.BlockSpec((CG1, TF),
+                                          lambda t, blk: (0, t)))
+        in_specs += [
+            pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),  # xi_l
+            pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),  # xi_r
+            pl.BlockSpec((3, TF), lambda t, blk: (0, t)),      # fn
+            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # fa
+            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # bt
+        ]
+        args += [st.xil, st.xir, st.fn, st.fa, st.bt]
+        return pl.pallas_call(
+            _make_nearfar_kernel(system, TF, Ws, C, K, G, wface, far),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(st.ntile,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+
+    # near stream: both sides + dt rows, fully in-window
+    loN, hiN = stream_call(fp.near, far=False)
+    accN = (jnp.where(fp.near.mlo > 0, loN, 0.0)
+            + jnp.where(fp.near.mhi > 0, hiN, 0.0))[:, :plan.E]
+
+    # far stream: L side + wfl/mx emission
+    FpF = fp.far.ntile * TF
+    UvRf = U.reshape(C, K, -1)[:, :, fp.erF].reshape(CK, FpF)
+    loF, hiF, wflF = stream_call(fp.far, far=True, extra_in=(UvRf,))
+    accF = (jnp.where(fp.far.mlo > 0, loF, 0.0)
+            + jnp.where(fp.far.mhi > 0, hiF, 0.0))[:, :plan.E]
+
+    # far R pass: 16-row permute to er-sorted order, contract+accumulate
+    wR = wflF[:, :fp.Ff][:, fp.permRF]
+    FpRF = fp.ntileRF * TF
+    if wR.shape[-1] < FpRF:
+        wR = jnp.pad(wR, ((0, 0), (0, FpRF - wR.shape[-1])))
+    WRF = fp.WRF
+    loR, hiR = pl.pallas_call(
+        _make_far_raccum_kernel(TF, WRF, C, K, G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(fp.ntileRF,),
+            in_specs=[
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
+                pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),
+                pl.BlockSpec((CG1, TF), lambda t, blk: (0, t)),
+            ],
+            out_specs=[
+                pl.BlockSpec((CK1, WRF), lambda t, blk: (0, blk[t])),
+                pl.BlockSpec((CK1, WRF), lambda t, blk: (0, blk[t] + 1)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((CK1, (fp.nblkRF + 2) * WRF), dt_),
+            jax.ShapeDtypeStruct((CK1, (fp.nblkRF + 2) * WRF), dt_),
+        ],
+        interpret=interpret,
+    )(fp.blkRF, fp.ksRF, fp.xirRF, wR)
+    accR = (jnp.where(fp.mloRF > 0, loR, 0.0)
+            + jnp.where(fp.mhiRF > 0, hiR, 0.0))[:, :plan.E]
+
+    full = accN + accF + accR
+    return full[:CK], full[CK]

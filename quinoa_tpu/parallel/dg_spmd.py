@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..inciter.dg import DGState, RK0, RK1
-from ..pde.dg import dg_rhs, dg_dt, dg_dt_from_charvel, dg_initialize
+from ..pde.dg import dg_rhs, dg_dt, dg_dt_from_delt, dg_initialize
 from ..pde.limiter import weno_p1, superbee_p1
 from .dg_shard import ShardedDG
 
@@ -230,11 +230,11 @@ class SPMDDGSolver:
             if fused and s == 0 and self.const_dt is None:
                 # the fused pass emits the dt charvel sweep for free
                 # (same as the single-chip solver)
-                r, mx = dg_rhs(self.system, g, u, dofmask, state.t,
-                               accum_plan=plan, face_gp=False,
-                               want_charvel=True)
+                r, delt = dg_rhs(self.system, g, u, dofmask, state.t,
+                                 accum_plan=plan, face_gp=False,
+                                 want_charvel=True)
                 dt = jax.lax.pmin(
-                    dg_dt_from_charvel(g, plan, mx)
+                    dg_dt_from_delt(g, delt)
                     * (self.cfl * self.cflscale),
                     AXIS,
                 )

@@ -350,17 +350,26 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
     Rv = Rv * (geom.vol * geom.emask)
 
     if accum_plan is not None and dofmask is None and not face_gp:
-        # fully fused Pallas face pass: window-gather + basis + BC +
-        # Riemann + contraction + accumulation in one kernel per
-        # el-sorted face tile (ops/face_fused.py); with want_charvel the
-        # same pass also emits the dt sweep's per-face wt-weighted max
-        # characteristic speed (replacing dg_dt's separate 300 ms sweep)
-        from ..ops.face_fused import fused_face_pass
+        # fully fused Pallas face pass (ops/face_fused.py); with
+        # want_charvel the same kernels also produce delt, the dt
+        # sweep's per-element summed charvel (replacing dg_dt's
+        # separate 300 ms sweep).  Single-chip plans carry the near/far
+        # split (near faces accumulate BOTH sides in-window); stacked
+        # SPMD plans use the single-stream variant.
+        from ..ops.face_fused import fused_face_pass, fused_face_pass_nearfar
 
+        if getattr(accum_plan, "fused", None) is not None:
+            acc, delt = fused_face_pass_nearfar(system, geom,
+                                                accum_plan, U)
+            r = Rv.reshape(C * K, E) + acc
+            return (r, delt) if want_charvel else r
         if want_charvel:
+            from ..ops.face_accum import accumulate_faces
+
             acc, mx = fused_face_pass(system, geom, accum_plan, U,
                                       emit_charvel=True)
-            return Rv.reshape(C * K, E) + acc, mx
+            delt = accumulate_faces(accum_plan, mx[None], mx[None])[0]
+            return Rv.reshape(C * K, E) + acc, delt
         acc = fused_face_pass(system, geom, accum_plan, U)
         return Rv.reshape(C * K, E) + acc
 
@@ -463,15 +472,11 @@ def dg_dt(system, geom: DGGeom, U, dofmask):
     return jnp.where(geom.emask > 0, elemdt, big).min()
 
 
-def dg_dt_from_charvel(geom: DGGeom, accum_plan, mx):
-    """min_e vol_e / sum_f mx[f] from the fused pass's per-face charvel
-    slab: the face->element sum runs through the same accumulation
-    kernel (each interior face contributes to el and er; boundary faces
-    have ksR=-1 and only hit the L pass — matching the fose gather)."""
-    from ..ops.face_accum import accumulate_faces
-
-    delt = accumulate_faces(accum_plan, mx[None], mx[None])[0]
-    big = jnp.asarray(jnp.finfo(mx.dtype).max, dtype=mx.dtype)
+def dg_dt_from_delt(geom: DGGeom, delt):
+    """min_e vol_e / delt_e from the fused pass's per-element summed
+    charvel (each interior face contributes to el and er; boundary
+    faces only to el — matching the fose gather of dg_dt)."""
+    big = jnp.asarray(jnp.finfo(delt.dtype).max, dtype=delt.dtype)
     elemdt = geom.vol / jnp.maximum(delt, 1e-300)
     return jnp.where(geom.emask > 0, elemdt, big).min()
 
