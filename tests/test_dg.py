@@ -193,3 +193,47 @@ def test_dg_p2_vortical_flow():
         assert np.isfinite(np.asarray(s.u)).all(), ndof
         errs[ndof] = l2err[4]  # energy error
     assert errs[10] < errs[4]
+
+
+def test_fused_nearfar_matches_xla_rhs():
+    """The near/far fused Pallas face pass (interpret mode on CPU, f64)
+    reproduces the XLA rhs and dg_dt exactly — the on-chip counterpart
+    runs in tools/check_fused.py."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.pde.dg import dg_rhs, dg_dt, dg_dt_from_delt
+    from quinoa_tpu.pde.dg_compflow import DGCompFlow
+    from quinoa_tpu.pde.problems import SedovBlastwave
+
+    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    plan = build_accum_plan(geom, TF=128, W=128)
+    assert plan.fused is not None
+    assert plan.fused.Fn > 0 and plan.fused.Ff > 0  # both streams live
+
+    rng = np.random.default_rng(3)
+    E = geom.nelem
+    U0 = np.zeros((20, E))
+    U0[0] = 1.0 + 0.05 * rng.random(E)
+    U0[16] = 2.5 + 0.05 * rng.random(E)
+    U0[4] = 0.1 * rng.random(E)
+    for ck in range(20):
+        if ck % 4:
+            U0[ck] = 0.01 * rng.random(E)
+    U = jnp.asarray(U0)
+
+    r_f, delt = jax.jit(
+        lambda g, p, u: dg_rhs(system, g, u, None, 0.0, accum_plan=p,
+                               face_gp=False, want_charvel=True)
+    )(geom, plan, U)
+    r_x = jax.jit(
+        lambda g, u: dg_rhs(system, g, u, None, 0.0, accum_plan=None,
+                            face_gp=False))(geom, U)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x),
+                               rtol=0, atol=1e-11)
+    dt_f = float(dg_dt_from_delt(geom, delt))
+    dt_x = float(dg_dt(system, geom, U, None))
+    assert np.isclose(dt_f, dt_x, rtol=1e-12)
