@@ -295,12 +295,13 @@ def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
     )
 
 
-def build_accum_plan(geom, TF: int = 256, W: int = 256) -> AccumPlan:
+def build_accum_plan(geom, TF: int = 128, W: int = 128) -> AccumPlan:
     """Host-side plan from an el-sorted DGGeom.  W must exceed the widest
     per-tile element span of both passes (el-sorted tiles span <= ~TF/2;
-    er-sorted likewise).  TF=256 is the measured optimum for the FUSED
-    face pass at 663k tets (2.54M updates/s vs 2.41M at 512; 1024 OOMs
-    the 16M scoped VMEM with the fused kernel's one-hot windows)."""
+    er-sorted likewise).  TF=128 (the Pallas lane floor) is the
+    measured optimum for the near/far fused pass at 663k tets (4.88M
+    updates/s vs 4.56M at 256; 1024 OOMs the 16M scoped VMEM with the
+    fused kernel's one-hot windows)."""
     dtype = np.dtype(np.asarray(geom.vol).dtype)
     p = _plan_arrays(geom.el, geom.er, geom.xi_r, int(geom.nelem),
                      dtype, TF, W)
