@@ -113,8 +113,20 @@ def dtref_adapt(mesh, chain: Optional[AdaptChain], uerr, u, cg_scheme,
     edges = gen_inpoed(mesh.inpoel)
     err = edge_errors(mesh, uerr, 0, method)
     tag = err > tol_refine
+    tags = np.zeros((0, 2), dtype=np.int64)
     if tag.any():
-        # drop tags where every incident element is at the level cap
+        # LEVEL CAP.  Refining an edge splits EVERY incident element
+        # (conforming 4:1 subdivision), so an edge is refinable only if
+        # ALL its incident elements sit below maxlevels — and the
+        # compatibility closure must respect that too (the reference
+        # hard-caps inside its compatibility iteration by LOCKING edges
+        # of at-cap elements, refinement.hpp:28).  compatible_tags only
+        # upgrades (1:8), so enforce the lock by a close-then-exclude
+        # fixed point: any closure that tags a capped edge has its
+        # forcing elements fully untagged (the analog of the
+        # reference's deactivate), and the loop re-closes.
+        from .refine import compatible_tags
+
         keys = _edge_key(edges[:, 0], edges[:, 1])
         order = np.argsort(keys)
         ks = keys[order]
@@ -122,12 +134,41 @@ def dtref_adapt(mesh, chain: Optional[AdaptChain], uerr, u, cg_scheme,
         ek = _edge_key(inpoel[:, _TET_EDGES[:, 0]],
                        inpoel[:, _TET_EDGES[:, 1]])
         pos = np.clip(np.searchsorted(ks, ek), 0, len(ks) - 1)  # (E,6)
-        below_sorted = np.zeros(len(edges), dtype=bool)
-        ok_el = chain.elevel < maxlevels
-        # an edge may be refined if ANY incident element is below the cap
-        below_sorted[pos[ok_el].ravel()] = True
-        tag = tag & below_sorted[np.searchsorted(ks, keys)]
-    tags = edges[tag].astype(np.int64)
+        banned_sorted = np.zeros(len(edges), dtype=bool)
+        at_cap = chain.elevel >= maxlevels
+        banned_sorted[pos[at_cap].ravel()] = True  # edge touches cap elem
+        allowed_sorted = ~banned_sorted
+        tag = tag & allowed_sorted[np.searchsorted(ks, keys)]
+
+        excl_sorted = np.zeros(len(edges), dtype=bool)
+        cur = edges[tag].astype(np.int64)
+        for _ in range(100):
+            if not len(cur):
+                break
+            closed = compatible_tags(inpoel, cur)
+            ck = _edge_key(closed[:, 0], closed[:, 1])
+            cpos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+            badS = ~allowed_sorted[cpos]
+            if not badS.any():
+                cur = closed  # closed AND cap-clean: done
+                break
+            # elements whose closed pattern includes a banned edge are
+            # the forcing ones: permanently untag all their edges
+            badk = np.sort(np.unique(ck[badS]))
+            ekpos = np.clip(np.searchsorted(badk, ek), 0, len(badk) - 1)
+            el_bad = (badk[ekpos] == ek).any(axis=1)  # (E,)
+            nexcl0 = int(excl_sorted.sum())
+            excl_sorted[pos[el_bad].ravel()] = True
+            if int(excl_sorted.sum()) == nexcl0:
+                # stalled: escalation reaches banned edges transitively
+                # through already-excluded elements — expand the
+                # exclusion by one element ring per stall (terminates:
+                # the exclusion grows monotonically, bounded by E)
+                el_touch = excl_sorted[pos].any(axis=1)
+                excl_sorted[pos[el_touch].ravel()] = True
+            keep = allowed_sorted[cpos] & ~excl_sorted[cpos]
+            cur = closed[keep]
+        tags = cur
     if len(tags):
         mesh3, rmap3 = refine_mesh(mesh, tags)
         if mesh3.nelem > mesh.nelem:

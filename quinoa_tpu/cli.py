@@ -89,58 +89,56 @@ def _cmd_inciter(argv):
     t0 = time.perf_counter()
     it = int(state.it)  # nonzero when restarted from a checkpoint
     from .base.profiler import jax_trace as _jt
-    trace_ctx = _jt(args.trace_dir)
-    trace_ctx.__enter__()
-    while it < cfg.nstep and float(state.t) < cfg.term:
-        with prof.phase("timestep"):
-            state = solver.step(state)
-            it = int(state.it)
-        # diagnostics BEFORE any same-step dtref remesh: the reference
-        # writes the diag row for step `it`, then refines going into the
-        # next step (its dtref baselines show the pre-refinement row at
-        # the final step).
-        if it % cfg.diag_interval == 0:
-          with prof.phase("diagnostics"):
-            row = diag.compute(state)
-            if isinstance(row, tuple):
-                l2sol, l2err, linferr = row
-                dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
-                         linferr)
-            else:
-                dw.write(it, row.t, row.dt, row.l2sol, row.l2err, row.linferr)
-        if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
-                and it < cfg.nstep:
-            import dataclasses as _dc
-            import jax.numpy as jnp
+    with _jt(args.trace_dir):
+        while it < cfg.nstep and float(state.t) < cfg.term:
+            with prof.phase("timestep"):
+                state = solver.step(state)
+                it = int(state.it)
+            # diagnostics BEFORE any same-step dtref remesh: the reference
+            # writes the diag row for step `it`, then refines going into the
+            # next step (its dtref baselines show the pre-refinement row at
+            # the final step).
+            if it % cfg.diag_interval == 0:
+              with prof.phase("diagnostics"):
+                row = diag.compute(state)
+                if isinstance(row, tuple):
+                    l2sol, l2err, linferr = row
+                    dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
+                             linferr)
+                else:
+                    dw.write(it, row.t, row.dt, row.l2sol, row.l2err, row.linferr)
+            if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
+                    and it < cfg.nstep:
+                import dataclasses as _dc
+                import jax.numpy as jnp
 
-            from .control.config import build_inciter as _rebuild
+                from .control.config import build_inciter as _rebuild
 
-            ndof = None if cg_scheme else solver.geom.ndof
-            changed, mesh2, amr_base, amr_rmap, u2 = _dtref_remesh(
-                cfg, mesh, amr_base, amr_rmap, np.asarray(state.u),
-                cg_scheme, solver.system.ncomp, ndof,
-            )
-            if changed:
-                mesh = mesh2
-                solver, diag = _rebuild(cfg, mesh)
-                st = solver.initial_state(t0=float(state.t))
-                state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
-                                    dt=state.dt)
-                if args.verbose:
-                    print(f"  dtref @it={it}: -> {mesh.nelem} tets")
-        if args.verbose and it % cfg.ttyi == 0:
-            print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
-        if it % cfg.field_interval == 0:
-            with prof.phase("field output"):
-                _write_fields(args.output, it, cfg, solver, state, mesh,
-                              pieces=args.pieces)
-        if args.rsfreq and it % args.rsfreq == 0:
-            from .inciter.checkpoint import save_checkpoint
+                ndof = None if cg_scheme else solver.geom.ndof
+                changed, mesh2, amr_base, amr_rmap, u2 = _dtref_remesh(
+                    cfg, mesh, amr_base, amr_rmap, np.asarray(state.u),
+                    cg_scheme, solver.system.ncomp, ndof,
+                )
+                if changed:
+                    mesh = mesh2
+                    solver, diag = _rebuild(cfg, mesh)
+                    st = solver.initial_state(t0=float(state.t))
+                    state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
+                                        dt=state.dt)
+                    if args.verbose:
+                        print(f"  dtref @it={it}: -> {mesh.nelem} tets")
+            if args.verbose and it % cfg.ttyi == 0:
+                print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
+            if it % cfg.field_interval == 0:
+                with prof.phase("field output"):
+                    _write_fields(args.output, it, cfg, solver, state, mesh,
+                                  pieces=args.pieces)
+            if args.rsfreq and it % args.rsfreq == 0:
+                from .inciter.checkpoint import save_checkpoint
 
-            with prof.phase("checkpoint"):
-                save_checkpoint(args.checkpoint_dir, state,
-                                {"it": it, "t": float(state.t)})
-    trace_ctx.__exit__(None, None, None)
+                with prof.phase("checkpoint"):
+                    save_checkpoint(args.checkpoint_dir, state,
+                                    {"it": it, "t": float(state.t)})
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0
@@ -333,48 +331,51 @@ def _run_inciter_spmd(args, cfg, mesh):
         prof = PhaseProfiler()
     t0 = time.perf_counter()
     it = int(state.it)
-    while it < cfg.nstep and float(state.t) < cfg.term:
-        with prof.phase("timestep"):
-            state = solver.step(state)
-            it = int(state.it)
-        if it % cfg.diag_interval == 0:
-          with prof.phase("diagnostics"):
-            l2sol, l2err, linferr = solver.diagnostics(state)
-            dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
-                     linferr)
-        if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
-                and it < cfg.nstep:
-            ndof = None if cg_scheme else solver.sharded.geom.ndof
-            changed, mesh2, amr_base, amr_rmap, u2 = _dtref_remesh(
-                cfg, mesh, amr_base, amr_rmap, gather_u(state),
-                cg_scheme, solver.system.ncomp, ndof,
-            )
-            if changed:
-              with prof.phase("resharding"):
-                mesh = mesh2
-                solver = build_inciter_spmd(
-                    cfg, mesh, args.npes,
-                    virtualization=getattr(args, "virtualization", 0.0))
-                st = solver.initial_state(t0=float(state.t))
-                unew = jax.device_put(
-                    scatter_u(solver, u2).astype(st.u.dtype),
-                    st.u.sharding,
-                )
-                state = _dc.replace(st, u=unew, it=state.it, dt=state.dt)
-                if args.verbose:
-                    print(f"  dtref @it={it}: -> {mesh.nelem} tets "
-                          f"(resharded over {args.npes})")
-        if args.verbose and it % cfg.ttyi == 0:
-            print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
-        if it % cfg.field_interval == 0:
-            _write_fields_spmd(args, it, cfg, solver, state, mesh,
-                               gather_u, cg_scheme)
-        if args.rsfreq and it % args.rsfreq == 0:
-            from .inciter.checkpoint import save_checkpoint_sharded
+    from .base.profiler import jax_trace as _jt
 
-            save_checkpoint_sharded(args.checkpoint_dir, state,
-                                    {"it": it, "t": float(state.t),
-                                     "npes": args.npes})
+    with _jt(getattr(args, "trace_dir", None)):
+        while it < cfg.nstep and float(state.t) < cfg.term:
+            with prof.phase("timestep"):
+                state = solver.step(state)
+                it = int(state.it)
+            if it % cfg.diag_interval == 0:
+              with prof.phase("diagnostics"):
+                l2sol, l2err, linferr = solver.diagnostics(state)
+                dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
+                         linferr)
+            if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
+                    and it < cfg.nstep:
+                ndof = None if cg_scheme else solver.sharded.geom.ndof
+                changed, mesh2, amr_base, amr_rmap, u2 = _dtref_remesh(
+                    cfg, mesh, amr_base, amr_rmap, gather_u(state),
+                    cg_scheme, solver.system.ncomp, ndof,
+                )
+                if changed:
+                  with prof.phase("resharding"):
+                    mesh = mesh2
+                    solver = build_inciter_spmd(
+                        cfg, mesh, args.npes,
+                        virtualization=getattr(args, "virtualization", 0.0))
+                    st = solver.initial_state(t0=float(state.t))
+                    unew = jax.device_put(
+                        scatter_u(solver, u2).astype(st.u.dtype),
+                        st.u.sharding,
+                    )
+                    state = _dc.replace(st, u=unew, it=state.it, dt=state.dt)
+                    if args.verbose:
+                        print(f"  dtref @it={it}: -> {mesh.nelem} tets "
+                              f"(resharded over {args.npes})")
+            if args.verbose and it % cfg.ttyi == 0:
+                print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
+            if it % cfg.field_interval == 0:
+                _write_fields_spmd(args, it, cfg, solver, state, mesh,
+                                   gather_u, cg_scheme)
+            if args.rsfreq and it % args.rsfreq == 0:
+                from .inciter.checkpoint import save_checkpoint_sharded
+
+                save_checkpoint_sharded(args.checkpoint_dir, state,
+                                        {"it": it, "t": float(state.t),
+                                         "npes": args.npes})
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0

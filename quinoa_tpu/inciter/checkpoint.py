@@ -158,6 +158,16 @@ def load_checkpoint_sharded(dirpath: str, state_cls, mesh=None,
             scal = np.load(os.path.join(slot, "state.npz"))
             kwargs = {k: jnp.asarray(scal[k]) for k in meta["scalar_fields"]}
             ns = meta["nshard"]
+            if mesh is not None and ns % mesh.devices.size != 0:
+                # a mismatched --npes would silently mis-assemble the
+                # blocks (per_dev = 0 or wrong blocking) — fail loudly
+                # (RuntimeError: NOT caught by the slot-fallback except)
+                raise RuntimeError(
+                    f"checkpoint in {dirpath} holds {ns} shards, which "
+                    f"cannot be distributed over {mesh.devices.size} "
+                    "devices; restart with a device count that divides "
+                    "the checkpoint's shard count"
+                )
             shards = [
                 np.load(os.path.join(slot, f"shard{k}.npz"))
                 for k in range(ns)

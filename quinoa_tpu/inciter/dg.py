@@ -93,10 +93,12 @@ class DGSolver:
         # (Dirichlet/inlet) is present on some face
         import numpy as _np
 
+        from ..pde.dg import BC_DIRICHLET, BC_INLET
+
         bct = _np.asarray(geom.bctype)
         self.needs_face_gp = bool(
             getattr(system, "needs_face_gp", True)
-            or _np.isin(bct, [1, 4]).any()  # BC_DIRICHLET, BC_INLET
+            or _np.isin(bct, [BC_DIRICHLET, BC_INLET]).any()
         )
         # Pallas face-accumulation plan (TPU only; ops/face_accum.py).
         # Falls back to the fose gather path when unavailable.
@@ -109,7 +111,16 @@ class DGSolver:
                 from ..ops.face_accum import build_accum_plan
 
                 self.accum_plan = build_accum_plan(geom)
-            except Exception:
+            except Exception as e:
+                # the unfused fallback is 2-3x slower — warn loudly
+                import warnings
+
+                warnings.warn(
+                    "Pallas face-pass plan build failed; falling back "
+                    f"to the slow XLA gather path: {e!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 self.accum_plan = None
         # geometry is passed as a jit ARGUMENT (not captured in the closure)
         # so the mesh tables are runtime parameters, not giant HLO constants
@@ -123,12 +134,21 @@ class DGSolver:
         k = jnp.arange(K)[:, None]
         return (k < ndofel[None, :]).astype(self.geom.vol.dtype)
 
-    def _limit(self, geom, u, dofmask):
+    def _limit(self, geom, u, dofmask, accum_plan=None):
         C = self.system.ncomp
         if self.limiter == "wenop1":
             return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
-            return superbee_p1(geom, u, dofmask, C)
+            bounds = None
+            if (accum_plan is not None
+                    and getattr(accum_plan, "fused", None) is not None):
+                # neighbor bounds via the fused plan's window kernels
+                # instead of the esuelT gather (ops/nbr_bounds.py)
+                from ..ops.nbr_bounds import neighbor_mean_bounds
+
+                u0 = uview(u, C, geom.ndof)[:, 0, :]
+                bounds = neighbor_mean_bounds(accum_plan, u0)
+            return superbee_p1(geom, u, dofmask, C, bounds=bounds)
         return u
 
     def _eval_ndof(self, geom, u):
@@ -196,7 +216,7 @@ class DGSolver:
             # dofmask None = every dof active (non-p-adaptive): saves the
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
-            u = self._limit(g, u, dofmask)
+            u = self._limit(g, u, dofmask, accum_plan)
             fused = (accum_plan is not None and dofmask is None
                      and not self.needs_face_gp)
             if s == 0:

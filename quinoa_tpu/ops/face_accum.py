@@ -66,7 +66,7 @@ class FusedStream:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "near", "far", "erF",
+        "near", "far", "erF", "elFR",
         "ksRF", "blkRF", "mloRF", "mhiRF", "xirRF", "permRF",
     ],
     meta_fields=["ntileRF", "nblkRF", "Fn", "Ff", "WRF"],
@@ -82,6 +82,8 @@ class FusedPlan:
     near: FusedStream
     far: FusedStream
     erF: jnp.ndarray     # (FpF,) i32 er of far faces (0 pad) for UvR
+    elFR: jnp.ndarray    # (FpRF,) i32 el of far faces, er-sorted (0 pad) —
+    #                      value-gather indices for the limiter bounds pass
     ksRF: jnp.ndarray    # far R pass tables (er-sorted within far)
     blkRF: jnp.ndarray
     mloRF: jnp.ndarray
@@ -280,10 +282,13 @@ def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
     FpF = sF.ntile * TF
     erF = np.zeros(FpF, np.int32)
     erF[: len(idxF)] = er[idxF]
+    elFR = np.zeros(FpRF, np.int32)
+    elFR[: len(idxF)] = el[idxF][permRF]
 
     return FusedPlan(
         near=sN, far=sF,
         erF=jnp.asarray(erF),
+        elFR=jnp.asarray(elFR),
         ksRF=jnp.asarray(ksRF.reshape(1, -1)),
         blkRF=jnp.asarray(blkRF),
         mloRF=jnp.asarray(mloRF),

@@ -40,24 +40,31 @@ def weno_p1(geom, U, dofmask, C, cweight: float = 30.0):
     return jnp.where(active, Unew.reshape(C * K, E), U)
 
 
-def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0):
+def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0, bounds=None):
     """Superbee TVD limiter: scale P1 dofs by a per-element, per-component
     coefficient from min/max bounds over face neighbors evaluated at all
-    face quadrature points (Limiter.cpp:154-317)."""
+    face quadrature points (Limiter.cpp:154-317).
+
+    bounds: optional precomputed (umin, umax) — the Pallas window pass
+    (ops/nbr_bounds.py) supplies these on TPU, replacing the esuelT
+    gather (~44% of the fused step at 663k tets)."""
     K = geom.ndof
     E = U.shape[-1]
     Uv = uview(U, C, K)
     Um = Uv if dofmask is None else Uv * dofmask[None]
-    valid = geom.esuelT >= 0
-    nbr = jnp.where(geom.esuelT < 0, 0, geom.esuelT)
 
     u0 = Uv[:, 0, :]  # (C,E)
-    big = jnp.asarray(jnp.finfo(U.dtype).max, dtype=U.dtype)
-    umax, umin = u0, u0
-    for i in range(4):
-        un = u0[:, nbr[i]]
-        umax = jnp.maximum(umax, jnp.where(valid[i], un, -big))
-        umin = jnp.minimum(umin, jnp.where(valid[i], un, big))
+    if bounds is not None:
+        umin, umax = bounds
+    else:
+        valid = geom.esuelT >= 0
+        nbr = jnp.where(geom.esuelT < 0, 0, geom.esuelT)
+        big = jnp.asarray(jnp.finfo(U.dtype).max, dtype=U.dtype)
+        umax, umin = u0, u0
+        for i in range(4):
+            un = u0[:, nbr[i]]
+            umax = jnp.maximum(umax, jnp.where(valid[i], un, -big))
+            umin = jnp.minimum(umin, jnp.where(valid[i], un, big))
 
     B = geom.tables["B_selfface"]  # (4, G, K) numpy
     eps = 1.0e-14

@@ -61,6 +61,24 @@ def test_maxlevels_cap():
     assert chain.elevel.max() <= 2
 
 
+def test_maxlevels_cap_under_closure():
+    """The compatibility closure must not push refinement onto at-cap
+    elements: a sharp moving front keeps tagging edges that border the
+    already-refined (at-cap) region, so compatible_tags repeatedly tries
+    to upgrade at-cap neighbors to 1:8 (the round-2 advisor's case; the
+    reference hard-caps inside its compatibility loop,
+    refinement.hpp:28)."""
+    mesh = box_tet_mesh(6, 6, 2, hi=(1.0, 1.0, 0.25))
+    chain = None
+    for i in range(6):
+        # front sweeps across the refined region's boundary each cycle
+        u = _hump(mesh, 0.25 + 0.08 * i)
+        _, mesh, chain, u = dtref_adapt(mesh, chain, u, u, True, 1,
+                                        None, tol_refine=0.02,
+                                        tol_derefine=0.0, maxlevels=1)
+        assert chain.elevel.max() <= 1, f"cap exceeded at cycle {i}"
+
+
 @pytest.mark.slow
 def test_cli_multilevel_dtref(tmp_path, monkeypatch):
     """maxlevels 2 deck runs end-to-end through the CLI and stays

@@ -237,3 +237,44 @@ def test_fused_nearfar_matches_xla_rhs():
     dt_f = float(dg_dt_from_delt(geom, delt))
     dt_x = float(dg_dt(system, geom, U, None))
     assert np.isclose(dt_f, dt_x, rtol=1e-12)
+
+
+def test_nbr_bounds_matches_esuelt():
+    """The Pallas window neighbor-bounds pass (interpret mode on CPU)
+    reproduces the esuelT-gather min/max bounds bit-exactly, and the
+    Superbee limiter fed those bounds matches the gather path."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.ops.nbr_bounds import neighbor_mean_bounds
+    from quinoa_tpu.pde.limiter import superbee_p1
+
+    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    plan = build_accum_plan(geom, TF=128, W=128)
+    assert plan.fused is not None and plan.fused.Ff > 0
+
+    rng = np.random.default_rng(7)
+    C, E = 5, geom.nelem
+    U = jnp.asarray(rng.standard_normal((C * 4, E)))
+    u0 = U.reshape(C, 4, E)[:, 0, :]
+
+    umin, umax = jax.jit(neighbor_mean_bounds)(plan, u0)
+
+    esuelT = np.asarray(geom.esuelT)
+    valid = esuelT >= 0
+    nbr = np.where(valid, esuelT, 0)
+    u0n = np.asarray(u0)
+    big = np.finfo(u0n.dtype).max
+    rmax, rmin = u0n.copy(), u0n.copy()
+    for i in range(4):
+        un = u0n[:, nbr[i]]
+        rmax = np.maximum(rmax, np.where(valid[i], un, -big))
+        rmin = np.minimum(rmin, np.where(valid[i], un, big))
+    np.testing.assert_array_equal(np.asarray(umax), rmax)
+    np.testing.assert_array_equal(np.asarray(umin), rmin)
+
+    lim_b = superbee_p1(geom, U, None, C, bounds=(umin, umax))
+    lim_g = superbee_p1(geom, U, None, C)
+    np.testing.assert_array_equal(np.asarray(lim_b), np.asarray(lim_g))
