@@ -33,6 +33,12 @@ def main():
 
     n = 48  # 48^3 hexes * 6 = 663,552 tets
     mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
+    # Hilbert element order: the production CLI's locality pass
+    # (mesh/reorder.py; Sorter/Reorder analog) — keeps ~85% of face
+    # neighbors inside the Pallas W=128 windows vs 66% for lex order
+    from quinoa_tpu.mesh.reorder import hilbert_element_reorder
+
+    mesh, _ = hilbert_element_reorder(mesh)
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
     system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")

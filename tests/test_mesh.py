@@ -116,3 +116,38 @@ def test_side_sets(mesh):
 def test_not_leaky(mesh):
     esuel = gen_esuel(mesh.inpoel, mesh.nnode)
     assert not leaky_partition(esuel, mesh.inpoel, mesh.coords)
+
+
+def test_hilbert_element_reorder_invisible():
+    """Hilbert element reorder permutes inpoel rows only: same cells,
+    same nodes, and a DG run's diagnostics are unchanged."""
+    import jax.numpy as jnp
+
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import hilbert_element_reorder
+    from quinoa_tpu.pde.dg import build_dggeom, BC_DIRICHLET
+    from quinoa_tpu.pde.dg_compflow import DGCompFlow
+    from quinoa_tpu.pde.problems import SedovBlastwave
+    from quinoa_tpu.inciter.dg import DGSolver, DGDiagnostics
+
+    mesh = box_tet_mesh(6, 6, 5, hi=(0.6, 0.6, 0.5))
+    m2, eorder = hilbert_element_reorder(mesh)
+    assert sorted(map(tuple, m2.inpoel.tolist())) \
+        == sorted(map(tuple, mesh.inpoel.tolist()))
+    assert np.array_equal(m2.coords, mesh.coords)
+
+    # smooth problem: a shock (Sedov) would amplify the benign
+    # FP-reassociation noise of the permuted reductions into the
+    # limiter's branch decisions
+    from quinoa_tpu.pde.problems import TaylorGreen
+
+    bc = {i: BC_DIRICHLET for i in range(1, 7)}
+    rows = []
+    for m in (mesh, m2):
+        geom = build_dggeom(m, ndof=4, bc_sidesets=bc)
+        system = DGCompFlow(TaylorGreen())
+        solver = DGSolver(system, geom, cfl=0.5)
+        s = solver.nsteps(solver.initial_state(), 3)
+        diag = DGDiagnostics(system, geom)
+        rows.append(np.asarray(diag.compute(s)))
+    np.testing.assert_allclose(rows[0], rows[1], rtol=1e-9, atol=1e-11)
