@@ -14,10 +14,14 @@ overhead; see git history):
   that 3W window (Hilbert-ordered elements, mesh/reorder.py) are read
   with `tpu.dynamic_gather` lane gathers (jnp.take_along_axis) — a few
   VPU ops per element, no HBM gather, no one-hot matmuls;
-- the few far neighbors ride ONE compact XLA gather (4 slots of the
-  ~5% of elements that have any), are min/max-reduced in XLA, and are
-  merged in-kernel through a small one-hot placement (unique targets
-  per tile, so a sum-matmul places each value exactly);
+- far neighbors (~25-30% of elements have one at feasible window
+  sizes: a 3W window covers a ~6-hex-wide cube and its surface is a
+  third of its volume) ride ONE XLA gather laid out directly in the
+  kernel's tile-padded order (no compact->padded expansion gathers —
+  those cost more than the esuelT gather they replaced), are min/max-
+  reduced in XLA, and are merged in-kernel through a small one-hot
+  placement (unique targets per tile, so a sum-matmul places each
+  value exactly);
 - the output (2C, W) block is written once per tile in element order —
   no block revisits, no accumulation state.
 
@@ -39,24 +43,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["nbr", "fgather", "fmask", "fexpand", "fpos"],
+    data_fields=["nbr", "fidx", "fmask", "fpos"],
     meta_fields=["E", "Ep", "W", "ntile", "FTE", "nef"],
 )
 @dataclasses.dataclass(frozen=True)
 class BoundsPlan:
     """Static tables for the neighbor-bounds pass.
 
-    nbr     : (4, Ep) i32   global face-neighbor ids (-1 none/pad)
-    fgather : (4*nef,) i32  compact far-slot value-gather indices
-    fmask   : (4, nef)      1.0 where the far slot is real
-    fexpand : (ntile*FTE,) i32  compact->tile-padded expansion (nef = pad)
-    fpos    : (1, ntile*FTE) i32 tile-local element position (-1 pad)
+    nbr   : (4, Ep) i32  global face-neighbor ids (-1 none/pad)
+    fidx  : (4, ntile*FTE) i32  far-slot value-gather indices laid out
+            directly in the kernel's tile-padded order (0 at pads)
+    fmask : (4, ntile*FTE)  1.0 where the far slot is real
+    fpos  : (1, ntile*FTE) i32 tile-local element position (-1 pad)
     """
 
     nbr: jnp.ndarray
-    fgather: jnp.ndarray
+    fidx: jnp.ndarray
     fmask: jnp.ndarray
-    fexpand: jnp.ndarray
     fpos: jnp.ndarray
     E: int
     Ep: int
@@ -83,33 +86,29 @@ def build_bounds_plan(geom, W: int = 512) -> BoundsPlan:
     # check on their local index, so they can stay in nbrp as-is
     nbrp[:, :E] = nbr
 
-    # compact far table: elements owning >= 1 far slot
+    # far elements (>= 1 far slot), laid out tile-padded: tile tt owns
+    # columns [tt*FTE, tt*FTE + count(tt))
     ef = np.nonzero(far.any(axis=0))[0]
     nef = len(ef)
-    nbrf = np.where(far[:, ef], nbr[:, ef], 0)          # (4, nef)
-    fmask = far[:, ef].astype(np.asarray(geom.vol).dtype)
-    fgather = nbrf.reshape(-1).astype(np.int32)          # (4*nef,)
-
-    # per-tile padded layout of the far elements
     ftile = ef // W
     counts = np.bincount(ftile, minlength=ntile)
     # Pallas block minor dims must be multiples of 128
     FTE = max(128, int(-(-(counts.max() if nef else 1) // 128) * 128))
-    fexpand = np.full(ntile * FTE, nef, np.int32)        # nef = pad col
-    fpos = np.full(ntile * FTE, -1, np.int32)
-    slot = np.zeros(ntile, np.int64)
-    for j, elem in enumerate(ef):
-        tt = elem // W
-        k = tt * FTE + slot[tt]
-        fexpand[k] = j
-        fpos[k] = elem - tt * W
-        slot[tt] += 1
+    NT = ntile * FTE
+    # column of far element j: its rank within its tile
+    col = (ftile * FTE + np.arange(nef)
+           - np.concatenate([[0], np.cumsum(counts)])[ftile])
+    fidx = np.zeros((4, NT), np.int32)
+    fmask = np.zeros((4, NT), np.asarray(geom.vol).dtype)
+    fpos = np.full(NT, -1, np.int32)
+    fidx[:, col] = np.where(far[:, ef], nbr[:, ef], 0)
+    fmask[:, col] = far[:, ef]
+    fpos[col] = ef - ftile * W
 
     return BoundsPlan(
         nbr=jnp.asarray(nbrp.astype(np.int32)),
-        fgather=jnp.asarray(fgather),
+        fidx=jnp.asarray(fidx),
         fmask=jnp.asarray(fmask),
-        fexpand=jnp.asarray(fexpand),
         fpos=jnp.asarray(fpos.reshape(1, -1)),
         E=E, Ep=Ep, W=W, ntile=ntile, FTE=FTE, nef=nef,
     )
@@ -196,13 +195,13 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
     dt_ = u0.dtype
     BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
 
-    # compact far gather + reduction + tile-padded expansion
-    fv = u0[:, plan.fgather].reshape(C, 4, plan.nef)
-    fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)    # (C, nef)
+    # ONE far gather straight into the kernel's tile-padded layout
+    # (the earlier compact-gather + expansion-gather chain cost more
+    # than the esuelT gather it replaced), then a masked reduce
+    NT = ntile * FTE
+    fv = u0[:, plan.fidx.reshape(-1)].reshape(C, 4, NT)
+    fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)    # (C, NT)
     fn = jnp.where(plan.fmask > 0, fv, BIG).min(axis=1)
-    pad = jnp.zeros((C, 1), dt_)
-    fx = jnp.concatenate([fx, pad], axis=1)[:, plan.fexpand]
-    fn = jnp.concatenate([fn, pad], axis=1)[:, plan.fexpand]
 
     # u0 padded with a leading zero block so tile t reads blocks
     # (t-1, t, t+1) as (t, t+1, t+2) without clamping
