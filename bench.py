@@ -16,12 +16,66 @@ overdecomposition plots), so vs_baseline = value / 2.0e6.
 """
 
 import json
+import sys
 import time
 
 import jax
 import numpy as np
 
 CPU_REFERENCE_UPDATES_PER_SEC = 2.0e6  # 64-rank Charm++ estimate
+
+
+def main_spmd(npes: int):
+    """The SAME Sedov DG(P1) step through the shard_map/SPMD path
+    (SPMDDGSolver + stacked Pallas plans, NON-interpret) over an
+    npes-device jax.sharding.Mesh — the production `--npes` path on
+    real silicon.  npes must divide the local device count (1 on the
+    single-chip box: validates that the distributed program compiles
+    and holds the single-device throughput; the reference's scaling
+    story is doc/pages/inciter_performance.dox:7-62)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import hilbert_element_reorder
+    from quinoa_tpu.pde.dg import BC_SYMMETRY
+    from quinoa_tpu.pde.dg_compflow import DGCompFlow
+    from quinoa_tpu.pde.problems import SedovBlastwave
+    from quinoa_tpu.parallel.dg_shard import build_dg_shards
+    from quinoa_tpu.parallel.dg_spmd import SPMDDGSolver, AXIS
+
+    devs = jax.devices()
+    if len(devs) < npes:
+        raise SystemExit(f"need {npes} devices, have {len(devs)}")
+
+    n = 48
+    mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
+    mesh, _ = hilbert_element_reorder(mesh)
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    sharded = build_dg_shards(mesh, npes, ndof=4, bc_sidesets=bc)
+    dmesh = Mesh(np.array(devs[:npes]), (AXIS,))
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    solver = SPMDDGSolver(system, sharded, dmesh, cfl=0.5,
+                          limiter="superbeep1")
+    state = solver.initial_state()
+
+    nsteps = 10
+    state = solver.step(state)
+    float(jnp.sum(state.u))
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state = solver.step(state)
+    float(jnp.sum(state.u))
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(np.asarray(state.u)).all()
+    ups = mesh.nelem * nsteps / dt
+    print(json.dumps({
+        "metric": "cell_updates_per_sec_sedov_dgp1_spmd",
+        "value": round(ups, 1),
+        "unit": f"cell-updates/s ({npes}-device shard_map)",
+        "npes": npes,
+        "vs_baseline": round(ups / CPU_REFERENCE_UPDATES_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -80,4 +134,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--npes":
+        main_spmd(int(sys.argv[2]))
+    else:
+        main()

@@ -269,6 +269,14 @@ def _dtref_remesh(cfg, mesh, amr_base, amr_rmap, u_host, cg_scheme, ncomp,
     return False, mesh, amr_base, amr_rmap, None
 
 
+def _hs(x):
+    """Host value of a time-marching scalar (works for both the
+    single-device 0-d scalars and the SPMD (S,) shard-axis copies)."""
+    import numpy as _np
+
+    return _np.asarray(x).ravel()[0]
+
+
 def _run_inciter_spmd(args, cfg, mesh):
     """Distributed inciter run: shard_map solvers over a 1-D device mesh.
 
@@ -328,7 +336,7 @@ def _run_inciter_spmd(args, cfg, mesh):
             st, state,
         )
         if args.verbose:
-            print(f"  restarted from {args.restart} at it={int(state.it)}")
+            print(f"  restarted from {args.restart} at it={int(_hs(state.it))}")
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
     amr_base = None
@@ -339,18 +347,18 @@ def _run_inciter_spmd(args, cfg, mesh):
 
         prof = PhaseProfiler()
     t0 = time.perf_counter()
-    it = int(state.it)
+    it = int(_hs(state.it))
     from .base.profiler import jax_trace as _jt
 
     with _jt(getattr(args, "trace_dir", None)):
-        while it < cfg.nstep and float(state.t) < cfg.term:
+        while it < cfg.nstep and float(_hs(state.t)) < cfg.term:
             with prof.phase("timestep"):
                 state = solver.step(state)
-                it = int(state.it)
+                it = int(_hs(state.it))
             if it % cfg.diag_interval == 0:
               with prof.phase("diagnostics"):
                 l2sol, l2err, linferr = solver.diagnostics(state)
-                dw.write(it, float(state.t), float(state.dt), l2sol, l2err,
+                dw.write(it, float(_hs(state.t)), float(_hs(state.dt)), l2sol, l2err,
                          linferr)
             if cfg.dtref and cfg.dtfreq and it % cfg.dtfreq == 0 \
                     and it < cfg.nstep:
@@ -365,7 +373,7 @@ def _run_inciter_spmd(args, cfg, mesh):
                     solver = build_inciter_spmd(
                         cfg, mesh, args.npes,
                         virtualization=getattr(args, "virtualization", 0.0))
-                    st = solver.initial_state(t0=float(state.t))
+                    st = solver.initial_state(t0=float(_hs(state.t)))
                     unew = jax.device_put(
                         scatter_u(solver, u2).astype(st.u.dtype),
                         st.u.sharding,
@@ -375,7 +383,7 @@ def _run_inciter_spmd(args, cfg, mesh):
                         print(f"  dtref @it={it}: -> {mesh.nelem} tets "
                               f"(resharded over {args.npes})")
             if args.verbose and it % cfg.ttyi == 0:
-                print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
+                print(f"  it={it} t={float(_hs(state.t)):.6e} dt={float(_hs(state.dt)):.6e}")
             if it % cfg.field_interval == 0:
                 _write_fields_spmd(args, it, cfg, solver, state, mesh,
                                    gather_u, cg_scheme)
@@ -383,12 +391,12 @@ def _run_inciter_spmd(args, cfg, mesh):
                 from .inciter.checkpoint import save_checkpoint_sharded
 
                 save_checkpoint_sharded(args.checkpoint_dir, state,
-                                        {"it": it, "t": float(state.t),
+                                        {"it": it, "t": float(_hs(state.t)),
                                          "npes": args.npes})
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0
-        print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
+        print(f"  done: {it} steps, t={float(_hs(state.t)):.6e}, {wall:.2f}s")
     _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
                        cg_scheme)
     if getattr(args, "profile", False):
@@ -417,7 +425,7 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
     elem_fields = None
     if cg_scheme:
         fields = plot_fields(cfg.pde, solver.system, u, mesh.coords.T,
-                             float(state.t))
+                             float(_hs(state.t)))
     else:
         import jax.numpy as jnp
 
@@ -427,19 +435,19 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
                                      solver.sharded.geom.ndof))
         cen = mesh.coords[mesh.inpoel].mean(axis=1).T
         elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
-                                  float(state.t))
+                                  float(_hs(state.t)))
     if args.pieces > 1:
         from .parallel.partition import partition_elements
 
         parts = partition_elements(mesh.coords, mesh.inpoel, args.pieces,
                                    algorithm=cfg.partitioner)
         write_exodus_pieces(args.output, mesh, parts, node_fields=fields,
-                            elem_fields=elem_fields, time=float(state.t),
+                            elem_fields=elem_fields, time=float(_hs(state.t)),
                             it=it)
     else:
         write_exodus(f"{args.output}.e-s.{it}.exo", mesh,
                      node_fields=fields, elem_fields=elem_fields,
-                     time=float(state.t))
+                     time=float(_hs(state.t)))
 
 
 def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
@@ -461,7 +469,7 @@ def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
     shards = sorted(state.u.addressable_shards,
                     key=lambda sh: sh.index[0].start or 0)
     sh = solver.sharded
-    t = float(state.t)
+    t = float(_hs(state.t))
     for p in range(args.npes):
         lm, nmap, emap = extract_piece(mesh, parts, p)
         u_s = np.asarray(shards[p].data)[0]  # (C, Nl) / (C*K, El)
@@ -505,7 +513,7 @@ def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
     if cfg.scheme in ("diagcg", "alecg"):
         # nodal plot variables with the reference's names
         fields = plot_fields(cfg.pde, solver.system, u, mesh.coords.T,
-                             float(state.t))
+                             float(_hs(state.t)))
     else:
         from .pde.dg import dg_cell_avg
         import jax.numpy as jnp
@@ -521,22 +529,22 @@ def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
             from .pde.dg import dg_initialize
 
             ua = np.asarray(dg_initialize(solver.system, solver.geom,
-                                          float(state.t)))
+                                          float(_hs(state.t))))
             exact_mean = ua.reshape(solver.system.ncomp,
                                     solver.geom.ndof, -1)[:, 0, :]
         elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
-                                  float(state.t), exact_mean=exact_mean)
+                                  float(_hs(state.t)), exact_mean=exact_mean)
     if pieces > 1:
         from .parallel.partition import partition_elements
 
         parts = partition_elements(mesh.coords, mesh.inpoel, pieces,
                                    algorithm=cfg.partitioner)
         write_exodus_pieces(base, mesh, parts, node_fields=fields,
-                            elem_fields=elem_fields, time=float(state.t),
+                            elem_fields=elem_fields, time=float(_hs(state.t)),
                             it=it)
     else:
         write_exodus(f"{base}.e-s.{it}.exo", mesh, node_fields=fields,
-                     elem_fields=elem_fields, time=float(state.t))
+                     elem_fields=elem_fields, time=float(_hs(state.t)))
 
 
 def _cmd_walker(argv):

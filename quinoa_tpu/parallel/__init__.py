@@ -8,6 +8,15 @@ tables, and node-buffer combines (`psum`/`pmax`/`pmin` over the shard axis)
 at exactly the points where the reference exchanged messages.
 """
 
+def host_scalar(x):
+    """Host value of a time-marching scalar that SPMD states carry as an
+    (S,) shard-axis array (one copy per device; replicated P() scalars
+    re-entering a shard_map dispatch cost ~100 ms each on axon)."""
+    import numpy as np
+
+    return np.asarray(x).ravel()[0]
+
+
 from .partition import morton_partition, rcb_partition, partition_elements
 from .shard import ShardedCG, build_cg_shards
 from .spmd import SPMDDiagCGSolver

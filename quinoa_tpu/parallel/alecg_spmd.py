@@ -133,7 +133,10 @@ class SPMDALECGSolver:
         self.cfl = cfl
         self.const_dt = const_dt
 
-        spec_state = CGState(u=P(AXIS), t=P(), it=P(), dt=P())
+        # scalars ride the shard axis as (S,) pieces (see spmd.py:
+        # replicated scalar chaining costs ~100 ms/scalar/step on axon)
+        spec_state = CGState(u=P(AXIS), t=P(AXIS), it=P(AXIS),
+                             dt=P(AXIS))
         step = jax.shard_map(
             self._step_local,
             mesh=self.mesh,
@@ -178,12 +181,14 @@ class SPMDALECGSolver:
             r = halo.sum(r)
             # lumped mass == fully-summed nodal volume (ALECG lhsmerge)
             u = RK0[s] * un + RK1[s] * (u + dt * r / geom.vol[None, :])
-            ubc = self.system.analytic(geom.coords, state.t + dt).astype(
+            ubc = self.system.analytic(geom.coords,
+                                       state.t[0] + dt).astype(
                 u.dtype
             )
             u = jnp.where(sh.cg.bcmask > 0, ubc, u)
 
-        return CGState(u=u[None], t=state.t + dt, it=state.it + 1, dt=dt)
+        return CGState(u=u[None], t=(state.t[0] + dt)[None],
+                       it=(state.it[0] + 1)[None], dt=dt[None])
 
     def _diag_local(self, sharded, state):
         sh: ShardedALECG = _local(sharded)
@@ -192,7 +197,7 @@ class SPMDALECGSolver:
         w = (geom.vol * sh.cg.owned)[None, :]
         vol_tot = jax.lax.psum((geom.vol * sh.cg.owned).sum(), AXIS)
         l2sol = jnp.sqrt(jax.lax.psum((u * u * w).sum(1), AXIS) / vol_tot)
-        a = self.system.analytic(geom.coords, state.t).astype(u.dtype)
+        a = self.system.analytic(geom.coords, state.t[0]).astype(u.dtype)
         e = (u - a) * (sh.cg.owned[None, :] > 0)
         l2err = jnp.sqrt(jax.lax.psum((e * e * w).sum(1), AXIS) / vol_tot)
         linferr = jax.lax.pmax(jnp.abs(e).max(1), AXIS)
@@ -208,11 +213,13 @@ class SPMDALECGSolver:
             u0.astype(dtype),
             jax.sharding.NamedSharding(self.mesh, P(AXIS)),
         )
+        S = self.sharded.cg.nshard
+        shard = jax.sharding.NamedSharding(self.mesh, P(AXIS))
         return CGState(
             u=u0,
-            t=jnp.asarray(t0, dtype=dtype),
-            it=jnp.asarray(0, dtype=jnp.int32),
-            dt=jnp.asarray(0.0, dtype=dtype),
+            t=jax.device_put(jnp.full((S,), t0, dtype=dtype), shard),
+            it=jax.device_put(jnp.zeros((S,), dtype=jnp.int32), shard),
+            dt=jax.device_put(jnp.zeros((S,), dtype=dtype), shard),
         )
 
     def step(self, state: CGState) -> CGState:

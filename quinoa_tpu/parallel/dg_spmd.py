@@ -106,7 +106,10 @@ class SPMDDGSolver:
         self._diag_w = np.asarray(w)
         self._diag_B = np.asarray(eval_basis(K, _jnp.asarray(pts)))
 
-        spec_state = DGState(u=P(AXIS), ndofel=P(AXIS), t=P(), it=P(), dt=P())
+        # scalars ride the shard axis as (S,) pieces (see spmd.py:
+        # replicated scalar chaining costs ~100 ms/scalar/step on axon)
+        spec_state = DGState(u=P(AXIS), ndofel=P(AXIS), t=P(AXIS),
+                             it=P(AXIS), dt=P(AXIS))
         # check_vma=False: pallas_call outputs carry no varying-axes
         # metadata, which the checker (jax >= 0.8) rejects inside
         # shard_map
@@ -204,7 +207,8 @@ class SPMDDGSolver:
         un = state.u[0]
         u = un
         ndofel = state.ndofel[0]
-        dt = state.dt
+        t = state.t[0]
+        dt = state.dt[0]
         plan = _local(aplan) if aplan is not None else None
 
         mn = jnp.asarray(g.tables["mnorm"], dtype=g.vol.dtype)
@@ -242,7 +246,7 @@ class SPMDDGSolver:
             if fused and s == 0 and self.const_dt is None:
                 # the fused pass emits the dt charvel sweep for free
                 # (same as the single-chip solver)
-                r, delt = dg_rhs(self.system, g, u, dofmask, state.t,
+                r, delt = dg_rhs(self.system, g, u, dofmask, t,
                                  accum_plan=plan, face_gp=False,
                                  want_charvel=True)
                 dt = jax.lax.pmin(
@@ -251,7 +255,7 @@ class SPMDDGSolver:
                     AXIS,
                 )
             else:
-                r = dg_rhs(self.system, g, u, dofmask, state.t,
+                r = dg_rhs(self.system, g, u, dofmask, t,
                            accum_plan=plan,
                            face_gp=self.needs_face_gp)
             unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
@@ -271,9 +275,9 @@ class SPMDDGSolver:
         return DGState(
             u=u[None],
             ndofel=ndofel[None],
-            t=state.t + dt,
-            it=state.it + 1,
-            dt=dt,
+            t=(t + dt)[None],
+            it=(state.it[0] + 1)[None],
+            dt=dt[None],
         )
 
     def _diag_local(self, sharded, state):
@@ -300,7 +304,7 @@ class SPMDDGSolver:
                     for i in range(3)
                 ]
             )
-            a = self.system.analytic(gp, state.t).astype(u.dtype)
+            a = self.system.analytic(gp, state.t[0]).astype(u.dtype)
             wv = float(w[gi]) * ve
             s2 = s2 + (wv * sgp**2).sum(axis=1)
             err = (sgp - a) * (sh.owned > 0)
@@ -326,14 +330,14 @@ class SPMDDGSolver:
         )
         El = sh.geom.vol.shape[1]
         ndofel = jnp.full((sh.nshard, El), sh.geom.ndof, dtype=jnp.int32)
+        shard = jax.sharding.NamedSharding(self.mesh, P(AXIS))
+        S = sh.nshard
         return DGState(
             u=u0,
-            ndofel=jax.device_put(
-                ndofel, jax.sharding.NamedSharding(self.mesh, P(AXIS))
-            ),
-            t=jnp.asarray(t0, dtype=dtype),
-            it=jnp.asarray(0, dtype=jnp.int32),
-            dt=jnp.asarray(0.0, dtype=dtype),
+            ndofel=jax.device_put(ndofel, shard),
+            t=jax.device_put(jnp.full((S,), t0, dtype=dtype), shard),
+            it=jax.device_put(jnp.zeros((S,), dtype=jnp.int32), shard),
+            dt=jax.device_put(jnp.zeros((S,), dtype=dtype), shard),
         )
 
     def step(self, state: DGState) -> DGState:
@@ -376,7 +380,8 @@ class SPMDMultiMatSolver(SPMDDGSolver):
         plan = _local(aplan) if aplan is not None else None
         un = state.u[0]
         u = un
-        dt = state.dt
+        t = state.t[0]
+        dt = state.dt[0]
         minv = 1.0 / g.vol
         for s in range(3):
             u = self._exchange(sh, u)
@@ -391,8 +396,9 @@ class SPMDMultiMatSolver(SPMDDGSolver):
                     # exactly the single-device element set
                     dt = jax.lax.pmin(
                         self.system.dt_p0(g, u) * self.cfl, AXIS)
-            r = self.system.rhs_p0(g, u, state.t, accum_plan=plan)
+            r = self.system.rhs_p0(g, u, t, accum_plan=plan)
             unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
             u = jnp.where(sh.owned[None, :] > 0, unew, u)
         return DGState(u=u[None], ndofel=state.ndofel,
-                       t=state.t + dt, it=state.it + 1, dt=dt)
+                       t=(t + dt)[None], it=(state.it[0] + 1)[None],
+                       dt=dt[None])

@@ -152,7 +152,13 @@ class SPMDDiagCGSolver:
         # lhsmerge; both equal sum_e J_e/24 over elements around the node)
         self.lhs = sharded.geom.vol
 
-        spec_state = CGState(u=P(AXIS), t=P(), it=P(), dt=P())
+        # scalars ride the shard axis as (S,) arrays: chaining a
+        # REPLICATED (P()) scalar output back into the next dispatch
+        # costs ~100 ms/scalar/step on the axon TPU backend (round-3
+        # finding; a resharding sync per dispatch), while P(AXIS)
+        # pieces chain for free like any sharded buffer
+        spec_state = CGState(u=P(AXIS), t=P(AXIS), it=P(AXIS),
+                             dt=P(AXIS))
 
         step = jax.shard_map(
             self._step_local,
@@ -198,13 +204,14 @@ class SPMDDiagCGSolver:
             lhs_l,
             sh.bcmask,
             u,
-            state.t,
+            state.t[0],
             dt,
             combine_sum=halo.sum,
             combine_max=halo.max,
             combine_min=halo.min,
         )
-        return CGState(u=unew[None], t=state.t + dt, it=state.it + 1, dt=dt)
+        return CGState(u=unew[None], t=(state.t[0] + dt)[None],
+                       it=(state.it[0] + 1)[None], dt=dt[None])
 
     def _diag_local(self, sharded, state):
         """L2(sol), L2(err), Linf(err) with ownership-masked reductions."""
@@ -213,7 +220,7 @@ class SPMDDiagCGSolver:
         w = (sh.geom.vol * sh.owned)[None, :]
         vol_tot = jax.lax.psum((sh.geom.vol * sh.owned).sum(), AXIS)
         l2sol = jnp.sqrt(jax.lax.psum((u * u * w).sum(1), AXIS) / vol_tot)
-        a = self.system.analytic(sh.geom.coords, state.t).astype(u.dtype)
+        a = self.system.analytic(sh.geom.coords, state.t[0]).astype(u.dtype)
         e = (u - a) * (sh.owned[None, :] > 0)
         l2err = jnp.sqrt(jax.lax.psum((e * e * w).sum(1), AXIS) / vol_tot)
         linferr = jax.lax.pmax(jnp.abs(e).max(1), AXIS)
@@ -229,11 +236,13 @@ class SPMDDiagCGSolver:
             u0.astype(dtype),
             jax.sharding.NamedSharding(self.mesh, P(AXIS)),
         )
+        S = self.sharded.nshard
+        shard = jax.sharding.NamedSharding(self.mesh, P(AXIS))
         return CGState(
             u=u0,
-            t=jnp.asarray(t0, dtype=dtype),
-            it=jnp.asarray(0, dtype=jnp.int32),
-            dt=jnp.asarray(0.0, dtype=dtype),
+            t=jax.device_put(jnp.full((S,), t0, dtype=dtype), shard),
+            it=jax.device_put(jnp.zeros((S,), dtype=jnp.int32), shard),
+            dt=jax.device_put(jnp.zeros((S,), dtype=dtype), shard),
         )
 
     def step(self, state: CGState) -> CGState:

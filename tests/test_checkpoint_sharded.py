@@ -36,7 +36,7 @@ def test_sharded_checkpoint_files_and_roundtrip(tmp_path, spmd_solver):
     solver = spmd_solver
     s = solver.nsteps(solver.initial_state(), 3)
     ck = str(tmp_path / "restart")
-    save_checkpoint_sharded(ck, s, {"it": int(s.it)})
+    save_checkpoint_sharded(ck, s, {"it": int(np.asarray(s.it).ravel()[0])})
 
     # one npz per shard, none of them global-sized
     slot = tmp_path / "restart" / "slot0"
@@ -61,9 +61,9 @@ def test_sharded_chained_restart(tmp_path, spmd_solver):
     ck = str(tmp_path / "restart")
 
     s = solver.nsteps(solver.initial_state(), 2)
-    save_checkpoint_sharded(ck, s, {"it": int(s.it)})
+    save_checkpoint_sharded(ck, s, {"it": int(np.asarray(s.it).ravel()[0])})
     s = solver.nsteps(s, 2)
-    save_checkpoint_sharded(ck, s, {"it": int(s.it)})
+    save_checkpoint_sharded(ck, s, {"it": int(np.asarray(s.it).ravel()[0])})
 
     s2, meta = load_checkpoint_sharded(ck, type(s), mesh=solver.mesh)
     assert meta["it"] == 4
@@ -73,7 +73,7 @@ def test_sharded_chained_restart(tmp_path, spmd_solver):
     np.testing.assert_allclose(
         np.asarray(s2.u), np.asarray(ref.u), rtol=1e-12, atol=1e-15
     )
-    assert int(s2.it) == 6
+    assert np.asarray(s2.it).ravel()[0] == 6
 
 
 def test_sharded_checkpoint_slot_fallback(tmp_path, spmd_solver):

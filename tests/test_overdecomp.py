@@ -72,7 +72,7 @@ def test_overdecomposed_matches_single(mesh, virt):
                            cfl=0.8)
     so = sol.nsteps(sol.initial_state(), 5)
 
-    assert np.isclose(float(so.t), float(sr.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(so.t).ravel()[0]), float(np.asarray(sr.t).ravel()[0]), rtol=1e-12)
     u_ref = np.asarray(sr.u)
     u_over = gather_global_field(over.sharded, so.u)
     np.testing.assert_allclose(u_over, u_ref, rtol=0, atol=1e-9)
@@ -155,7 +155,7 @@ def test_dg_overdecomposed_matches_single():
                       limiter="superbeep1")
     st = sN.nsteps(sN.initial_state(), 3)
 
-    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(st.t).ravel()[0]), float(np.asarray(s1.t).ravel()[0]), rtol=1e-12)
     uN = sN.gather_global(st)
     u1 = np.asarray(s1.u)
     err = np.abs(uN - u1).max()
@@ -219,7 +219,7 @@ def test_alecg_overdecomposed_matches_single():
                           cfl=0.6)
     so = sol.nsteps(sol.initial_state(), 4)
 
-    assert np.isclose(float(so.t), float(sr.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(so.t).ravel()[0]), float(np.asarray(sr.t).ravel()[0]), rtol=1e-12)
     u_over = gather_global_field(over.sharded.cg, so.u)
     np.testing.assert_allclose(u_over, np.asarray(sr.u), rtol=0,
                                atol=1e-9)

@@ -45,7 +45,7 @@ def test_spmd_dg_matches_single(nshard, limiter):
     sN = SPMDDGSolver(system, sharded, dmesh, cfl=0.5, limiter=limiter)
     st = sN.nsteps(sN.initial_state(), 3)
 
-    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(st.t).ravel()[0]), float(np.asarray(s1.t).ravel()[0]), rtol=1e-12)
     uN = sN.gather_global(st)
     u1 = np.asarray(s1.u)
     err = np.abs(uN - u1).max()
@@ -110,7 +110,7 @@ def test_spmd_pdg_matches_single(nshard):
                       tolref=0.2)
     st = sN.nsteps(sN.initial_state(), 3)
 
-    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(st.t).ravel()[0]), float(np.asarray(s1.t).ravel()[0]), rtol=1e-12)
     uN = sN.gather_global(st)
     err = np.abs(uN - np.asarray(s1.u)).max()
     assert err < 1e-9, err

@@ -57,7 +57,7 @@ def test_spmd_matches_single_shard(problem_setup, nshard):
     for _ in range(3):
         sN = solverN.step(sN)
 
-    assert np.isclose(float(sN.t), float(s1.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(sN.t).ravel()[0]), float(np.asarray(s1.t).ravel()[0]), rtol=1e-12)
 
     uN = gather_global_field(sharded, np.asarray(sN.u))
     u1 = np.asarray(s1.u)  # (C, N)
