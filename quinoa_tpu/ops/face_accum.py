@@ -166,6 +166,21 @@ def _pass_tables(key: np.ndarray, TF: int, W: int, dtype):
     return ks, blk, lo, hi, ntile, nblk
 
 
+def _plan_arrays_fit(el, er, xi_r, E, dtype, TF, W, fmask=None):
+    """(_plan_arrays result, fitted W): double the window until every
+    el-/er-sorted tile's element span fits (el-sorted TF-face tiles can
+    span >TF elements where many elements own a single left face)."""
+    Wt = W
+    while True:
+        try:
+            return _plan_arrays(el, er, xi_r, E, dtype, TF, Wt,
+                                fmask=fmask), Wt
+        except ValueError:
+            if Wt >= 8192:
+                raise
+            Wt *= 2
+
+
 def _plan_arrays(el, er, xi_r, E, dtype, TF, W, fmask=None):
     """Numpy plan pieces for one (sub)mesh; fmask marks real faces when
     the face axis carries padding (per-shard stacked builds)."""
@@ -204,41 +219,68 @@ def _plan_arrays(el, er, xi_r, E, dtype, TF, W, fmask=None):
     )
 
 
-def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
-    """Near/far face split for the fully fused pass (single-chip
-    geoms: exact face count, no padding)."""
-    el = np.asarray(geom.el).astype(np.int64)
-    er = np.asarray(geom.er).astype(np.int64)
-    interior = er != el
-    # near: er shares el's W-block, so it is inside the tile's
-    # two-block output window regardless of which block the tile
-    # anchors on; boundary faces are trivially near
-    near = (~interior) | ((er // W) == (el // W))
+def _fit_tables(key, TF, W, dtype):
+    """Widen the window (doubling keeps every Ws a multiple of the
+    classification W, which the near in-window guarantee relies on)
+    until every tile's span fits."""
+    Wt = W
+    while True:
+        try:
+            return (Wt,) + _pass_tables(key, TF, Wt, dtype)
+        except ValueError:
+            if Wt >= 8192:
+                raise
+            Wt *= 2
+
+
+def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
+                       TF, W, dtype, force=None):
+    """Numpy pieces + metas of a FusedPlan for one (sub)mesh.
+
+    `force` pins the stream metas {Wn, Wf, WRF, ntileN, ntileF,
+    nblkN, nblkF, nblkRF} so per-shard plans come out with UNIFORM
+    shapes for stacked shard_map builds (extra tiles carry only pad
+    faces; masks are zero beyond each shard's own blocks).  fmask
+    (None = all real) marks real faces on padded per-shard face axes.
+    """
+    el = np.asarray(el).astype(np.int64)
+    er = np.asarray(er).astype(np.int64)
+    F = el.shape[0]
+    real = (np.asarray(fmask) > 0) if fmask is not None \
+        else np.ones(F, dtype=bool)
+    interior = (er != el) & real
+    # near: er shares el's (classification-W) block, so it is inside the
+    # tile's two-block output window regardless of which block the tile
+    # anchors on; boundary faces are trivially near; pad faces excluded
+    near = real & (~interior | ((er // W) == (el // W)))
     idxN = np.nonzero(near)[0]
-    idxF = np.nonzero(~near)[0]
-    G = np.asarray(geom.xi_l).shape[1]
+    idxF = np.nonzero(real & ~near)[0]
+    G = np.asarray(xi_l).shape[1]
 
-    xils = np.asarray(geom.xi_l).reshape(3 * G, -1).astype(dtype)
-    xirs = np.asarray(geom.xi_r).reshape(3 * G, -1).astype(dtype)
-    fns = np.asarray(geom.fn).astype(dtype)
-    fas = (np.asarray(geom.farea) * np.asarray(geom.fmask)).astype(dtype)
-    bts = np.asarray(geom.bctype).astype(np.int32)
+    xils = np.asarray(xi_l).reshape(3 * G, -1).astype(dtype)
+    xirs = np.asarray(xi_r).reshape(3 * G, -1).astype(dtype)
+    fns = np.asarray(fn).astype(dtype)
+    fas = (np.asarray(farea) * (real.astype(dtype)
+           if fmask is not None else 1.0)).astype(dtype)
+    bts = np.asarray(bctype).astype(np.int32)
 
-    def fit_tables(key):
-        """Widen the window until every tile's span fits (sparse far
-        streams span more elements per TF faces than the full stream)."""
-        Wt = W
-        while True:
-            try:
-                return (Wt,) + _pass_tables(key, TF, Wt, dtype)
-            except ValueError:
-                if Wt >= 8192:
-                    raise
-                Wt *= 2
-
-    def stream(idx):
+    def stream(idx, skey, sW, sntile, snblk):
         ks_el = el[idx].astype(np.int32)
-        Ws, ks, blk, mlo, mhi, ntile, nblk = fit_tables(ks_el)
+        if sntile is not None:
+            ks_el = np.concatenate(
+                [ks_el, np.full(sntile * TF - len(idx), -1, np.int32)])
+        if sW is None:
+            Ws, ks, blk, mlo, mhi, ntile, nblk = _fit_tables(
+                ks_el, TF, W, dtype)
+        else:
+            Ws = sW
+            ks, blk, mlo, mhi, ntile, nblk = _pass_tables(
+                ks_el, TF, Ws, dtype)
+        if snblk is not None and nblk < snblk:
+            pad = (snblk - nblk) * Ws
+            mlo = np.pad(mlo, ((0, 0), (0, pad)))
+            mhi = np.pad(mhi, ((0, 0), (0, pad)))
+            nblk = snblk
         Fp = ntile * TF
         kerp = np.full(Fp, -1, np.int32)
         kerp[: len(idx)] = np.where(interior[idx], er[idx], -1)
@@ -246,58 +288,84 @@ def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
         def tab(a, pad=0.0):
             out = np.full(a.shape[:-1] + (Fp,), pad, dtype=a.dtype)
             out[..., : len(idx)] = a[..., idx]
-            return jnp.asarray(out if out.ndim == 2 else out[None])
+            return out if out.ndim == 2 else out[None]
 
-        return FusedStream(
-            ks=jnp.asarray(ks.reshape(1, -1)),
-            ker=jnp.asarray(kerp.reshape(1, -1)),
-            blk=jnp.asarray(blk),
-            mlo=jnp.asarray(mlo),
-            mhi=jnp.asarray(mhi),
-            xil=tab(xils), xir=tab(xirs), fn=tab(fns),
-            fa=tab(fas), bt=tab(bts),
-            ntile=ntile, nblk=nblk, W=Ws,
+        return dict(
+            ks=ks.reshape(1, -1), ker=kerp.reshape(1, -1), blk=blk,
+            mlo=mlo, mhi=mhi, xil=tab(xils), xir=tab(xirs),
+            fn=tab(fns), fa=tab(fas), bt=tab(bts),
+            ntile=ntile, nblk=nblk, W=Ws, nreal=len(idx),
         )
 
-    sN = stream(idxN)
-    sF = stream(idxF)
+    f = force or {}
+    sN = stream(idxN, "N", f.get("Wn"), f.get("ntileN"), f.get("nblkN"))
+    sF = stream(idxF, "F", f.get("Wf"), f.get("ntileF"), f.get("nblkF"))
 
-    # far R pass: er-sort within the far stream
-    erf = er[idxF]
-    permRF = np.argsort(erf, kind="stable").astype(np.int32)
-    WRF = W
-    while True:
-        try:
-            ksRF, blkRF, mloRF, mhiRF, ntileRF, nblkRF = _pass_tables(
-                erf[permRF].astype(np.int32), TF, WRF, dtype)
-            break
-        except ValueError:
-            if WRF >= 8192:
-                raise
-            WRF *= 2
-    FpRF = ntileRF * TF
-    xirRF = np.zeros((3 * G, FpRF), dtype=dtype)
-    xirRF[:, : len(idxF)] = xirs[:, idxF][:, permRF]
+    # far R pass: er-sort within the PADDED far stream (pads sort last)
+    FpF = sF["ntile"] * TF
+    erf_p = np.full(FpF, np.iinfo(np.int64).max, np.int64)
+    erf_p[: len(idxF)] = er[idxF]
+    permRF = np.argsort(erf_p, kind="stable").astype(np.int32)
+    keyRF = np.where(erf_p[permRF] == np.iinfo(np.int64).max, -1,
+                     erf_p[permRF]).astype(np.int32)
+    if f.get("WRF") is None:
+        WRF, ksRF, blkRF, mloRF, mhiRF, ntileRF, nblkRF = _fit_tables(
+            keyRF, TF, W, dtype)
+    else:
+        WRF = f["WRF"]
+        ksRF, blkRF, mloRF, mhiRF, ntileRF, nblkRF = _pass_tables(
+            keyRF, TF, WRF, dtype)
+    if f.get("nblkRF") is not None and nblkRF < f["nblkRF"]:
+        pad = (f["nblkRF"] - nblkRF) * WRF
+        mloRF = np.pad(mloRF, ((0, 0), (0, pad)))
+        mhiRF = np.pad(mhiRF, ((0, 0), (0, pad)))
+        nblkRF = f["nblkRF"]
+    # er-sorted static tables: permute the PADDED far tables (pads are
+    # zero faces with ks=-1 in the R pass, so they accumulate nothing)
+    xirRF = sF["xir"][:, permRF]
+    erF = np.maximum(sF["ker"][0], 0).astype(np.int32)
+    elFR = np.maximum(sF["ks"][0][permRF], 0).astype(np.int32)
 
-    FpF = sF.ntile * TF
-    erF = np.zeros(FpF, np.int32)
-    erF[: len(idxF)] = er[idxF]
-    elFR = np.zeros(FpRF, np.int32)
-    elFR[: len(idxF)] = el[idxF][permRF]
-
-    return FusedPlan(
-        near=sN, far=sF,
-        erF=jnp.asarray(erF),
-        elFR=jnp.asarray(elFR),
-        ksRF=jnp.asarray(ksRF.reshape(1, -1)),
-        blkRF=jnp.asarray(blkRF),
-        mloRF=jnp.asarray(mloRF),
-        mhiRF=jnp.asarray(mhiRF),
-        xirRF=jnp.asarray(xirRF),
-        permRF=jnp.asarray(permRF),
+    return dict(
+        near=sN, far=sF, erF=erF, elFR=elFR,
+        ksRF=ksRF.reshape(1, -1), blkRF=blkRF, mloRF=mloRF,
+        mhiRF=mhiRF, xirRF=xirRF, permRF=permRF,
         ntileRF=ntileRF, nblkRF=nblkRF,
-        Fn=len(idxN), Ff=len(idxF), WRF=WRF,
+        Fn=sN["nreal"], Ff=FpF, WRF=WRF,
     )
+
+
+def _stream_from_arrays(d, to_jnp=jnp.asarray) -> FusedStream:
+    return FusedStream(
+        ks=to_jnp(d["ks"]), ker=to_jnp(d["ker"]), blk=to_jnp(d["blk"]),
+        mlo=to_jnp(d["mlo"]), mhi=to_jnp(d["mhi"]),
+        xil=to_jnp(d["xil"]), xir=to_jnp(d["xir"]), fn=to_jnp(d["fn"]),
+        fa=to_jnp(d["fa"]), bt=to_jnp(d["bt"]),
+        ntile=d["ntile"], nblk=d["nblk"], W=d["W"],
+    )
+
+
+def _fused_from_arrays(p, to_jnp=jnp.asarray) -> FusedPlan:
+    return FusedPlan(
+        near=_stream_from_arrays(p["near"], to_jnp),
+        far=_stream_from_arrays(p["far"], to_jnp),
+        erF=to_jnp(p["erF"]), elFR=to_jnp(p["elFR"]),
+        ksRF=to_jnp(p["ksRF"]), blkRF=to_jnp(p["blkRF"]),
+        mloRF=to_jnp(p["mloRF"]), mhiRF=to_jnp(p["mhiRF"]),
+        xirRF=to_jnp(p["xirRF"]), permRF=to_jnp(p["permRF"]),
+        ntileRF=p["ntileRF"], nblkRF=p["nblkRF"],
+        Fn=p["Fn"], Ff=p["Ff"], WRF=p["WRF"],
+    )
+
+
+def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
+    """Near/far face split for the fully fused pass (single-chip
+    geoms: exact face count, no padding)."""
+    p = _fused_plan_arrays(
+        geom.el, geom.er, geom.xi_l, geom.xi_r, geom.fn,
+        np.asarray(geom.farea) * np.asarray(geom.fmask), None,
+        geom.bctype, TF, W, dtype)
+    return _fused_from_arrays(p)
 
 
 def build_accum_plan(geom, TF: int = 128, W: int = 128) -> AccumPlan:
@@ -308,8 +376,8 @@ def build_accum_plan(geom, TF: int = 128, W: int = 128) -> AccumPlan:
     updates/s vs 4.56M at 256; 1024 OOMs the 16M scoped VMEM with the
     fused kernel's one-hot windows)."""
     dtype = np.dtype(np.asarray(geom.vol).dtype)
-    p = _plan_arrays(geom.el, geom.er, geom.xi_r, int(geom.nelem),
-                     dtype, TF, W)
+    p, WL = _plan_arrays_fit(geom.el, geom.er, geom.xi_r,
+                             int(geom.nelem), dtype, TF, W)
     fused = _build_fused_plan(geom, TF, W, dtype)
     return AccumPlan(
         ksL=jnp.asarray(p["ksL"]),
@@ -325,25 +393,37 @@ def build_accum_plan(geom, TF: int = 128, W: int = 128) -> AccumPlan:
         fused=fused,
         ntileL=p["ntileL"], nblkL=p["nblkL"],
         ntileR=p["ntileR"], nblkR=p["nblkR"],
-        TF=TF, W=W, F=p["F"], E=p["E"],
+        TF=TF, W=WL, F=p["F"], E=p["E"],
     )
 
 
-def build_accum_plan_stacked(sharded_geom, TF: int = 256,
-                             W: int = 256) -> AccumPlan:
+def build_accum_plan_stacked(sharded_geom, TF: int = 128,
+                             W: int = 128) -> AccumPlan:
     """Per-shard plans padded to UNIFORM static shapes and stacked with
     a leading shard axis, so one shard_map program serves every device
     (ShardedDG geoms: every data field carries [S]; faces are el-sorted
-    per shard with fmask marking real faces)."""
+    per shard with fmask marking real faces).  Includes a stacked
+    near/far FusedPlan (fit each shard, then rebuild every shard at the
+    max metas) so the SPMD rhs runs the same fused kernels as the
+    single-chip solver."""
     g = sharded_geom
     S = np.asarray(g.vol).shape[0]
     dtype = np.dtype(np.asarray(g.vol).dtype)
     El = int(np.asarray(g.vol).shape[1])
+    fitL = [
+        _plan_arrays_fit(
+            np.asarray(g.el)[s], np.asarray(g.er)[s],
+            np.asarray(g.xi_r)[s],
+            El, dtype, TF, W, fmask=np.asarray(g.fmask)[s],
+        )[1]
+        for s in range(S)
+    ]
+    WL = max(fitL)
     plans = [
         _plan_arrays(
             np.asarray(g.el)[s], np.asarray(g.er)[s],
             np.asarray(g.xi_r)[s],
-            El, dtype, TF, W, fmask=np.asarray(g.fmask)[s],
+            El, dtype, TF, WL, fmask=np.asarray(g.fmask)[s],
         )
         for s in range(S)
     ]
@@ -366,20 +446,70 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 256,
             ]
         return jnp.asarray(np.stack(arrs))
 
+    # fused near/far plans: fit pass -> common (max) metas -> rebuild
+    def fargs(s):
+        return (np.asarray(g.el)[s], np.asarray(g.er)[s],
+                np.asarray(g.xi_l)[s], np.asarray(g.xi_r)[s],
+                np.asarray(g.fn)[s], np.asarray(g.farea)[s],
+                np.asarray(g.fmask)[s], np.asarray(g.bctype)[s])
+
+    fit = [_fused_plan_arrays(*fargs(s), TF, W, dtype) for s in range(S)]
+    force = dict(
+        Wn=max(p["near"]["W"] for p in fit),
+        Wf=max(p["far"]["W"] for p in fit),
+        WRF=max(p["WRF"] for p in fit),
+        ntileN=max(p["near"]["ntile"] for p in fit),
+        ntileF=max(p["far"]["ntile"] for p in fit),
+        nblkN=max(p["near"]["nblk"] for p in fit),
+        nblkF=max(p["far"]["nblk"] for p in fit),
+        nblkRF=max(p["nblkRF"] for p in fit),
+    )
+    fps = [_fused_plan_arrays(*fargs(s), TF, W, dtype, force=force)
+           for s in range(S)]
+
+    def fstack(path):
+        def get(p):
+            a = p
+            for k in path:
+                a = a[k]
+            return a
+        return jnp.asarray(np.stack([get(p) for p in fps]))
+
+    def sstream(key):
+        d0 = fps[0][key]
+        return FusedStream(
+            ks=fstack((key, "ks")), ker=fstack((key, "ker")),
+            blk=fstack((key, "blk")), mlo=fstack((key, "mlo")),
+            mhi=fstack((key, "mhi")), xil=fstack((key, "xil")),
+            xir=fstack((key, "xir")), fn=fstack((key, "fn")),
+            fa=fstack((key, "fa")), bt=fstack((key, "bt")),
+            ntile=d0["ntile"], nblk=d0["nblk"], W=d0["W"],
+        )
+
+    fused = FusedPlan(
+        near=sstream("near"), far=sstream("far"),
+        erF=fstack(("erF",)), elFR=fstack(("elFR",)),
+        ksRF=fstack(("ksRF",)), blkRF=fstack(("blkRF",)),
+        mloRF=fstack(("mloRF",)), mhiRF=fstack(("mhiRF",)),
+        xirRF=fstack(("xirRF",)), permRF=fstack(("permRF",)),
+        ntileRF=fps[0]["ntileRF"], nblkRF=fps[0]["nblkRF"],
+        Fn=fps[0]["Fn"], Ff=fps[0]["Ff"], WRF=fps[0]["WRF"],
+    )
+
     return AccumPlan(
         ksL=stack("ksL"),
         blkL=stack("blkL"),
-        mloL=stack("mloL", (nblkL + 2) * W),
-        mhiL=stack("mhiL", (nblkL + 2) * W),
+        mloL=stack("mloL", (nblkL + 2) * WL),
+        mhiL=stack("mhiL", (nblkL + 2) * WL),
         permR=stack("permR"),
         ksR=stack("ksR"),
         blkR=stack("blkR"),
-        mloR=stack("mloR", (nblkR + 2) * W),
-        mhiR=stack("mhiR", (nblkR + 2) * W),
+        mloR=stack("mloR", (nblkR + 2) * WL),
+        mhiR=stack("mhiR", (nblkR + 2) * WL),
         xirR=stack("xirR"),
-        fused=None,  # SPMD shards use the single-stream fused kernel
+        fused=fused,
         ntileL=ntileL, nblkL=nblkL, ntileR=ntileR, nblkR=nblkR,
-        TF=TF, W=W, F=plans[0]["F"], E=El,
+        TF=TF, W=WL, F=plans[0]["F"], E=El,
     )
 
 

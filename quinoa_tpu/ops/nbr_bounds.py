@@ -69,9 +69,16 @@ class BoundsPlan:
     nef: int
 
 
-def build_bounds_plan(geom, W: int = 512) -> BoundsPlan:
-    """Host-side plan from a DGGeom (uses its esuelT neighbor table)."""
-    nbr = np.asarray(geom.esuelT).astype(np.int64)  # (4, E)
+def build_bounds_plan(geom, W: int = 512, force_FTE=None) -> BoundsPlan:
+    """Host-side plan from a DGGeom (uses its esuelT neighbor table).
+    force_FTE pins the far-tile width for uniform stacked builds."""
+    return _bounds_plan_from_nbr(np.asarray(geom.esuelT),
+                                 np.asarray(geom.vol).dtype, W, force_FTE)
+
+
+def _bounds_plan_from_nbr(nbr, dtype, W: int = 512,
+                          force_FTE=None) -> BoundsPlan:
+    nbr = np.asarray(nbr).astype(np.int64)  # (4, E)
     E = nbr.shape[1]
     ntile = max((E + W - 1) // W, 1)
     Ep = ntile * W
@@ -94,12 +101,16 @@ def build_bounds_plan(geom, W: int = 512) -> BoundsPlan:
     counts = np.bincount(ftile, minlength=ntile)
     # Pallas block minor dims must be multiples of 128
     FTE = max(128, int(-(-(counts.max() if nef else 1) // 128) * 128))
+    if force_FTE is not None:
+        if force_FTE < FTE:
+            raise ValueError(f"force_FTE {force_FTE} < required {FTE}")
+        FTE = force_FTE
     NT = ntile * FTE
     # column of far element j: its rank within its tile
     col = (ftile * FTE + np.arange(nef)
            - np.concatenate([[0], np.cumsum(counts)])[ftile])
     fidx = np.zeros((4, NT), np.int32)
-    fmask = np.zeros((4, NT), np.asarray(geom.vol).dtype)
+    fmask = np.zeros((4, NT), dtype)
     fpos = np.full(NT, -1, np.int32)
     fidx[:, col] = np.where(far[:, ef], nbr[:, ef], 0)
     fmask[:, col] = far[:, ef]
@@ -225,3 +236,27 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
     )(plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos)
 
     return out[C:, :E], out[:C, :E]
+
+
+def build_bounds_plan_stacked(sharded_geom, W: int = 512) -> BoundsPlan:
+    """Per-shard bounds plans at a common FTE, stacked with a leading
+    shard axis (local element ids incl. ghosts; El uniform across
+    shards, so only the far-tile width needs forcing)."""
+    nbrs = np.asarray(sharded_geom.esuelT)        # (S, 4, El)
+    dtype = np.asarray(sharded_geom.vol).dtype
+    S = nbrs.shape[0]
+    fit = [_bounds_plan_from_nbr(nbrs[s], dtype, W) for s in range(S)]
+    FTE = max(p.FTE for p in fit)
+    plans = [_bounds_plan_from_nbr(nbrs[s], dtype, W, force_FTE=FTE)
+             for s in range(S)]
+
+    def st(name):
+        return jnp.asarray(np.stack(
+            [np.asarray(getattr(p, name)) for p in plans]))
+
+    p0 = plans[0]
+    return BoundsPlan(
+        nbr=st("nbr"), fidx=st("fidx"), fmask=st("fmask"),
+        fpos=st("fpos"), E=p0.E, Ep=p0.Ep, W=p0.W, ntile=p0.ntile,
+        FTE=FTE, nef=max(p.nef for p in plans),
+    )

@@ -95,6 +95,23 @@ class SPMDDGSolver:
                     stacklevel=2,
                 )
                 self.accum_plan = None
+        self.bounds_plan = None
+        if (self.accum_plan is not None and limiter == "superbeep1"
+                and _os.environ.get("QUINOA_TPU_NO_BOUNDS") != "1"):
+            try:
+                from ..ops.nbr_bounds import build_bounds_plan_stacked
+
+                self.bounds_plan = build_bounds_plan_stacked(sharded.geom)
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    "SPMD Pallas bounds-plan build failed; the limiter "
+                    f"falls back to the esuelT gather: {e!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self.bounds_plan = None
 
         # diagnostics quadrature tables precomputed host-side (constants)
         from ..ops.basis import eval_basis
@@ -116,7 +133,7 @@ class SPMDDGSolver:
         step = jax.shard_map(
             self._step_local,
             mesh=self.mesh,
-            in_specs=(P(AXIS), P(AXIS), spec_state),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), spec_state),
             out_specs=spec_state,
             check_vma=False,
         )
@@ -191,15 +208,22 @@ class SPMDDGSolver:
         keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
         return jnp.where(keep, 4, 1).astype(jnp.int32)
 
-    def _limit(self, geom, u, dofmask):
+    def _limit(self, geom, u, dofmask, bounds_plan=None):
         C = self.system.ncomp
         if self.limiter == "wenop1":
             return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
-            return superbee_p1(geom, u, dofmask, C)
+            bounds = None
+            if bounds_plan is not None:
+                from ..pde.dg import uview
+                from ..ops.nbr_bounds import neighbor_mean_bounds
+
+                u0 = uview(u, C, geom.ndof)[:, 0, :]
+                bounds = neighbor_mean_bounds(bounds_plan, u0)
+            return superbee_p1(geom, u, dofmask, C, bounds=bounds)
         return u
 
-    def _step_local(self, sharded, aplan, state: DGState) -> DGState:
+    def _step_local(self, sharded, aplan, bplan, state: DGState) -> DGState:
         sh: ShardedDG = _local(sharded)
         g = sh.geom
         K = g.ndof
@@ -210,6 +234,7 @@ class SPMDDGSolver:
         t = state.t[0]
         dt = state.dt[0]
         plan = _local(aplan) if aplan is not None else None
+        bnds = _local(bplan) if bplan is not None else None
 
         mn = jnp.asarray(g.tables["mnorm"], dtype=g.vol.dtype)
         minv = jnp.tile(1.0 / (g.vol[None, :] * mn[:, None]), (C, 1))
@@ -228,7 +253,7 @@ class SPMDDGSolver:
             kk = jnp.arange(K)[:, None]
             dofmask = ((kk < ndofel[None, :]).astype(g.vol.dtype)
                        if self.pref else None)
-            u = self._limit(g, u, dofmask)
+            u = self._limit(g, u, dofmask, bnds)
             if self.limiter is not None:
                 u = self._exchange(sh, u)
             if s == 0:
@@ -341,7 +366,8 @@ class SPMDDGSolver:
         )
 
     def step(self, state: DGState) -> DGState:
-        return self._step(self.sharded, self.accum_plan, state)
+        return self._step(self.sharded, self.accum_plan,
+                          self.bounds_plan, state)
 
     def nsteps(self, state, n):
         for _ in range(n):
@@ -374,7 +400,7 @@ class SPMDMultiMatSolver(SPMDDGSolver):
         super().__init__(system, sharded, mesh, cfl=cfl,
                          const_dt=const_dt, limiter=None)
 
-    def _step_local(self, sharded, aplan, state):
+    def _step_local(self, sharded, aplan, bplan, state):
         sh: ShardedDG = _local(sharded)
         g = sh.geom
         plan = _local(aplan) if aplan is not None else None

@@ -93,7 +93,7 @@ def test_mm_spmd_matches_single(nshard):
     sN = SPMDMultiMatSolver(system, sharded, dmesh, cfl=0.5)
     st = sN.nsteps(sN.initial_state(), 8)
 
-    assert np.isclose(float(st.t), float(s1.t), rtol=1e-12)
+    assert np.isclose(float(np.asarray(st.t).ravel()[0]), float(s1.t), rtol=1e-12)
     uN = sN.gather_global(st)
     err = np.abs(uN - np.asarray(s1.u)).max()
     assert err < 1e-9, err
