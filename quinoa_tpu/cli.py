@@ -77,6 +77,24 @@ def _cmd_inciter(argv):
 
         mesh, _ = hilbert_element_reorder(mesh)
 
+    if args.verbose:
+        # setup-time mesh statistics echo + PDF dump
+        # (Transporter::stat/pdfstat, Transporter.cpp:735-846)
+        from .mesh.stats import (mesh_statistics, format_mesh_statistics,
+                                 write_mesh_pdfs)
+
+        if args.npes > 1:
+            from .parallel.partition import partition_elements
+
+            parts = partition_elements(mesh.coords, mesh.inpoel,
+                                       args.npes, cfg.partitioner)
+            chunks = np.bincount(parts, minlength=args.npes)
+        else:
+            chunks = [mesh.nelem]
+        mstats = mesh_statistics(mesh, chunks)
+        print(format_mesh_statistics(mstats))
+        write_mesh_pdfs(mstats)
+
     if args.npes > 1:
         return _run_inciter_spmd(args, cfg, mesh)
 
@@ -654,7 +672,7 @@ def _cmd_rngtest(argv):
     ap.add_argument("--impl", default="threefry2x32",
                     help="jax PRNG implementation (threefry2x32, rbg, ...)")
     ap.add_argument("--battery", default=None,
-                    choices=["smallcrush", "crush"],
+                    choices=["smallcrush", "crush", "bigcrush"],
                     help="battery scale (overrides the deck block)")
     args = ap.parse_args(argv)
 

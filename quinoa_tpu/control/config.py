@@ -77,6 +77,10 @@ class InciterConfig:
     dtref_uniform: bool = False
     dtfreq: int = 3
     amr_error: str = "jump"
+    # flat node-id pairs from `edgelist ... end` (AMRInitial edgelist,
+    # Refiner::edgelistRefine, src/Inciter/Refiner.cpp:1002-1040);
+    # 0-based node ids as read from the mesh file
+    amr_edgelist: Tuple[int, ...] = ()
     amr_tol: float = 0.2
     amr_tolderef: float = 0.05
     # >1 enables the incremental multi-level dtref cycle (amr/adapt.py;
@@ -179,6 +183,13 @@ def load_inciter(deck_text: str) -> InciterConfig:
         cfg.dtref_uniform = first(amr, "dtref_uniform", "false") == "true"
         cfg.dtfreq = _i(amr, "dtfreq", 3)
         cfg.amr_error = first(amr, "error", "jump")
+        el = first(amr, "edgelist")
+        if el:
+            cfg.amr_edgelist = tuple(int(x) for x in el)
+            if len(cfg.amr_edgelist) % 2 == 1:
+                raise ValueError(
+                    "edgelist must contain an even number of node ids "
+                    "(node pairs; Grammar.hpp:483)")
         cfg.amr_tol = _f(amr, "tol_refine", 0.2)
         cfg.amr_tolderef = _f(amr, "tol_derefine", 0.05)
         cfg.amr_maxlevels = int(_f(amr, "maxlevels", 1))
@@ -890,6 +901,21 @@ def apply_t0ref(cfg: InciterConfig, mesh, problem=None):
             coarse = mesh
             mesh, rmap = refine_mesh(mesh, tags)
             hist.append((coarse, rmap))
+        elif mode == "edgelist":
+            # refine exactly the user-listed edges that exist in the
+            # mesh (Refiner::edgelistRefine matches each configured
+            # node pair against psup)
+            from ..mesh.derived import gen_inpoed
+
+            want = {tuple(sorted(cfg.amr_edgelist[i:i + 2]))
+                    for i in range(0, len(cfg.amr_edgelist), 2)}
+            edges = gen_inpoed(mesh.inpoel)
+            hit = np.array([tuple(e) in want for e in edges.tolist()])
+            tags = edges[hit] if hit.any() else np.zeros((0, 2), np.int64)
+            if len(tags):
+                coarse = mesh
+                mesh, rmap = refine_mesh(mesh, tags)
+                hist.append((coarse, rmap))
         elif mode == "uniform_derefine":
             if hist:
                 coarse, rmap = hist.pop()

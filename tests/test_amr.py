@@ -299,3 +299,40 @@ def test_cli_adaptive_dtref_cycle(tmp_path, monkeypatch, capsys):
     assert np.isfinite(rows).all()
     # FCT bounds survive the adapt/transfer cycles
     assert rows[:, 3].max() < 1.0
+
+
+def test_t0ref_edgelist(tmp_path, monkeypatch):
+    """`initial edgelist` refines exactly the listed node-pair edges
+    (AMRInitial edgelist; Refiner::edgelistRefine, Refiner.cpp:1002)."""
+    from quinoa_tpu.control.config import load_inciter, apply_t0ref
+    from quinoa_tpu.mesh import box_tet_mesh
+
+    cfg = load_inciter("""
+    inciter
+      nstep 1
+      scheme diagcg
+      transport  problem slot_cyl  ncomp 1  end
+      amr
+        t0ref true
+        initial edgelist
+        edgelist  0 1  1 2  end
+      end
+    end
+    """)
+    assert cfg.amr_edgelist == (0, 1, 1, 2)
+    mesh = box_tet_mesh(3, 3, 3, hi=(1.0, 1.0, 1.0))
+    n0 = mesh.nelem
+    out = apply_t0ref(cfg, mesh)
+    assert out.nelem > n0
+
+    # odd-length lists are the reference's Grammar.hpp:483 error
+    import pytest
+
+    with pytest.raises(ValueError, match="even number"):
+        load_inciter("""
+        inciter
+          scheme diagcg
+          transport  problem slot_cyl  ncomp 1  end
+          amr  t0ref true  initial edgelist  edgelist 0 1 2 end  end
+        end
+        """)

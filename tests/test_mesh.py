@@ -151,3 +151,36 @@ def test_hilbert_element_reorder_invisible():
         diag = DGDiagnostics(system, geom)
         rows.append(np.asarray(diag.compute(s)))
     np.testing.assert_allclose(rows[0], rows[1], rtol=1e-9, atol=1e-11)
+
+
+def test_mesh_statistics_box():
+    """Setup mesh-statistics block (Transporter::stat analog) on a box
+    whose edge population is known: a unit cube at n=2 has axis edges
+    of h=0.5, face diagonals h*sqrt(2), body diagonals h*sqrt(3)."""
+    import numpy as np
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.stats import (
+        mesh_statistics, format_mesh_statistics, write_mesh_pdfs)
+
+    mesh = box_tet_mesh(2, 2, 2, hi=(1.0, 1.0, 1.0))
+    st = mesh_statistics(mesh)
+    mn, mx, av = st["edgelength"]
+    assert np.isclose(mn, 0.5)
+    assert np.isclose(mx, 0.5 * np.sqrt(3.0))
+    # every tet is vol = (0.5^3)/6
+    vn, vx, _ = st["V^{1/3}"]
+    assert np.isclose(vn, (0.5**3 / 6.0) ** (1.0 / 3.0))
+    assert np.isclose(vx, vn)
+    assert st["ntets"] == (mesh.nelem, mesh.nelem, mesh.nelem)
+    txt = format_mesh_statistics(st)
+    assert "min/max/avg(edgelength)" in txt
+    assert "min/max/avg(ntets)" in txt
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        write_mesh_pdfs(st, d)
+        for f in ("mesh_edge_pdf.txt", "mesh_vol_pdf.txt",
+                  "mesh_ntet_pdf.txt"):
+            lines = open(os.path.join(d, f)).read().splitlines()
+            assert lines[0].startswith("#")
+            assert len(lines) > 1
