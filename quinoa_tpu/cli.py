@@ -429,13 +429,14 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
     from .inciter.fieldout import plot_fields
     from .io import write_exodus, write_exodus_pieces
 
-    if (args.pieces == args.npes
-            and getattr(args, "virtualization", 0.0) == 0.0):
-        # per-shard writes: each piece file is produced from its own
-        # device-local buffer (state.u.addressable_shards) — no global
-        # field gather, the MeshWriter file-per-chare analog at scale
-        _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
-                                cg_scheme)
+    # per-shard writes: each piece file is produced from its own
+    # device-local buffer (state.u.addressable_shards) — no global
+    # field gather, the MeshWriter file-per-chare analog at scale.
+    # Supported piece counts: npes (one file per device) and, under
+    # overdecomposition, cpd*npes (one file per CHARE, the reference's
+    # MeshWriter.hpp:33-100 contract); anything else gathers.
+    if _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
+                               cg_scheme):
         return
 
     u = gather_u(state)
@@ -470,11 +471,15 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
 
 def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
                             cg_scheme):
-    """One ExodusII piece per shard, valued from that shard's buffer.
+    """One ExodusII piece per device (--pieces == npes) or per chare
+    (--pieces == cpd*npes under -u), valued from the owning device's
+    buffer.
 
     The piece meshes come from the deterministic host partition (same
-    partitioner call the shard builder made); values come from each
-    device's addressable shard without assembling a global field."""
+    partitioner calls the shard/overdecomp builders made); values come
+    from each device's addressable shard without assembling a global
+    field.  Returns False for piece counts that need a gather.
+    """
     import numpy as np
 
     from .inciter.fieldout import plot_fields
@@ -482,19 +487,59 @@ def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
     from .io.pieces import extract_piece, piece_path
     from .parallel.partition import partition_elements
 
-    parts = partition_elements(mesh.coords, mesh.inpoel, args.npes,
-                               algorithm=cfg.partitioner)
+    if args.pieces <= 1:
+        return False
+    ov = getattr(solver, "overdecomp", None)
+    if ov is not None:
+        nchunk = ov.npes * ov.cpd
+        chunk_parts = partition_elements(mesh.coords, mesh.inpoel, nchunk,
+                                         algorithm=cfg.partitioner)
+        devof = np.empty(nchunk, dtype=np.int64)
+        for d, row in enumerate(ov.assign):
+            for c in row:
+                devof[c] = d
+        if args.pieces == nchunk:
+            piece_parts = chunk_parts            # file per chare
+            dev_of_piece = devof
+        elif args.pieces == args.npes:
+            piece_parts = devof[chunk_parts]     # file per device
+            dev_of_piece = np.arange(args.npes)
+        else:
+            return False
+    else:
+        if args.pieces != args.npes:
+            return False
+        piece_parts = partition_elements(mesh.coords, mesh.inpoel,
+                                         args.npes,
+                                         algorithm=cfg.partitioner)
+        dev_of_piece = np.arange(args.npes)
+
     shards = sorted(state.u.addressable_shards,
                     key=lambda sh: sh.index[0].start or 0)
     sh = solver.sharded
     t = float(_hs(state.t))
-    for p in range(args.npes):
-        lm, nmap, emap = extract_piece(mesh, parts, p)
-        u_s = np.asarray(shards[p].data)[0]  # (C, Nl) / (C*K, El)
+
+    def g2l_owned(gids_d, owned_d):
+        """global id -> local position, preferring OWNED copies (ghost
+        slots hold the previous stage's values after the final RK
+        stage; under -u a device may also hold several copies)."""
+        g2l = {}
+        for i2, g in enumerate(gids_d):
+            if g >= 0 and int(g) not in g2l:
+                g2l[int(g)] = i2
+        for i2, g in enumerate(gids_d):
+            if g >= 0 and owned_d[i2] > 0:
+                g2l[int(g)] = i2
+        return g2l
+
+    for p in range(args.pieces):
+        lm, nmap, emap = extract_piece(mesh, piece_parts, p)
+        d = int(dev_of_piece[p])
+        u_s = np.asarray(shards[d].data)[0]  # (C, Nl) / (C*K, El)
         if cg_scheme:
             shcg = sh.cg if hasattr(sh, "cg") else sh
-            gids = np.asarray(shcg.gids)[p]
-            g2l = {int(g): i for i, g in enumerate(gids) if g >= 0}
+            g2l = g2l_owned(np.asarray(shcg.gids)[d],
+                            np.asarray(shcg.owned)[d])
             pos = np.array([g2l[int(n)] for n in nmap], dtype=np.int64)
             vals = u_s[:, pos]
             nf = plot_fields(cfg.pde, solver.system, vals,
@@ -505,8 +550,8 @@ def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
 
             from .pde.dg import dg_cell_avg
 
-            eg = np.asarray(sh.eglobal)[p]
-            g2l = {int(g): i for i, g in enumerate(eg) if g >= 0}
+            g2l = g2l_owned(np.asarray(sh.eglobal)[d],
+                            np.asarray(sh.owned)[d])
             pos = np.array([g2l[int(e)] for e in emap], dtype=np.int64)
             avg = np.asarray(dg_cell_avg(
                 jnp.asarray(u_s), solver.system.ncomp,
@@ -514,9 +559,10 @@ def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
             cen = mesh.coords[mesh.inpoel[emap]].mean(axis=1).T
             ef = plot_fields(cfg.pde, solver.system, avg, cen, t)
             nf = None
-        write_exodus(piece_path(args.output, it, args.npes, p), lm,
+        write_exodus(piece_path(args.output, it, args.pieces, p), lm,
                      node_fields=nf, elem_fields=ef, time=t,
                      node_num_map=nmap, elem_num_map=emap)
+    return True
 
 
 def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):

@@ -506,14 +506,19 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             )
             sharded = over.sharded
         else:
+            over = None
             sharded = build_cg_shards(
                 mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
                 algorithm=cfg.partitioner,
             )
-        return SPMDDiagCGSolver(
+        solver = SPMDDiagCGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
             ctau=cfg.ctau, fct=cfg.fct,
         )
+        # chunk bookkeeping for per-chare field writes (MeshWriter's
+        # file-per-chare contract, MeshWriter.hpp:33-100)
+        solver.overdecomp = over
+        return solver
 
     if cfg.scheme in _SCHEME_NDOF or cfg.scheme == "pdg":
         from ..pde.dg import (
@@ -548,17 +553,20 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             )
             sharded = over.sharded
         else:
+            over = None
             sharded = build_dg_shards(
                 mesh, npes, ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
                 algorithm=cfg.partitioner,
             )
-        return SPMDDGSolver(
+        solver = SPMDDGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
             limiter=cfg.limiter, cweight=cfg.cweight,
             evolve_ndof=1 if cfg.scheme == "p0p1" else None,
             pref=(cfg.scheme == "pdg") or cfg.pref,
             tolref=cfg.tolref,
         )
+        solver.overdecomp = over
+        return solver
 
     raise ValueError(f"unknown scheme {cfg.scheme!r}")
 

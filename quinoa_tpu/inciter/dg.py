@@ -236,8 +236,16 @@ class DGSolver:
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
             u = self._limit(g, u, dofmask, bounds_plan)
-            fused = (accum_plan is not None and dofmask is None
-                     and not self.needs_face_gp)
+            fused = accum_plan is not None and not self.needs_face_gp
+            # p-adaptive runs ride the SAME maskless fused kernel: with
+            # the inactive dofs zeroed on input, B*u equals the
+            # dofmask-masked states on both sides of every face, and the
+            # garbage the unmasked test contraction writes into inactive
+            # rhs rows is discarded by the anchor restore below
+            # (DG.cpp:1479-1488 keeps m_un there regardless)
+            uf = u
+            if fused and dofmask is not None:
+                uf = u * jnp.tile(dofmask, (self.system.ncomp, 1))
             if s == 0:
                 # the RK anchor is the LIMITED stage-0 solution — the
                 # reference sets m_un = m_u after lim() (DG.cpp:1471);
@@ -254,12 +262,15 @@ class DGSolver:
                 # one fused pass emits both the rhs and the dt sweep's
                 # per-face charvel (dg_dt's isolated sweep costs more
                 # than the whole fused rhs at bench scale)
-                r, delt = dg_rhs(self.system, g, u, dofmask, state.t,
+                r, delt = dg_rhs(self.system, g, uf, None, state.t,
                                  accum_plan=accum_plan, face_gp=False,
                                  want_charvel=True)
                 dt = dg_dt_from_delt(g, delt) * (
                     self.cfl * self.cflscale
                 )
+            elif fused:
+                r = dg_rhs(self.system, g, uf, None, state.t,
+                           accum_plan=accum_plan, face_gp=False)
             else:
                 r = dg_rhs(self.system, g, u, dofmask, state.t,
                            accum_plan=accum_plan,

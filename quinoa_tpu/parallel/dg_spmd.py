@@ -238,8 +238,7 @@ class SPMDDGSolver:
 
         mn = jnp.asarray(g.tables["mnorm"], dtype=g.vol.dtype)
         minv = jnp.tile(1.0 / (g.vol[None, :] * mn[:, None]), (C, 1))
-        fused = (plan is not None and not self.needs_face_gp
-                 and not self.pref)
+        fused = plan is not None and not self.needs_face_gp
 
         for s in range(3):
             # two exchanges per stage, like the reference's comsol + comlim
@@ -256,6 +255,12 @@ class SPMDDGSolver:
             u = self._limit(g, u, dofmask, bnds)
             if self.limiter is not None:
                 u = self._exchange(sh, u)
+            # p-adaptive rides the maskless fused kernel on dof-zeroed
+            # input (see inciter/dg.py); the anchor restore below
+            # discards the unmasked test rows
+            uf = u
+            if fused and dofmask is not None:
+                uf = u * jnp.tile(dofmask, (C, 1))
             if s == 0:
                 # RK anchor = limited stage-0 solution (DG.cpp:1471),
                 # matching the single-shard solver
@@ -271,7 +276,7 @@ class SPMDDGSolver:
             if fused and s == 0 and self.const_dt is None:
                 # the fused pass emits the dt charvel sweep for free
                 # (same as the single-chip solver)
-                r, delt = dg_rhs(self.system, g, u, dofmask, t,
+                r, delt = dg_rhs(self.system, g, uf, None, t,
                                  accum_plan=plan, face_gp=False,
                                  want_charvel=True)
                 dt = jax.lax.pmin(
@@ -279,6 +284,9 @@ class SPMDDGSolver:
                     * (self.cfl * self.cflscale),
                     AXIS,
                 )
+            elif fused:
+                r = dg_rhs(self.system, g, uf, None, t,
+                           accum_plan=plan, face_gp=False)
             else:
                 r = dg_rhs(self.system, g, u, dofmask, t,
                            accum_plan=plan,

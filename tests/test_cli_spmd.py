@@ -122,3 +122,62 @@ def test_cli_multimat_npes_matches_single(tmp_path, monkeypatch):
                  "--diag", "d4", "--npes", "4"]) == 0
     np.testing.assert_allclose(_read_diag("d4"), _read_diag("d1"),
                                rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("scheme", ["diagcg", "dg"])
+def test_per_chare_piece_writes_overdecomposed(tmp_path, meshfile,
+                                               monkeypatch, scheme):
+    """Under -u, --pieces == cpd*npes writes one file per CHARE from
+    the owning device's buffer (MeshWriter.hpp:33-100: a file per chare
+    regardless of placement); the joined pieces must equal the
+    single-device field output."""
+    import math
+
+    from quinoa_tpu.base.load import linear_load_distributor
+    from quinoa_tpu.io.pieces import join_exodus_pieces
+    from quinoa_tpu.io.exodus import (
+        read_exodus_fields, read_exodus_elem_fields,
+    )
+    from quinoa_tpu.io.exodus import read_exodus
+
+    deck = tmp_path / "p.q"
+    deck.write_text(f"""
+inciter
+  nstep 4
+  cfl 0.8
+  scheme {scheme}
+  field_output interval 4 end
+  transport
+    physics advection problem slot_cyl ncomp 1 depvar c
+    bc_dirichlet sideset 1 2 3 4 5 6 end end
+  end
+  diagnostics interval 4 error l2 end
+end
+""")
+    monkeypatch.chdir(tmp_path)
+    nelem = read_exodus(meshfile).nelem
+    _, nchare = linear_load_distributor(0.5, nelem, 4)
+    nchunk = max(math.ceil(nchare / 4), 1) * 4
+    assert nchunk > 4  # the overdecomposed regime, one file per chare
+    assert main(["inciter", "-c", str(deck), "-i", meshfile,
+                 "--diag", "d1", "-o", "s1"]) == 0
+    assert main(["inciter", "-c", str(deck), "-i", meshfile,
+                 "--diag", "dc", "-o", "sc", "--npes", "4",
+                 "-u", "0.5", "--pieces", str(nchunk)]) == 0
+    import glob
+
+    paths = sorted(glob.glob(f"sc.e-s.4.{nchunk}.*"))
+    assert len(paths) == nchunk
+    jm, jn, je, jt = join_exodus_pieces(paths)
+    if scheme == "diagcg":
+        names, _, vals = read_exodus_fields("s1.e-s.4.exo")
+        ref = dict(zip(names, vals[-1]))
+        for k, v in jn.items():
+            np.testing.assert_allclose(v, ref[k], atol=1e-9)
+        assert jn
+    else:
+        names, _, vals = read_exodus_elem_fields("s1.e-s.4.exo")
+        ref = dict(zip(names, vals[-1]))
+        for k, v in je.items():
+            np.testing.assert_allclose(v, ref[k], atol=1e-9)
+        assert je
