@@ -92,6 +92,42 @@ def hilbert_element_reorder(mesh: UnsMesh) -> Tuple[UnsMesh, np.ndarray]:
     return out, eorder
 
 
+def first_touch_node_reorder(mesh: UnsMesh) -> Tuple[UnsMesh, np.ndarray]:
+    """Renumber NODES by first appearance in element order (elements
+    untouched).
+
+    With Hilbert-ordered elements this makes each element's node ids
+    concentrate around a sliding frontier — the locality contract
+    behind the CG window kernels (ops/node_window.py); the reference's
+    equivalent is Sorter's start-vector node reordering
+    (src/Inciter/Sorter.cpp:272-317, "reorder node ids by the order
+    they first appear in the connectivity").
+
+    Returns (new mesh, nperm) with nperm old->new: new id of old node
+    i is nperm[i]; nodal fields map as u_new[:, nperm] = u_old.
+    """
+    flat = mesh.inpoel.reshape(-1)
+    first = np.full(mesh.nnode, -1, np.int64)
+    seen = np.zeros(mesh.nnode, dtype=bool)
+    nxt = 0
+    for n in flat:
+        if not seen[n]:
+            seen[n] = True
+            first[n] = nxt
+            nxt += 1
+    # isolated nodes (no element) keep stable order at the end
+    rest = np.nonzero(~seen)[0]
+    first[rest] = nxt + np.arange(len(rest))
+    nperm = first
+    coords = np.empty_like(mesh.coords)
+    coords[nperm] = mesh.coords
+    out = UnsMesh(coords=coords, inpoel=nperm[mesh.inpoel])
+    # bface triangles carry NODE ids (unsmesh.py:26) — renumber both
+    out.bface = {k: nperm[np.asarray(v)] for k, v in mesh.bface.items()}
+    out.bnode = {k: nperm[np.asarray(v)] for k, v in mesh.bnode.items()}
+    return out, nperm
+
+
 def sfc_reorder(mesh: UnsMesh) -> Tuple[UnsMesh, np.ndarray, np.ndarray]:
     """Renumber nodes and elements along the Morton curve.
 
