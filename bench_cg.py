@@ -25,9 +25,17 @@ def main():
     from quinoa_tpu.inciter import DiagCGSolver
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # windowed node kernels measured SLOWER end-to-end (see ROADMAP
+    # "CG" note) — opt-in for re-measurement only
+    window = "--window" in sys.argv
     mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
+    # locality passes behind the windowed node kernels
+    from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
+                                         hilbert_element_reorder)
+    mesh, _ = hilbert_element_reorder(mesh)
+    mesh, _ = first_touch_node_reorder(mesh)
     solver = DiagCGSolver(
-        CGTransport(SlotCyl()), make_cggeom(mesh), cfl=0.8,
+        CGTransport(SlotCyl()), make_cggeom(mesh, window=window), cfl=0.8,
         bcnodes=mesh.all_bnodes(),
     )
     state = solver.initial_state()

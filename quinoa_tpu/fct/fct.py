@@ -28,7 +28,7 @@ from ..ops.assembly import (
     assemble_max,
     assemble_min,
 )
-from ..pde.cg import CGGeom
+from ..pde.cg import CGGeom, cg_gather, cg_assemble_add
 
 
 class FCT:
@@ -56,10 +56,11 @@ class FCT:
 
     def diff(self, geom: CGGeom, Un):
         """Mass-diffusion rhs of the low-order system: (C, N) partials."""
-        un = gather_nodes(Un, geom.inpoelT)
-        return assemble_add(self.diff_contrib(geom, un), geom.nsup)
+        un = cg_gather(geom, Un)
+        return cg_assemble_add(geom, self.diff_contrib(geom, un))
 
-    def aec(self, geom: CGGeom, dUh, Un, bcmask, un=None, bc_n=None):
+    def aec(self, geom: CGGeom, dUh, Un, bcmask, un=None, bc_n=None,
+            vol_n=None):
         """Antidiffusive element contributions + nodal P sums.
 
         AEC = M_L^{-1} (M_Le - M_ce)(ctau*Un + dUh); dUh enters as zero for
@@ -67,32 +68,41 @@ class FCT:
         AECs at Dirichlet-BC nodes are zeroed.
 
         bcmask : (C, N) 1.0 where a Dirichlet BC is set.
-        un, bc_n : optional precomputed gathers of Un and bcmask (bc_n is
-        static per run — the solver caches it).
+        un, bc_n, vol_n : optional precomputed gathers of Un, bcmask and
+        nodal volumes (bc_n and vol_n are static per run — the solver
+        caches them to keep these gathers out of the per-step program).
         Returns (aec (4, C, E), P (2, C, N)).
         """
-        if un is None:
-            un = gather_nodes(Un, geom.inpoelT)
-        me = self._mass_lumped_minus_consistent(geom, self.ctau * un)
-        vol_n = jnp.stack(
-            [geom.vol[geom.inpoelT[a]] for a in range(4)]
-        )  # (4, E)
-        aec = me / vol_n[:, None, :]
-
-        if bc_n is None:
-            bc_n = gather_nodes(bcmask, geom.inpoelT)  # (4, C, E)
-        aec = jnp.where(bc_n > 0, 0.0, aec)
-
+        aec = self.aec_contrib(geom, dUh, Un, bcmask, un=un, bc_n=bc_n,
+                               vol_n=vol_n)
         # one assembly pass over the stacked [pos | neg] rows (each
         # extra row rides the same D gathers)
         C = aec.shape[1]
-        pn = assemble_add(
+        pn = cg_assemble_add(
+            geom,
             jnp.concatenate(
                 [jnp.maximum(aec, 0.0), jnp.minimum(aec, 0.0)], axis=1
             ),
-            geom.nsup,
         )
         return aec, jnp.stack([pn[:C], pn[C:]])
+
+    def aec_contrib(self, geom: CGGeom, dUh, Un, bcmask, un=None,
+                    bc_n=None, vol_n=None):
+        """Antidiffusive element contributions (4, C, E) only — the
+        driver may fuse their P assembly with the Q one
+        (ops.assembly.assemble_add_max)."""
+        if un is None:
+            un = cg_gather(geom, Un)
+        me = self._mass_lumped_minus_consistent(geom, self.ctau * un)
+        if vol_n is None:
+            vol_n = jnp.stack(
+                [geom.vol[geom.inpoelT[a]] for a in range(4)]
+            )  # (4, E)
+        aec = me / vol_n[:, None, :]
+
+        if bc_n is None:
+            bc_n = cg_gather(geom, bcmask)  # (4, C, E)
+        return jnp.where(bc_n > 0, 0.0, aec)
 
     def alw(self, geom: CGGeom, Un, Ul):
         """Allowed max/min around nodes: Q (2, C, N) partials.
@@ -103,20 +113,33 @@ class FCT:
         stacked gather + one stacked extreme-assembly.
         """
         C = Un.shape[0]
-        big = jnp.asarray(jnp.finfo(Un.dtype).max, dtype=Un.dtype)
-        s = gather_nodes(
-            jnp.concatenate(
-                [jnp.maximum(Ul, Un), -jnp.minimum(Ul, Un)], axis=0
-            ),
-            geom.inpoelT,
-        )  # (4, 2C, E): [max | -min]
-        s_el = s.max(axis=0)  # (2C, E): [max_el | -min_el]
-        s_el = jnp.where(geom.emask <= 0, -big, s_el)
-
+        s_el = self.alw_contrib(geom, Un, Ul)
         q = assemble_max(
-            jnp.broadcast_to(s_el[None], s.shape), geom.nsup
+            jnp.broadcast_to(s_el[None], (4,) + s_el.shape), geom.nsup
         )  # (2C, N): [qmax | -qmin]
         return jnp.stack([q[:C], -q[C:]])
+
+    def alw_contrib(self, geom: CGGeom, Un, Ul, un=None, uln=None):
+        """Element extrema slab (2C, E) = [max_el | -min_el] feeding the
+        Q max-assembly.  When the step already holds un = gather(Un),
+        pass it plus uln = gather(Ul): gather(max(Ul,Un)) ==
+        max(gather(Ul), gather(Un)) elementwise, so the 2C-row gather
+        shrinks to the C-row Ul one.
+        """
+        big = jnp.asarray(jnp.finfo(Un.dtype).max, dtype=Un.dtype)
+        if un is not None and uln is not None:
+            smax = jnp.maximum(uln, un).max(axis=0)       # (C, E)
+            smin = jnp.minimum(uln, un).min(axis=0)
+            s_el = jnp.concatenate([smax, -smin], axis=0)  # (2C, E)
+        else:
+            s = cg_gather(
+                geom,
+                jnp.concatenate(
+                    [jnp.maximum(Ul, Un), -jnp.minimum(Ul, Un)], axis=0
+                ),
+            )  # (4, 2C, E): [max | -min]
+            s_el = s.max(axis=0)
+        return jnp.where(geom.emask <= 0, -big, s_el)
 
     def lim(self, geom: CGGeom, aec, P, Q, Ul):
         """Limited antidiffusive contributions assembled to nodes: (C, N).
@@ -142,11 +165,11 @@ class FCT:
             0.0,
         )
 
-        rpm = gather_nodes(
-            jnp.concatenate([Rp, Rm], axis=0), geom.inpoelT
+        rpm = cg_gather(
+            geom, jnp.concatenate([Rp, Rm], axis=0)
         )  # (4, 2C, E)
         rp, rm = rpm[:, :C], rpm[:, C:]
         r = jnp.where(jnp.abs(aec) < eps, big, jnp.where(aec > 0.0, rp, rm))
         Cel = jnp.minimum(r.min(axis=0), 1.0)  # (C, E)
 
-        return assemble_add(Cel[None] * aec, geom.nsup)
+        return cg_assemble_add(geom, Cel[None] * aec)

@@ -59,6 +59,8 @@ def diagcg_advance(
     combine_sum=_identity_combine,
     combine_max=_identity_combine,
     combine_min=_identity_combine,
+    bc_n=None,
+    vol_n=None,
 ):
     """One DiagCG(+FCT) update given the time step size.
 
@@ -67,8 +69,12 @@ def diagcg_advance(
     (comrhs), P and Q (comaec/comalw), A (comlim).  On a single shard they
     are the identity; the SPMD driver injects boundary-buffer
     psum/pmax/pmin reductions.
+
+    bc_n/vol_n: optional precomputed (static) gathers of bcmask and
+    nodal volumes to element nodes — the solver caches them so the
+    per-step program carries no static gathers.
     """
-    from ..ops.assembly import gather_nodes, assemble_add
+    from ..pde.cg import cg_gather, cg_assemble_add
 
     C = u.shape[0]
     # ONE shared nodal gather feeds the PDE rhs, the mass diffusion, and
@@ -76,10 +82,10 @@ def diagcg_advance(
     # tets — each op re-gathering was the dominant step cost); the rhs
     # and diff element contributions then ride a single stacked assembly
     # and a single stacked halo exchange.
-    un = gather_nodes(u, geom.inpoelT)                      # (4, C, E)
+    un = cg_gather(geom, u)                                 # (4, C, E)
     rc = system.rhs_contrib(t, dt, geom, u, un)
     dc = fct.diff_contrib(geom, un)
-    rd = assemble_add(jnp.concatenate([rc, dc], axis=1), geom.nsup)
+    rd = cg_assemble_add(geom, jnp.concatenate([rc, dc], axis=1))
     rd = combine_sum(rd)                                    # (2C, N)
     r, dif = rd[:C], rd[C:]
 
@@ -97,13 +103,32 @@ def diagcg_advance(
     if not use_fct:
         return u + du
 
-    aec, P = fct.aec(geom, du, u, bcmask, un=un)
-    Q = fct.alw(geom, u, ul)
+    aec = fct.aec_contrib(geom, du, u, bcmask, un=un, bc_n=bc_n,
+                          vol_n=vol_n)
+    # gather(max(Ul,Un)) == max(gather(Ul), un) elementwise, so alw
+    # rides a C-row Ul gather instead of its own 2C-row one
+    uln = cg_gather(geom, ul)
+    s_el = fct.alw_contrib(geom, u, ul, un=un, uln=uln)     # (2C, E)
+    pq = jnp.concatenate(
+        [jnp.maximum(aec, 0.0), jnp.minimum(aec, 0.0)], axis=1)
+    s4 = jnp.broadcast_to(s_el[None], (4,) + s_el.shape)
+    if geom.plan is None and 4 * C <= 16:
+        # fuse the P sum-assembly and Q max-assembly into one pass of
+        # shared nsup gathers — 4C rows stays under the ~16-row XLA
+        # gather cliff, so the pass costs the same as either alone
+        from ..ops.assembly import assemble_add_max
+
+        P2, Q2 = assemble_add_max(pq, s4, geom.nsup)
+    else:
+        from ..ops.assembly import assemble_max
+
+        P2 = cg_assemble_add(geom, pq)
+        Q2 = assemble_max(s4, geom.nsup)
     # one stacked sum exchange for P, one stacked max exchange for Q
-    # (min folds in by negation)
-    P2 = combine_sum(jnp.concatenate([P[0], P[1]], axis=0))
+    # (min folds in by negation); Q2 rows are [qmax | -qmin]
+    P2 = combine_sum(P2)
     P = jnp.stack([P2[:C], P2[C:]])
-    Q2 = combine_max(jnp.concatenate([Q[0], -Q[1]], axis=0))
+    Q2 = combine_max(Q2)
     Q = jnp.stack([Q2[:C], -Q2[C:]])
     A = combine_sum(fct.lim(geom, aec, P, Q, ul))
     return ul + A
@@ -149,6 +174,13 @@ class DiagCGSolver:
         # assembled lumped-mass lhs (DiagCG::lhs + lhsmerge)
         self.lhs = lumped_mass(geom)
 
+        # static per-run gathers cached once (eager, outside the step):
+        # bcmask and nodal volumes at element nodes (FCT::aec inputs)
+        self.bc_n = jnp.stack(
+            [bcmask[:, geom.inpoelT[a]] for a in range(4)])
+        self.vol_n = jnp.stack(
+            [geom.vol[geom.inpoelT[a]] for a in range(4)])
+
         # geometry/lhs/bcmask are jit ARGUMENTS, not closure constants
         self._step = jax.jit(self._step_impl)
 
@@ -165,12 +197,14 @@ class DiagCGSolver:
         )
 
     def step(self, state: CGState) -> CGState:
-        return self._step(self.geom, self.lhs, self.bcmask, state)
+        return self._step(self.geom, self.lhs, self.bcmask,
+                          self.bc_n, self.vol_n, state)
 
     def nsteps(self, state: CGState, n: int) -> CGState:
         """n steps by repeated dispatch of the compiled step."""
         for _ in range(n):
-            state = self._step(self.geom, self.lhs, self.bcmask, state)
+            state = self._step(self.geom, self.lhs, self.bcmask,
+                               self.bc_n, self.vol_n, state)
         return state
 
     # -- implementation -------------------------------------------------------
@@ -180,7 +214,8 @@ class DiagCGSolver:
             return jnp.asarray(self.const_dt, dtype=self.geom.vol.dtype)
         return self.system.dt(self.geom, u) * self.cfl
 
-    def _step_impl(self, geom, lhs, bcmask, state: CGState) -> CGState:
+    def _step_impl(self, geom, lhs, bcmask, bc_n, vol_n,
+                   state: CGState) -> CGState:
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
         else:
@@ -195,5 +230,7 @@ class DiagCGSolver:
             state.u,
             state.t,
             dt,
+            bc_n=bc_n,
+            vol_n=vol_n,
         )
         return CGState(u=unew, t=state.t + dt, it=state.it + 1, dt=dt)

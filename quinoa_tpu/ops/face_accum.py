@@ -131,9 +131,13 @@ class AccumPlan:
     E: int
 
 
-def _pass_tables(key: np.ndarray, TF: int, W: int, dtype):
+def _pass_tables(key: np.ndarray, TF: int, W: int, dtype, E=None):
     """(ks, blk, lo_mask, hi_mask, ntile, nblk) for one pass; key entries
-    of -1 are skipped faces."""
+    of -1 are skipped faces.  E (optional) is the full element-axis
+    width the pass's (nblk+2)*W scratch must cover: padded axes can
+    carry trailing elements no face references (overdecomposed super-
+    shards), and the output slice [:, :E] needs the scratch to reach
+    them."""
     F = key.shape[0]
     ntile = max((F + TF - 1) // TF, 1)
     Fp = ntile * TF
@@ -158,6 +162,8 @@ def _pass_tables(key: np.ndarray, TF: int, W: int, dtype):
             # earlier block would re-zero it in the kernel)
             blk[t] = blk[t - 1] if t else 0
     nblk = int(blk.max()) + 1
+    if E is not None:
+        nblk = max(nblk, -(-int(E) // W) - 2)
     lo = np.zeros((1, (nblk + 2) * W), dtype)
     hi = np.zeros((1, (nblk + 2) * W), dtype)
     for b in set(blk.tolist()):
@@ -194,13 +200,14 @@ def _plan_arrays(el, er, xi_r, E, dtype, TF, W, fmask=None):
         raise ValueError("build_accum_plan needs el-sorted faces")
 
     ksL, blkL, mloL, mhiL, ntileL, nblkL = _pass_tables(
-        keyL.astype(np.int32), TF, W, dtype)
+        keyL.astype(np.int32), TF, W, dtype, E=E)
 
     interior = (er != el) & real
     keyR = np.where(interior, er, np.iinfo(np.int64).max)
     permR = np.argsort(keyR, kind="stable").astype(np.int32)
     ksR_key = np.where(interior[permR], er[permR], -1).astype(np.int32)
-    ksR, blkR, mloR, mhiR, ntileR, nblkR = _pass_tables(ksR_key, TF, W, dtype)
+    ksR, blkR, mloR, mhiR, ntileR, nblkR = _pass_tables(ksR_key, TF, W,
+                                                        dtype, E=E)
 
     # er-sorted static face Gauss coords for the basis-contracting R
     # pass (the runtime permute then only moves the (C*G) weighted-flux
@@ -219,14 +226,14 @@ def _plan_arrays(el, er, xi_r, E, dtype, TF, W, fmask=None):
     )
 
 
-def _fit_tables(key, TF, W, dtype):
+def _fit_tables(key, TF, W, dtype, E=None):
     """Widen the window (doubling keeps every Ws a multiple of the
     classification W, which the near in-window guarantee relies on)
     until every tile's span fits."""
     Wt = W
     while True:
         try:
-            return (Wt,) + _pass_tables(key, TF, Wt, dtype)
+            return (Wt,) + _pass_tables(key, TF, Wt, dtype, E=E)
         except ValueError:
             if Wt >= 8192:
                 raise
@@ -234,7 +241,7 @@ def _fit_tables(key, TF, W, dtype):
 
 
 def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
-                       TF, W, dtype, force=None):
+                       TF, W, dtype, force=None, E=None):
     """Numpy pieces + metas of a FusedPlan for one (sub)mesh.
 
     `force` pins the stream metas {Wn, Wf, WRF, ntileN, ntileF,
@@ -271,11 +278,11 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
                 [ks_el, np.full(sntile * TF - len(idx), -1, np.int32)])
         if sW is None:
             Ws, ks, blk, mlo, mhi, ntile, nblk = _fit_tables(
-                ks_el, TF, W, dtype)
+                ks_el, TF, W, dtype, E=E)
         else:
             Ws = sW
             ks, blk, mlo, mhi, ntile, nblk = _pass_tables(
-                ks_el, TF, Ws, dtype)
+                ks_el, TF, Ws, dtype, E=E)
         if snblk is not None and nblk < snblk:
             pad = (snblk - nblk) * Ws
             mlo = np.pad(mlo, ((0, 0), (0, pad)))
@@ -310,11 +317,11 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
                      erf_p[permRF]).astype(np.int32)
     if f.get("WRF") is None:
         WRF, ksRF, blkRF, mloRF, mhiRF, ntileRF, nblkRF = _fit_tables(
-            keyRF, TF, W, dtype)
+            keyRF, TF, W, dtype, E=E)
     else:
         WRF = f["WRF"]
         ksRF, blkRF, mloRF, mhiRF, ntileRF, nblkRF = _pass_tables(
-            keyRF, TF, WRF, dtype)
+            keyRF, TF, WRF, dtype, E=E)
     if f.get("nblkRF") is not None and nblkRF < f["nblkRF"]:
         pad = (f["nblkRF"] - nblkRF) * WRF
         mloRF = np.pad(mloRF, ((0, 0), (0, pad)))
@@ -364,7 +371,7 @@ def _build_fused_plan(geom, TF, W, dtype) -> FusedPlan:
     p = _fused_plan_arrays(
         geom.el, geom.er, geom.xi_l, geom.xi_r, geom.fn,
         np.asarray(geom.farea) * np.asarray(geom.fmask), None,
-        geom.bctype, TF, W, dtype)
+        geom.bctype, TF, W, dtype, E=int(geom.nelem))
     return _fused_from_arrays(p)
 
 
@@ -453,7 +460,8 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 128,
                 np.asarray(g.fn)[s], np.asarray(g.farea)[s],
                 np.asarray(g.fmask)[s], np.asarray(g.bctype)[s])
 
-    fit = [_fused_plan_arrays(*fargs(s), TF, W, dtype) for s in range(S)]
+    fit = [_fused_plan_arrays(*fargs(s), TF, W, dtype, E=El)
+           for s in range(S)]
     force = dict(
         Wn=max(p["near"]["W"] for p in fit),
         Wf=max(p["far"]["W"] for p in fit),
@@ -464,7 +472,8 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 128,
         nblkF=max(p["far"]["nblk"] for p in fit),
         nblkRF=max(p["nblkRF"] for p in fit),
     )
-    fps = [_fused_plan_arrays(*fargs(s), TF, W, dtype, force=force)
+    fps = [_fused_plan_arrays(*fargs(s), TF, W, dtype, force=force,
+                              E=El)
            for s in range(S)]
 
     def fstack(path):

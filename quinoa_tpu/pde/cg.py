@@ -25,11 +25,14 @@ import numpy as np
 
 from ..mesh.geometry import tet_geometry, nodal_volumes
 from ..ops.assembly import build_nsup, gather_nodes, assemble_add
+from ..ops.node_window import (NodePlan, build_node_plan,
+                               gather_nodes_window, assemble_add_window)
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["coords", "inpoelT", "J", "grad", "vol", "emask", "nsup"],
+    data_fields=["coords", "inpoelT", "J", "grad", "vol", "emask", "nsup",
+                 "plan"],
     meta_fields=["nnode"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +46,9 @@ class CGGeom:
     vol    : (nnode,)         nodal volumes, fully summed across shards
     emask  : (nelem,)         1.0 real element / 0.0 padding
     nsup   : (D, nnode) i32   assembly gather table (ops.assembly)
+    plan   : optional NodePlan routing gathers/sum-assemblies through
+             the windowed Pallas kernels (ops.node_window); pays off
+             when nodes are first-touch ordered along Hilbert elements
     nnode  : int              static node count
     """
 
@@ -54,18 +60,40 @@ class CGGeom:
     emask: jnp.ndarray
     nsup: jnp.ndarray
     nnode: int
+    plan: Optional[NodePlan] = None
 
     @property
     def nelem(self) -> int:
         return self.inpoelT.shape[1]
 
 
-def make_cggeom(mesh, dtype=None) -> CGGeom:
+def cg_gather(geom: CGGeom, U):
+    """Nodal fields -> element-node slabs (4, C, E), via the windowed
+    Pallas kernel when the geometry carries a plan (3x on chip at 48^3)."""
+    if geom.plan is not None:
+        return gather_nodes_window(geom.plan, U)
+    return gather_nodes(U, geom.inpoelT)
+
+
+def cg_assemble_add(geom: CGGeom, contrib):
+    """Sum element-node contributions (4, C, E) -> (C, N); windowed
+    Pallas accumulation when a plan is present.  Extreme (max/min)
+    assemblies stay on the nsup path — measured FASTER there."""
+    if geom.plan is not None:
+        return assemble_add_window(geom.plan, contrib)
+    return assemble_add(contrib, geom.nsup)
+
+
+def make_cggeom(mesh, dtype=None, window: bool = False) -> CGGeom:
     """Build single-shard CGGeom from a host UnsMesh (no padding).
 
     dtype defaults to JAX's current default float dtype (f64 with x64 —
     matching the reference's tk::real — else f32, the TPU perf dtype).
     Geometry is always derived in f64 on host.
+
+    window=True builds the windowed-kernel NodePlan; callers should
+    first apply hilbert_element_reorder + first_touch_node_reorder
+    (mesh/reorder.py) so the slot->node incidence is local.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -74,6 +102,10 @@ def make_cggeom(mesh, dtype=None) -> CGGeom:
         raise ValueError("mesh has non-positive element Jacobians")
     vol = nodal_volumes(mesh.coords, mesh.inpoel, mesh.nnode)
     nsup, _ = build_nsup(mesh.inpoel, mesh.nnode)
+    plan = None
+    if window:
+        plan = build_node_plan(mesh.inpoel, mesh.nnode,
+                               dtype=np.dtype(dtype))
     return CGGeom(
         coords=jnp.asarray(mesh.coords.T, dtype=dtype),
         inpoelT=jnp.asarray(mesh.inpoel.T, dtype=jnp.int32),
@@ -83,6 +115,7 @@ def make_cggeom(mesh, dtype=None) -> CGGeom:
         emask=jnp.ones(mesh.nelem, dtype=dtype),
         nsup=jnp.asarray(nsup),
         nnode=int(mesh.nnode),
+        plan=plan,
     )
 
 
@@ -126,11 +159,8 @@ class CGTransport:
 
     def rhs(self, t, dt, geom: CGGeom, U):
         """Right-hand side (C, nnode): per-shard partial sums."""
-        return assemble_add(
-            self.rhs_contrib(t, dt, geom, U,
-                             gather_nodes(U, geom.inpoelT)),
-            geom.nsup,
-        )
+        return cg_assemble_add(
+            geom, self.rhs_contrib(t, dt, geom, U, cg_gather(geom, U)))
 
     def rhs_contrib(self, t, dt, geom: CGGeom, U, un):
         """Element-node rhs contributions (4, C, E), pre-assembly, from

@@ -79,7 +79,9 @@ def test_spmd_alecg_matches_single(nshard):
     solverN = SPMDALECGSolver(system, sharded, dmesh, cfl=0.5)
     sN = solverN.nsteps(solverN.initial_state(), 3)
 
-    assert np.isclose(float(sN.t), float(s1.t), rtol=1e-12)
+    # SPMD scalars ride the shard axis as (S,) pieces
+    assert np.isclose(float(np.asarray(sN.t).ravel()[0]),
+                      float(np.asarray(s1.t).ravel()[0]), rtol=1e-12)
     uN = gather_global_field(sharded.cg, sN.u)
     np.testing.assert_allclose(uN, np.asarray(s1.u), rtol=1e-9, atol=1e-11)
 
