@@ -95,7 +95,10 @@ def _cmd_inciter(argv):
         print(format_mesh_statistics(mstats))
         write_mesh_pdfs(mstats)
 
-    if args.npes > 1:
+    if args.npes > 1 or args.virtualization > 0.0:
+        # npes 1 with -u still exercises the overdecomposed SPMD path
+        # (the reference's asynclogic sweep includes 1-PE
+        # virtualization, SlotCyl/asynclogic/CMakeLists.txt:4-63)
         return _run_inciter_spmd(args, cfg, mesh)
 
     with prof.phase("solver build"):
