@@ -801,6 +801,16 @@ _COMMANDS = {
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # -H [keyword]: auto-generated control-file keyword help, accepted
+    # by every executable (HelpFactory.hpp; Keyword.hpp:90-99)
+    if "-H" in argv or "--helpkw" in argv:
+        from .control.keywords import format_keyword_help
+
+        i = argv.index("-H" if "-H" in argv else "--helpkw")
+        kw = argv[i + 1] if i + 1 < len(argv) \
+            and not argv[i + 1].startswith("-") else None
+        print(format_keyword_help(kw))
+        return 0
     if not argv or argv[0] not in _COMMANDS:
         print(
             "usage: python -m quinoa_tpu {inciter|walker|meshconv|rngtest} [options]",

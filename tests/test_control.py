@@ -218,3 +218,33 @@ def test_cli_checkpoint_restart(tmp_path, monkeypatch):
     rest = rows("diag_rest")
     assert rest.shape[0] == 3 and int(rest[0, 0]) == 8
     assert np.allclose(rest, full[7:], rtol=1e-13, atol=1e-15)
+
+
+def test_keyword_help():
+    """-H prints the keyword list; -H <kw> prints a keyword page; the
+    registry covers every block the parser knows (HelpFactory analog,
+    src/Control/HelpFactory.hpp)."""
+    import contextlib
+    import io
+
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.control.keywords import KEYWORDS, format_keyword_help
+    from quinoa_tpu.control.qparser import BLOCK_PARENTS
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["inciter", "-H"]) == 0
+    out = buf.getvalue()
+    assert "scheme" in out and "cfl" in out
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["-H", "scheme"]) == 0
+    assert "diagcg" in buf.getvalue()
+
+    assert "unknown" in format_keyword_help("notakeyword")
+
+    # every parser block except SDE-internal blocks has a help entry
+    missing = [b for b in BLOCK_PARENTS
+               if b not in KEYWORDS and not b.startswith("ic")]
+    assert not missing, missing
