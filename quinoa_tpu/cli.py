@@ -30,6 +30,11 @@ def _cmd_inciter(argv):
                     help="shard the run over N devices (domain "
                          "decomposition over a jax.sharding.Mesh; the "
                          "Transporter/Partitioner analog)")
+    ap.add_argument("--slices", type=int, default=0,
+                    help="treat the --npes devices as N slices x "
+                         "(npes/N) chips: hierarchical (multi-slice) "
+                         "partitioning keeps halo exchange intra-slice "
+                         "(ICI) and only region boundaries cross DCN")
     ap.add_argument("-u", "--virtualization", type=float, default=0.0,
                     help="overdecomposition parameter in [0,1): cut "
                          "linearLoadDistributor-many chunks, LPT-pack "
@@ -318,9 +323,15 @@ def _run_inciter_spmd(args, cfg, mesh):
     from .io import DiagWriter
     from .parallel.shard import gather_global_field
 
+    hierarchy = None
+    if getattr(args, "slices", 0) and args.slices > 1:
+        if args.npes % args.slices:
+            raise SystemExit("--npes must be a multiple of --slices")
+        hierarchy = (args.slices, args.npes // args.slices)
     solver = build_inciter_spmd(
         cfg, mesh, args.npes,
-        virtualization=getattr(args, "virtualization", 0.0))
+        virtualization=getattr(args, "virtualization", 0.0),
+        hierarchy=hierarchy)
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
 
     def gather_u(state):
@@ -393,7 +404,8 @@ def _run_inciter_spmd(args, cfg, mesh):
                     mesh = mesh2
                     solver = build_inciter_spmd(
                         cfg, mesh, args.npes,
-                        virtualization=getattr(args, "virtualization", 0.0))
+                        virtualization=getattr(args, "virtualization", 0.0),
+                        hierarchy=hierarchy)
                     st = solver.initial_state(t0=float(_hs(state.t)))
                     unew = jax.device_put(
                         scatter_u(solver, u2).astype(st.u.dtype),

@@ -362,7 +362,7 @@ def build_inciter(cfg: InciterConfig, mesh):
 
 
 def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
-                       virtualization: float = 0.0):
+                       virtualization: float = 0.0, hierarchy=None):
     """Construct the DISTRIBUTED solver named by the deck over npes shards.
 
     The production counterpart of the reference's always-parallel
@@ -420,7 +420,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
         mmsys = MultiMatSystem(mmprob)
         sharded = build_dg_shards(
             mesh, npes, ndof=1, bc_sidesets=bc,
-            algorithm=cfg.partitioner,
+            algorithm=cfg.partitioner, hierarchy=hierarchy,
         )
         return SPMDMultiMatSolver(
             mmsys, sharded, dmesh,
@@ -451,6 +451,12 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
 
     cfl = cfg.cfl if cfg.cfl is not None else 0.5
 
+    if virtualization > 0.0 and hierarchy is not None:
+        raise ValueError(
+            "multi-slice hierarchy with virtualization is not "
+            "supported yet: chunk LPT packing would have to be "
+            "slice-aware to preserve the intra-slice halo locality"
+        )
     if virtualization > 0.0 and cfg.scheme not in (
             "diagcg", "alecg", "dg", "p0p1", "dgp1", "dgp2"):
         raise ValueError(
@@ -490,7 +496,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             else:
                 sharded = build_alecg_shards(
                     mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
-                    algorithm=cfg.partitioner,
+                    algorithm=cfg.partitioner, hierarchy=hierarchy,
                 )
             return SPMDALECGSolver(
                 system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt
@@ -509,7 +515,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             over = None
             sharded = build_cg_shards(
                 mesh, npes, ncomp=system.ncomp, bcnodes=bcnodes,
-                algorithm=cfg.partitioner,
+                algorithm=cfg.partitioner, hierarchy=hierarchy,
             )
         solver = SPMDDiagCGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,
@@ -556,7 +562,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             over = None
             sharded = build_dg_shards(
                 mesh, npes, ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
-                algorithm=cfg.partitioner,
+                algorithm=cfg.partitioner, hierarchy=hierarchy,
             )
         solver = SPMDDGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,

@@ -29,7 +29,7 @@ from ..inciter.alecg import (
     RK0, RK1, alecg_flux_rhs, alecg_dissipation, edge_arrays_np,
 )
 from ..inciter.diagcg import CGState
-from .partition import partition_elements
+from .partition import partition_elements, partition_for
 from .shard import ShardedCG, build_cg_shards
 from .spmd import AXIS, HaloCombiner, PpermuteHalo, _local
 
@@ -62,11 +62,13 @@ def build_alecg_shards(
     bcnodes: Optional[np.ndarray] = None,
     algorithm: str = "sfc",
     dtype=None,
+    hierarchy=None,
 ) -> ShardedALECG:
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     coords, inpoel = mesh.coords, mesh.inpoel
-    epart = partition_elements(coords, inpoel, nshard, algorithm)
+    epart = partition_for(coords, inpoel, nshard, algorithm,
+                          hierarchy=hierarchy)
     cg = build_cg_shards(
         mesh, nshard, ncomp, bcnodes=bcnodes, algorithm=algorithm,
         dtype=dtype, epart=epart,

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..mesh.derived import gen_esuel
 from ..pde.dg import DGGeom, build_dggeom
-from .partition import partition_elements
+from .partition import partition_elements, partition_for
 
 
 def _build_ghost_halo(owned_l, ghosts_l, local_l, E, El, nshard):
@@ -117,6 +117,7 @@ def build_dg_shards(
     bc_sidesets: Optional[Dict[int, int]] = None,
     algorithm: str = "sfc",
     dtype=None,
+    hierarchy=None,
 ) -> ShardedDG:
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -131,7 +132,8 @@ def build_dg_shards(
     E = mesh.nelem
     esuel = gen_esuel(mesh.inpoel, mesh.nnode)  # (E,4)
 
-    epart = partition_elements(mesh.coords, mesh.inpoel, nshard, algorithm)
+    epart = partition_for(mesh.coords, mesh.inpoel, nshard, algorithm,
+                          hierarchy=hierarchy)
 
     owned_l, local_l, ghosts_l = [], [], []
     for s in range(nshard):

@@ -244,3 +244,51 @@ def partition_elements(
     if algo is graph_partition:
         return algo(element_centroids(coords, inpoel), nparts, inpoel=inpoel)
     return algo(element_centroids(coords, inpoel), nparts)
+
+
+def partition_hierarchical(
+    coords: np.ndarray,
+    inpoel: np.ndarray,
+    nslice: int,
+    chips_per_slice: int,
+    algorithm: str = "sfc",
+) -> np.ndarray:
+    """Two-level (multi-slice) element partition: slice-major ids.
+
+    TPU pods expose a bandwidth hierarchy — chips within a slice talk
+    over ICI, slices over DCN ("How to Scale Your Model": keep the
+    chatty axis on ICI).  For spatial domain decomposition the chatty
+    traffic is the halo exchange, so the partition itself must be
+    hierarchical: first cut the domain into `nslice` contiguous
+    regions, then cut each region into `chips_per_slice` shards.
+    Shard id = slice * chips_per_slice + local chip, so a slice-major
+    flattened device mesh places every intra-region halo pair on ICI
+    and only the region-boundary pairs cross DCN.
+
+    The reference's analog is Charm++ topology-aware mapping over its
+    Zoltan partitions (the reference relies on the RTS; here the
+    locality is built into the partition ids).
+    """
+    parts1 = partition_elements(coords, inpoel, nslice, algorithm)
+    out = np.empty(inpoel.shape[0], dtype=np.int32)
+    for s in range(nslice):
+        idx = np.nonzero(parts1 == s)[0]
+        sub = partition_elements(
+            coords, inpoel[idx], chips_per_slice, algorithm)
+        out[idx] = s * chips_per_slice + sub
+    return out
+
+
+def partition_for(coords, inpoel, nshard, algorithm="sfc",
+                  hierarchy=None):
+    """Shard-builder entry: flat or hierarchical (multi-slice) ids.
+
+    hierarchy=(nslice, chips_per_slice) must multiply to nshard.
+    """
+    if hierarchy is not None:
+        ns, cps = hierarchy
+        if ns * cps != nshard:
+            raise ValueError(
+                f"hierarchy {ns}x{cps} != nshard {nshard}")
+        return partition_hierarchical(coords, inpoel, ns, cps, algorithm)
+    return partition_elements(coords, inpoel, nshard, algorithm)

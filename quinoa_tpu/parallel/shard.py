@@ -30,7 +30,7 @@ import numpy as np
 from ..mesh.geometry import tet_geometry, nodal_volumes
 from ..ops.assembly import build_nsup
 from ..pde.cg import CGGeom
-from .partition import partition_elements
+from .partition import partition_elements, partition_for
 
 
 @partial(
@@ -162,6 +162,7 @@ def build_cg_shards(
     algorithm: str = "sfc",
     dtype=None,
     epart: Optional[np.ndarray] = None,
+    hierarchy=None,
 ) -> ShardedCG:
     """Partition a host mesh and build stacked, padded per-shard tables.
 
@@ -179,7 +180,8 @@ def build_cg_shards(
     volg = nodal_volumes(coords, inpoel, nnode)
 
     if epart is None:
-        epart = partition_elements(coords, inpoel, nshard, algorithm)
+        epart = partition_for(coords, inpoel, nshard, algorithm,
+                              hierarchy=hierarchy)
     elems = [np.nonzero(epart == s)[0] for s in range(nshard)]
     nodes = [np.unique(inpoel[e].ravel()) for e in elems]
 
