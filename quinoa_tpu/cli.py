@@ -40,6 +40,12 @@ def _cmd_inciter(argv):
                          "linearLoadDistributor-many chunks, LPT-pack "
                          "them per device (the Charm++ virtualization "
                          "analog; LoadDistributor.cpp:23-90)")
+    ap.add_argument("--particles", type=int, default=0,
+                    help="seed N passive tracer particles, advect them "
+                         "with the flow each step, and write "
+                         "<output>.h5part trajectories (the Tracker/"
+                         "H5PartWriter analog, src/Particles/"
+                         "Tracker.hpp)")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--profile", action="store_true",
                     help="print the per-phase wall-clock table at the "
@@ -119,6 +125,8 @@ def _cmd_inciter(argv):
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
+    pt = _make_particle_tracking(args, cfg, mesh, solver.system)
+    _particles_write(pt, float(state.t))
     amr_base = None  # adaptive-dtref base mesh + its current refinement
     amr_rmap = None
     t0 = time.perf_counter()
@@ -126,9 +134,13 @@ def _cmd_inciter(argv):
     from .base.profiler import jax_trace as _jt
     with _jt(args.trace_dir):
         while it < cfg.nstep and float(state.t) < cfg.term:
+            tprev = float(state.t)
             with prof.phase("timestep"):
                 state = solver.step(state)
                 it = int(state.it)
+            if pt is not None:
+                with prof.phase("particles"):
+                    _particles_step(pt, state, tprev)
             # diagnostics BEFORE any same-step dtref remesh: the reference
             # writes the diag row for step `it`, then refines going into the
             # next step (its dtref baselines show the pre-refinement row at
@@ -168,6 +180,7 @@ def _cmd_inciter(argv):
                 with prof.phase("field output"):
                     _write_fields(args.output, it, cfg, solver, state, mesh,
                                   pieces=args.pieces)
+                _particles_write(pt, float(state.t))
             if args.rsfreq and it % args.rsfreq == 0:
                 from .inciter.checkpoint import save_checkpoint
 
@@ -175,6 +188,8 @@ def _cmd_inciter(argv):
                     save_checkpoint(args.checkpoint_dir, state,
                                     {"it": it, "t": float(state.t)})
     dw.close()
+    if pt is not None:
+        pt["writer"].close()
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
@@ -301,6 +316,62 @@ def _hs(x):
     import numpy as _np
 
     return _np.asarray(x).ravel()[0]
+
+
+def _make_particle_tracking(args, cfg, mesh, system):
+    """(tracker, xp, ep, writer, velocity args fn) or None.
+
+    Velocity source by configuration: analytic velocity field for
+    transport problems; interpolated nodal momentum/density for CG
+    compflow; containing-cell mean for DG compflow.
+    """
+    if not getattr(args, "particles", 0):
+        return None
+    from .io.h5part import H5PartWriter
+    from .particles import ParticleTracker, seed_particles
+    from .particles.tracker import (analytic_velocity, cell_velocity,
+                                    nodal_velocity)
+
+    if cfg.pde == "transport":
+        vel = analytic_velocity(system.problem)
+        vargs = lambda state: ()
+    elif cfg.pde == "compflow" and cfg.scheme in ("diagcg", "alecg"):
+        vel = nodal_velocity()
+        vargs = lambda state: (state.u,)
+    elif cfg.pde == "compflow":
+        from .control.config import _SCHEME_NDOF
+
+        K = _SCHEME_NDOF.get(cfg.scheme, 4)
+        vel = cell_velocity(5, K)
+        vargs = lambda state: (state.u,)
+    else:
+        raise SystemExit(
+            "--particles supports transport and compflow runs")
+    tracker = ParticleTracker(mesh, vel)
+    xp, ep = seed_particles(mesh, args.particles)
+    import jax.numpy as jnp
+
+    writer = H5PartWriter(args.output + ".h5part")
+    return dict(tracker=tracker, xp=jnp.asarray(xp),
+                ep=jnp.asarray(ep), writer=writer, vargs=vargs)
+
+
+def _particles_step(pt, state, tprev):
+    if pt is None:
+        return
+    import numpy as np
+
+    dt = float(np.asarray(state.dt).ravel()[0])
+    pt["xp"], pt["ep"] = pt["tracker"].advance(
+        pt["xp"], pt["ep"], tprev, dt, *pt["vargs"](state))
+
+
+def _particles_write(pt, t):
+    if pt is None:
+        return
+    import numpy as np
+
+    pt["writer"].write(np.asarray(pt["xp"]).T, time=t)
 
 
 def _run_inciter_spmd(args, cfg, mesh):
