@@ -405,6 +405,13 @@ class SPMDMultiMatSolver(SPMDDGSolver):
 
     def __init__(self, system, sharded: ShardedDG, mesh: Mesh,
                  cfl: float = 0.5, const_dt=None):
+        import numpy as _np
+
+        from ..pde.dg import BC_DIRICHLET as _BCD
+
+        # fused kernels can't evaluate coordinate-dependent BCs
+        system.fused_ok = not bool(_np.isin(
+            _np.asarray(sharded.geom.bctype), [_BCD]).any())
         super().__init__(system, sharded, mesh, cfl=cfl,
                          const_dt=const_dt, limiter=None)
 

@@ -193,9 +193,36 @@ class MultiMatSystem:
 
     # -- P0 rhs ----------------------------------------------------------------
 
-    def rhs_p0(self, geom: DGGeom, U, t, accum_plan=None):
-        """Finite-volume rhs (C, E) including non-conservative terms."""
+    def rhs_p0(self, geom: DGGeom, U, t, accum_plan=None,
+               want_delt=False):
+        """Finite-volume rhs (C, E) including non-conservative terms.
+
+        With a near/far fused plan and `fused_ok` (set by the solver
+        when no coordinate-dependent BC is present), the whole face
+        sweep — AUSM+up, riemannDeriv, velocity divergence, and the dt
+        charvel row — runs in the fused Pallas kernels; want_delt then
+        also returns the per-element summed face charvel for the time
+        step (dt_p0's sweep for free)."""
         nmat, C = self.nmat, self.ncomp
+        if (accum_plan is not None
+                and getattr(accum_plan, "fused", None) is not None
+                and getattr(self, "fused_ok", False)):
+            from ..ops.face_fused import fused_face_pass_nearfar
+
+            E = U.shape[1]
+            facade = _FusedMMFacade(self)
+            Up = jnp.concatenate(
+                [U, jnp.zeros((3 * nmat + 1, E), U.dtype)], axis=0)
+            acc, delt = fused_face_pass_nearfar(facade, geom,
+                                                accum_plan, Up)
+            R = acc[:C]
+            dap = acc[C:C + 3 * nmat]
+            divu = acc[C + 3 * nmat]
+            R = R + self._nonconservative(geom, U, dap, divu)
+            R = R * geom.emask
+            return (R, delt) if want_delt else R
+        if want_delt:
+            raise ValueError("want_delt needs the fused face plan")
         uL = U[:, geom.el]
         uR0 = U[:, geom.er]
         interior = geom.bctype == BC_INTERIOR
@@ -253,11 +280,17 @@ class MultiMatSystem:
                 dap = dap + sgn * dpad[:, f]
                 divu = divu + sgn * vpad[f]
 
+        R = R + self._nonconservative(geom, U, dap, divu)
+        return R * geom.emask
+
+    def _nonconservative(self, geom: DGGeom, U, dap, divu):
+        """Non-conservative volume terms from the accumulated face sums
+        (MultiMatTerms.cpp:140-170): alpha_k div(u) and the velocity-
+        dotted pressure-gradient exchange in the material energies."""
+        nmat, C = self.nmat, self.ncomp
         V = geom.vol * geom.emask + (1.0 - geom.emask)
         dap = dap / V
         divu = divu / V
-
-        # non-conservative terms (MultiMatTerms.cpp:140-170)
         rho = sum(U[density_idx(nmat, k)] for k in range(nmat))
         vel = [U[momentum_idx(nmat, i)] / rho for i in range(3)]
         dap_tot = [
@@ -271,8 +304,7 @@ class MultiMatSystem:
             for i in range(3):
                 e = e - vel[i] * (y_k * dap_tot[i] - dap[3 * k + i])
             ncf[energy_idx(nmat, k)] = e
-        R = R + geom.vol * geom.emask * jnp.stack(ncf)
-        return R * geom.emask
+        return geom.vol * geom.emask * jnp.stack(ncf)
 
     def dt_p0(self, geom: DGGeom, U):
         uL = U[:, geom.el]
@@ -292,6 +324,39 @@ class MultiMatSystem:
 
     def analytic(self, xyz, t):
         return self.problem.solution(xyz, t)
+
+
+
+class _FusedMMFacade:
+    """Adapter presenting AUSM+up flux + riemannDeriv + velocity
+    divergence as one (C + 3*nmat + 1)-row 'flux', so the generic fused
+    near/far face kernels (ops/face_fused.py) accumulate multimat's
+    conservative AND non-conservative face sums — and the dt charvel
+    row — in a single pass (DGMultiMat.hpp rhs + Surface.cpp:282-289
+    riemannDeriv).  The state rows beyond C are zero padding; signs are
+    chosen so the kernel's (-L, +R) convention reproduces rhs_p0's
+    (+dap at L, -dap at R) accumulation.
+    """
+
+    def __init__(self, mm: "MultiMatSystem"):
+        self.mm = mm
+        self.ncomp = mm.ncomp + 3 * mm.nmat + 1
+
+    def bc_state(self, bctype, sL, fn, gp, t):
+        C = self.mm.ncomp
+        core = self.mm.bc_state(bctype, sL[:C], fn)
+        return jnp.concatenate([core, sL[C:]], axis=0)
+
+    def riemann(self, fn, sL, sR, gp, t):
+        mm = self.mm
+        C, nmat = mm.ncomp, mm.nmat
+        flx, ap, vriem = mm.ausm(fn, sL[:C], sR[:C])
+        dap = jnp.stack([ap[k] * fn[i] for k in range(nmat)
+                         for i in range(3)])
+        return jnp.concatenate([flx, -dap, -vriem[None]], axis=0)
+
+    def charvel(self, s, fn, gp=None):
+        return self.mm.charvel(s[:self.mm.ncomp], fn)
 
 
 class MultiMatSolver:
@@ -314,8 +379,18 @@ class MultiMatSolver:
                 from ..ops.face_accum import build_accum_plan
 
                 self.accum_plan = build_accum_plan(geom)
-            except Exception:
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    "Pallas face-pass plan build failed; multimat "
+                    f"falls back to the slow XLA gather path: {e!r}",
+                    RuntimeWarning, stacklevel=2)
                 self.accum_plan = None
+        # the fused kernels can't evaluate coordinate-dependent BCs
+        # (Dirichlet samples problem.solution at face points)
+        system.fused_ok = not bool(
+            np.isin(np.asarray(geom.bctype), [BC_DIRICHLET]).any())
         self._step = jax.jit(self._step_impl)
 
     def initial_state(self, t0=0.0):
@@ -348,14 +423,26 @@ class MultiMatSolver:
 
         un = state.u
         u = un
+        fused = (accum_plan is not None
+                 and getattr(accum_plan, "fused", None) is not None
+                 and getattr(self.system, "fused_ok", False))
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
-        else:
+        elif not fused:
             dt = self.system.dt_p0(geom, u) * self.cfl
         minv = 1.0 / geom.vol
         for s in range(3):
-            r = self.system.rhs_p0(geom, u, state.t,
-                                   accum_plan=accum_plan)
+            if fused and s == 0 and self.const_dt is None:
+                # the fused pass emits the dt charvel sums with the rhs
+                r, delt = self.system.rhs_p0(geom, u, state.t,
+                                             accum_plan=accum_plan,
+                                             want_delt=True)
+                big = jnp.asarray(jnp.finfo(u.dtype).max, dtype=u.dtype)
+                elemdt = geom.vol / jnp.maximum(delt, 1e-300)
+                dt = jnp.where(geom.emask > 0, elemdt, big).min()                     * self.cfl
+            else:
+                r = self.system.rhs_p0(geom, u, state.t,
+                                       accum_plan=accum_plan)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
         return DGState(u=u, ndofel=state.ndofel, t=state.t + dt,
                        it=state.it + 1, dt=dt)
