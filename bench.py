@@ -78,14 +78,14 @@ def main_spmd(npes: int):
     }))
 
 
-def main(pref: bool = False):
+def main(pref: bool = False, ndof: int = 4):
     from quinoa_tpu.mesh import box_tet_mesh
     from quinoa_tpu.pde.dg import build_dggeom, BC_SYMMETRY
     from quinoa_tpu.pde.dg_compflow import DGCompFlow
     from quinoa_tpu.pde.problems import SedovBlastwave
     from quinoa_tpu.inciter.dg import DGSolver
 
-    n = 48  # 48^3 hexes * 6 = 663,552 tets
+    n = 48 if ndof == 4 else 32  # P2 carries 2.5x the dofs
     mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
     # Hilbert element order: the production CLI's locality pass
     # (mesh/reorder.py; Sorter/Reorder analog) — keeps ~85% of face
@@ -94,9 +94,10 @@ def main(pref: bool = False):
 
     mesh, _ = hilbert_element_reorder(mesh)
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
-    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
     system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
-    solver = DGSolver(system, geom, cfl=0.5, limiter="superbeep1",
+    solver = DGSolver(system, geom, cfl=0.5,
+                      limiter="superbeep1" if ndof == 4 else None,
                       pref=pref)
     state = solver.initial_state()
 
@@ -125,6 +126,8 @@ def main(pref: bool = False):
             {
                 "metric": ("cell_updates_per_sec_sedov_pdg_hllc_superbee"
                            if pref else
+                           "cell_updates_per_sec_sedov_dgp2_hllc"
+                           if ndof == 10 else
                            "cell_updates_per_sec_sedov_dgp1_hllc_superbee"),
                 "value": round(updates_per_sec, 1),
                 "unit": "cell-updates/s/chip",
@@ -141,5 +144,7 @@ if __name__ == "__main__":
         main_spmd(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--pdg":
         main(pref=True)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dgp2":
+        main(ndof=10)
     else:
         main()

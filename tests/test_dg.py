@@ -195,7 +195,11 @@ def test_dg_p2_vortical_flow():
     assert errs[10] < errs[4]
 
 
-def test_fused_nearfar_matches_xla_rhs():
+@pytest.mark.parametrize("ndof", [
+    4,
+    pytest.param(10, marks=pytest.mark.slow),  # DG(P2): K=10, G=6
+])
+def test_fused_nearfar_matches_xla_rhs(ndof):
     """The near/far fused Pallas face pass (interpret mode on CPU, f64)
     reproduces the XLA rhs and dg_dt exactly — the on-chip counterpart
     runs in tools/check_fused.py."""
@@ -208,7 +212,7 @@ def test_fused_nearfar_matches_xla_rhs():
 
     mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
-    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
     system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
     plan = build_accum_plan(geom, TF=128, W=128)
     assert plan.fused is not None
@@ -216,12 +220,13 @@ def test_fused_nearfar_matches_xla_rhs():
 
     rng = np.random.default_rng(3)
     E = geom.nelem
-    U0 = np.zeros((20, E))
+    K = ndof
+    U0 = np.zeros((5 * K, E))
     U0[0] = 1.0 + 0.05 * rng.random(E)
-    U0[16] = 2.5 + 0.05 * rng.random(E)
-    U0[4] = 0.1 * rng.random(E)
-    for ck in range(20):
-        if ck % 4:
+    U0[4 * K] = 2.5 + 0.05 * rng.random(E)
+    U0[K] = 0.1 * rng.random(E)
+    for ck in range(5 * K):
+        if ck % K:
             U0[ck] = 0.01 * rng.random(E)
     U = jnp.asarray(U0)
 
