@@ -576,7 +576,20 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
 
     # far stream: L side + wfl/mx emission
     FpF = fp.far.ntile * TF
-    UvRf = U.reshape(C, K, -1)[:, :, fp.erF].reshape(CK, FpF)
+    import os as _os
+
+    if CK > 16 and _os.environ.get("QUINOA_SPLIT_FAR_GATHER") == "1":
+        # XLA's TPU gather cost TRIPLES above 16 rows; split the CK-row
+        # right-state gather into two <=16-row halves (A/B experiment:
+        # flip the env var and re-run bench.py)
+        Uv = U.reshape(C, K, -1)
+        h = (C + 1) // 2
+        UvRf = jnp.concatenate([
+            Uv[:h, :, fp.erF].reshape(h * K, FpF),
+            Uv[h:, :, fp.erF].reshape((C - h) * K, FpF),
+        ], axis=0)
+    else:
+        UvRf = U.reshape(C, K, -1)[:, :, fp.erF].reshape(CK, FpF)
     loF, hiF, wflF = stream_call(fp.far, far=True, extra_in=(UvRf,))
     accF = (jnp.where(fp.far.mlo > 0, loF, 0.0)
             + jnp.where(fp.far.mhi > 0, hiF, 0.0))[:, :plan.E]
