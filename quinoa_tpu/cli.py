@@ -703,6 +703,11 @@ def _cmd_walker(argv):
     ap.add_argument("--stat", default="stat.txt")
     ap.add_argument("--seed", type=int, default=None,
                     help="RNG seed (default: the deck's rngs seed, or 0)")
+    ap.add_argument("--npes", type=int, default=1,
+                    help="shard the particle ensemble over N devices "
+                         "(pure data parallelism; moment psums are "
+                         "inserted by XLA — the Distributor/Collector "
+                         "analog)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -712,7 +717,18 @@ def _cmd_walker(argv):
 
     cfg = load_walker(open(args.control).read())
     seed = args.seed if args.seed is not None else (cfg.rng_seed or 0)
-    w = build_walker(cfg, seed=seed)
+    pmesh = None
+    if args.npes > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.npes:
+            raise SystemExit(
+                f"--npes {args.npes} but only {len(devs)} devices")
+        pmesh = Mesh(np.array(devs[:args.npes]), ("par",))
+    w = build_walker(cfg, seed=seed, mesh=pmesh)
     if args.verbose:
         print(f"quinoa_tpu walker: {cfg.title!r}")
         print(f"  npar={cfg.npar} dt={cfg.dt} systems="

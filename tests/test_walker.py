@@ -261,3 +261,32 @@ def test_deck_rng_seed_honored():
         outs.setdefault(sd, []).append(np.asarray(P))
     assert np.allclose(outs[1][0], outs[1][1])  # reproducible
     assert not np.allclose(outs[1][0], outs[2][0])  # seed matters
+
+
+@pytest.mark.slow
+def test_cli_walker_npes(tmp_path, monkeypatch):
+    """walker --npes 4 runs the deck with the ensemble sharded over the
+    virtual mesh and produces finite moments (data-parallel psums)."""
+    import numpy as np
+
+    from quinoa_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    deck = ("/root/reference/tests/regression/walker/"
+            "DiagOrnsteinUhlenbeck/diagou.q")
+    import re
+
+    text = re.sub(r"npar\s+\d+", "npar 4000",
+                  re.sub(r"term\s+\S+", "term 0.02",
+                         open(deck).read()))
+    (tmp_path / "d.q").write_text(text)
+    assert main(["walker", "-c", "d.q", "--stat", "s4.txt",
+                 "--npes", "4"]) == 0
+    assert main(["walker", "-c", "d.q", "--stat", "s1.txt"]) == 0
+    a = [l.split() for l in open("s1.txt") if not l.startswith("#")]
+    b = [l.split() for l in open("s4.txt") if not l.startswith("#")]
+    a = np.array(a, float)
+    b = np.array(b, float)
+    # identical PRNG keys -> identical trajectories regardless of
+    # sharding (counter-based threefry)
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
