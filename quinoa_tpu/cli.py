@@ -86,7 +86,12 @@ def _cmd_inciter(argv):
     with prof.phase("reorder"):
         from .mesh.reorder import hilbert_element_reorder
 
-        mesh, _ = hilbert_element_reorder(mesh)
+        mesh, eorder = hilbert_element_reorder(mesh)
+        # field output is expressed in the INPUT file's element order
+        # (exodiff-comparable against external baselines): gather-side
+        # writes un-permute with this, device-local piece writes
+        # translate their elem number maps through it
+        args._eorder = eorder
 
     if args.verbose:
         # setup-time mesh statistics echo + PDF dump
@@ -168,6 +173,7 @@ def _cmd_inciter(argv):
                 )
                 if changed:
                     mesh = mesh2
+                    args._eorder = None
                     solver, diag = _rebuild(cfg, mesh)
                     st = solver.initial_state(t0=float(state.t))
                     state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
@@ -179,7 +185,8 @@ def _cmd_inciter(argv):
             if it % cfg.field_interval == 0:
                 with prof.phase("field output"):
                     _write_fields(args.output, it, cfg, solver, state, mesh,
-                                  pieces=args.pieces)
+                                  pieces=args.pieces,
+                                  eorder=getattr(args, "_eorder", None))
                 _particles_write(pt, float(state.t))
             if args.rsfreq and it % args.rsfreq == 0:
                 from .inciter.checkpoint import save_checkpoint
@@ -194,7 +201,8 @@ def _cmd_inciter(argv):
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
     _write_fields(args.output, it, cfg, solver, state, mesh,
-                  pieces=args.pieces)
+                  pieces=args.pieces,
+                  eorder=getattr(args, "_eorder", None))
     if args.profile:
         print(prof.table())
     return 0
@@ -473,6 +481,7 @@ def _run_inciter_spmd(args, cfg, mesh):
                 if changed:
                   with prof.phase("resharding"):
                     mesh = mesh2
+                    args._eorder = None
                     solver = build_inciter_spmd(
                         cfg, mesh, args.npes,
                         virtualization=getattr(args, "virtualization", 0.0),
@@ -541,6 +550,8 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
         cen = mesh.coords[mesh.inpoel].mean(axis=1).T
         elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
                                   float(_hs(state.t)))
+    mesh, elem_fields = _orig_order(mesh, elem_fields,
+                                    getattr(args, "_eorder", None))
     if args.pieces > 1:
         from .parallel.partition import partition_elements
 
@@ -645,13 +656,36 @@ def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
             cen = mesh.coords[mesh.inpoel[emap]].mean(axis=1).T
             ef = plot_fields(cfg.pde, solver.system, avg, cen, t)
             nf = None
+        eord = getattr(args, "_eorder", None)
+        emap_out = emap if eord is None else eord[emap]
         write_exodus(piece_path(args.output, it, args.pieces, p), lm,
                      node_fields=nf, elem_fields=ef, time=t,
-                     node_num_map=nmap, elem_num_map=emap)
+                     node_num_map=nmap, elem_num_map=emap_out)
     return True
 
 
-def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
+def _orig_order(mesh, elem_fields, eorder):
+    """Re-express (mesh, element fields) in the original input-file
+    element order (eorder is new->old from hilbert_element_reorder:
+    original id of current element i is eorder[i])."""
+    import numpy as np
+
+    from .mesh.unsmesh import UnsMesh
+
+    if eorder is None:
+        return mesh, elem_fields
+    inv = np.argsort(eorder)
+    out = UnsMesh(coords=mesh.coords, inpoel=mesh.inpoel[inv])
+    out.bface = dict(mesh.bface)
+    out.bnode = mesh.bnode
+    ef = elem_fields
+    if elem_fields is not None:
+        ef = {k: np.asarray(v)[..., inv] for k, v in elem_fields.items()}
+    return out, ef
+
+
+def _write_fields(base, it, cfg, solver, state, mesh, pieces=0,
+                  eorder=None):
     import numpy as np
     from .io import write_exodus, write_exodus_pieces
 
@@ -684,6 +718,7 @@ def _write_fields(base, it, cfg, solver, state, mesh, pieces=0):
                                     solver.geom.ndof, -1)[:, 0, :]
         elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
                                   float(_hs(state.t)), exact_mean=exact_mean)
+    mesh, elem_fields = _orig_order(mesh, elem_fields, eorder)
     if pieces > 1:
         from .parallel.partition import partition_elements
 
