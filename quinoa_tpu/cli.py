@@ -174,6 +174,7 @@ def _cmd_inciter(argv):
                 if changed:
                     mesh = mesh2
                     args._eorder = None
+                    _particles_remesh(pt, mesh)
                     solver, diag = _rebuild(cfg, mesh)
                     st = solver.initial_state(t0=float(state.t))
                     state = _dc.replace(st, u=jnp.asarray(u2), it=state.it,
@@ -362,6 +363,33 @@ def _make_particle_tracking(args, cfg, mesh, system):
     writer = H5PartWriter(args.output + ".h5part")
     return dict(tracker=tracker, xp=jnp.asarray(xp),
                 ep=jnp.asarray(ep), writer=writer, vargs=vargs)
+
+
+def _particles_remesh(pt, mesh):
+    """Rebuild the tracker tables on a refined mesh: keep positions,
+    re-home each particle by nearest centroid + the neighbor walk."""
+    if pt is None:
+        return
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .particles import ParticleTracker
+    from .particles.tracker import locate, make_tracker_geom
+
+    tr = pt["tracker"]
+    tr.geom = make_tracker_geom(mesh)
+    tr._advance = None  # retrace lazily via jit below
+    import jax
+
+    tr._advance = jax.jit(tr._advance_impl)
+    xp = np.asarray(pt["xp"])
+    cent = np.asarray(tr.geom.cent)
+    # nearest centroid as the walk seed (host-side, remesh-rate only)
+    d2 = ((cent[:, None, :] - xp[:, :, None]) ** 2).sum(axis=0)
+    ep = jnp.asarray(np.argmin(d2, axis=1).astype(np.int32))
+    for _ in range(4):
+        ep = locate(tr.geom, jnp.asarray(xp), ep, hops=4)
+    pt["ep"] = ep
 
 
 def _particles_step(pt, state, tprev):

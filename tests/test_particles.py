@@ -155,3 +155,45 @@ end
         steps = sorted(f.keys())
         x = np.asarray(f[steps[-1]]["x"])
         assert x.shape == (10,) and np.isfinite(x).all()
+
+
+@pytest.mark.slow
+def test_cli_particles_survive_dtref(tmp_path, monkeypatch):
+    """Tracer particles stay finite and in-domain across a dtref
+    remesh (the tracker re-homes on the refined mesh)."""
+    import h5py
+
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import write_mesh
+
+    monkeypatch.chdir(tmp_path)
+    meshfile = str(tmp_path / "box.exo")
+    write_mesh(meshfile, box_tet_mesh(8, 8, 4, hi=(1.0, 1.0, 0.5)))
+    (tmp_path / "amr.q").write_text("""
+inciter
+  nstep 6
+  cfl 0.8
+  ttyi 10
+  scheme diagcg
+  transport
+    physics advection problem slot_cyl ncomp 1 depvar c
+    bc_dirichlet sideset 1 2 3 4 5 6 end end
+  end
+  amr
+    dtref true
+    dtfreq 3
+    error jump
+  end
+  diagnostics interval 6 error l2 end
+  field_output interval 3 end
+end
+""")
+    assert main(["inciter", "-c", str(tmp_path / "amr.q"), "-i", meshfile,
+                 "--diag", "d", "-o", "o", "--particles", "15"]) == 0
+    with h5py.File("o.h5part") as f:
+        steps = sorted(f.keys())
+        assert len(steps) >= 2
+        x = np.asarray(f[steps[-1]]["x"])
+        y = np.asarray(f[steps[-1]]["y"])
+        assert np.isfinite(x).all() and np.isfinite(y).all()
+        assert (x >= -1e-9).all() and (x <= 1 + 1e-9).all()
