@@ -108,15 +108,15 @@ def first_touch_node_reorder(mesh: UnsMesh) -> Tuple[UnsMesh, np.ndarray]:
     """
     flat = mesh.inpoel.reshape(-1)
     first = np.full(mesh.nnode, -1, np.int64)
-    seen = np.zeros(mesh.nnode, dtype=bool)
-    nxt = 0
-    for n in flat:
-        if not seen[n]:
-            seen[n] = True
-            first[n] = nxt
-            nxt += 1
+    # np.unique returns each node's FIRST flat index; ranking those
+    # indices reproduces the sequential first-appearance scan without
+    # the Python loop (O(n log n) vectorized vs ~seconds at 2.6M ids).
+    uniq, fidx = np.unique(flat, return_index=True)
+    order = np.argsort(fidx, kind="stable")
+    first[uniq[order]] = np.arange(len(uniq))
+    nxt = len(uniq)
     # isolated nodes (no element) keep stable order at the end
-    rest = np.nonzero(~seen)[0]
+    rest = np.nonzero(first < 0)[0]
     first[rest] = nxt + np.arange(len(rest))
     nperm = first
     coords = np.empty_like(mesh.coords)
