@@ -284,7 +284,9 @@ def build_inciter(cfg: InciterConfig, mesh):
             build_dggeom, BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE,
         )
         from ..pde.multimat import MultiMatSystem, MultiMatSolver
-        from ..pde.problems.multimat import MMInterfaceAdvection, MMSodShocktube
+        from ..pde.problems.multimat import (
+            MMInterfaceAdvection, MMSodShocktube, MMSmoothWave,
+        )
         from ..pde.eos import StiffenedGas
 
         nmat = cfg.params.get("nmat", 2)
@@ -297,6 +299,8 @@ def build_inciter(cfg: InciterConfig, mesh):
             problem = MMInterfaceAdvection(nmat=nmat, eos=eos)
         elif cfg.problem == "sod_shocktube":
             problem = MMSodShocktube(nmat=nmat, eos=eos)
+        elif cfg.problem == "smooth_wave":
+            problem = MMSmoothWave(nmat=nmat, eos=eos)
         else:
             raise ValueError(f"unknown multimat problem {cfg.problem!r}")
         bc = {}
@@ -306,12 +310,21 @@ def build_inciter(cfg: InciterConfig, mesh):
             bc[ss] = BC_SYMMETRY
         for ss in cfg.bc_extrapolate:
             bc[ss] = BC_EXTRAPOLATE
-        geom = build_dggeom(mesh, ndof=1, bc_sidesets=bc)
+        # scheme dg = DG(P0), the reference fork's parity surface
+        # (DGMultiMat.hpp:154 asserts ndof==1); scheme dgp1 = DG(P1)
+        # with consistent material-fraction limiting (beyond-parity)
+        if cfg.scheme not in ("dg", "dgp1"):
+            raise ValueError(
+                f"multimat supports scheme dg (P0) or dgp1, not "
+                f"{cfg.scheme!r}")
+        mm_ndof = _SCHEME_NDOF[cfg.scheme]
+        geom = build_dggeom(mesh, ndof=mm_ndof, bc_sidesets=bc)
         system = MultiMatSystem(problem)
         solver = MultiMatSolver(
             system, geom,
             cfl=cfg.cfl if cfg.cfl is not None else 0.5,
             const_dt=cfg.dt,
+            limiter=("superbeep1" if mm_ndof == 4 else None),
         )
         from ..inciter.dg import DGDiagnostics
 
@@ -392,7 +405,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
         from ..pde.dg import BC_DIRICHLET, BC_SYMMETRY, BC_EXTRAPOLATE
         from ..pde.multimat import MultiMatSystem
         from ..pde.problems.multimat import (
-            MMInterfaceAdvection, MMSodShocktube,
+            MMInterfaceAdvection, MMSodShocktube, MMSmoothWave,
         )
         from ..pde.eos import StiffenedGas
         from ..parallel import build_dg_shards
@@ -404,10 +417,16 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             for g, cv in zip(cfg.params.get("gammas", (1.4,) * nmat),
                              cfg.params.get("cvs", (717.5,) * nmat))
         )
+        if cfg.scheme != "dg":
+            raise ValueError(
+                "multimat under --npes supports scheme dg (P0) only; "
+                "run dgp1 single-device")
         if cfg.problem == "interface_advection":
             mmprob = MMInterfaceAdvection(nmat=nmat, eos=eos)
         elif cfg.problem == "sod_shocktube":
             mmprob = MMSodShocktube(nmat=nmat, eos=eos)
+        elif cfg.problem == "smooth_wave":
+            mmprob = MMSmoothWave(nmat=nmat, eos=eos)
         else:
             raise ValueError(f"unknown multimat problem {cfg.problem!r}")
         bc = {}

@@ -51,6 +51,20 @@ def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0, bounds=None):
     K = geom.ndof
     E = U.shape[-1]
     Uv = uview(U, C, K)
+    phi = superbee_phi(geom, U, dofmask, C, beta_lim, bounds)
+    Unew = Uv.at[:, 1:4, :].multiply(phi[:, None, :])
+    if dofmask is None:
+        return Unew.reshape(C * K, E)
+    active = dofmask[1] > 0
+    return jnp.where(active, Unew.reshape(C * K, E), U)
+
+
+def superbee_phi(geom, U, dofmask, C, beta_lim: float = 2.0, bounds=None):
+    """The Superbee limiter's per-(component, element) slope coefficient
+    phi (C, E) without applying it — callers that post-process phi
+    (consistent multi-material limiting) scale the P1 dofs themselves."""
+    K = geom.ndof
+    Uv = uview(U, C, K)
     Um = Uv if dofmask is None else Uv * dofmask[None]
 
     u0 = Uv[:, 0, :]  # (C,E)
@@ -91,8 +105,31 @@ def superbee_p1(geom, U, dofmask, C, beta_lim: float = 2.0, bounds=None):
             )
             phi = jnp.minimum(phi, phi_gp)
 
-    Unew = Uv.at[:, 1:4, :].multiply(phi[:, None, :])
-    if dofmask is None:
-        return Unew.reshape(C * K, E)
-    active = dofmask[1] > 0
-    return jnp.where(active, Unew.reshape(C * K, E), U)
+    return phi
+
+
+def consistent_mm_phi(phi, nmat):
+    """Consistent material-fraction limiting for multi-material DG(P1).
+
+    The TVD analog of upstream Quinoa's consistentMultiMatLimiting_P1
+    (the /root/reference fork never limits multimat — its DGMultiMat
+    asserts ndof==1, DGMultiMat.hpp:154 — so this path is beyond-parity):
+
+    - every volume-fraction slope scales by the SAME coefficient: since
+      sum_k alpha_k == 1 element-wise the total alpha slope is zero, and
+      only a uniform scaling keeps it zero at every quadrature point;
+    - material density and energy slopes are cut at least as hard as the
+      common fraction coefficient, so the derived material state
+      rho_k = (alpha rho)_k / alpha_k stays bounded through interfaces.
+
+    Momentum rows keep their own coefficients (the bulk velocity is
+    already TVD-limited component-wise).  phi is (C, E) with the
+    MultiMatIndexing layout; returns the adjusted (C, E)."""
+    C = phi.shape[0]
+    phi_al = phi[:nmat].min(axis=0)                      # (E,)
+    phi = phi.at[:nmat].set(jnp.broadcast_to(phi_al, (nmat,) + phi_al.shape))
+    phi = phi.at[nmat:2 * nmat].set(
+        jnp.minimum(phi[nmat:2 * nmat], phi_al))
+    phi = phi.at[2 * nmat + 3:C].set(
+        jnp.minimum(phi[2 * nmat + 3:C], phi_al))
+    return phi

@@ -85,14 +85,23 @@ class MultiMatSystem:
     # -- state helpers --------------------------------------------------------
 
     def _prim(self, u):
-        """Bulk rho, velocity, material pressures/enthalpies/soundspeeds."""
+        """Bulk rho, velocity, material pressures/enthalpies/soundspeeds.
+
+        Trace-material guards: at P1+ the face-evaluated fraction of a
+        trace material (mean ~1e-12 plus O(1) slope cancellation) can
+        round to <= 0 — f32 round-off is ~1e-7 — so alpha and the
+        derived material density are floored at a dtype-scaled epsilon
+        before dividing (the same clipping upstream Quinoa applies
+        throughout its multimat EOS calls); the floors only engage on
+        states that are zero to machine precision."""
         nmat = self.nmat
+        floor = 50.0 * jnp.finfo(u.dtype).eps
         rho = sum(u[density_idx(nmat, k)] for k in range(nmat))
         vel = [u[momentum_idx(nmat, i)] / rho for i in range(3)]
         al, pm, hm, am = [], [], [], []
         for k in range(nmat):
-            a = u[volfrac_idx(nmat, k)]
-            rk = u[density_idx(nmat, k)] / a
+            a = jnp.maximum(u[volfrac_idx(nmat, k)], floor)
+            rk = jnp.maximum(u[density_idx(nmat, k)] / a, floor)
             ek = u[energy_idx(nmat, k)] / a
             p = self.eos[k].pressure(rk, vel[0], vel[1], vel[2], ek)
             al.append(a)
@@ -191,6 +200,30 @@ class MultiMatSystem:
         vn = sum(vel[i] * fn[i] for i in range(3))
         return jnp.abs(vn) + ac
 
+    def flux_cols(self, state, gp, t):
+        """Conservative flux columns F_j (list of 3, each (C, ...)) for
+        the DG volume integral at P1+.  The velocity-equilibrium system's
+        conservative part (the fork never evaluates it — DGMultiMat.hpp
+        asserts ndof==1 — so this path is beyond-parity; the split
+        matches the P0 face flux: alpha advects as alpha*u with the
+        +alpha*div(u) balance in the non-conservative term)."""
+        nmat, C = self.nmat, self.ncomp
+        rho, vel, al, pm, hm, am = self._prim(state)
+        pb = sum(al[k] * pm[k] for k in range(nmat))
+        cols = []
+        for j in range(3):
+            f = [None] * C
+            for k in range(nmat):
+                f[volfrac_idx(nmat, k)] = al[k] * vel[j]
+                f[density_idx(nmat, k)] = state[density_idx(nmat, k)] * vel[j]
+                # material total enthalpy flux: u_j ((arE)_k + a_k p_k)
+                f[energy_idx(nmat, k)] = hm[k] * vel[j]
+            for i in range(3):
+                mom = state[momentum_idx(nmat, i)] * vel[j]
+                f[momentum_idx(nmat, i)] = mom + pb if i == j else mom
+            cols.append(jnp.stack(f))
+        return cols
+
     # -- P0 rhs ----------------------------------------------------------------
 
     def rhs_p0(self, geom: DGGeom, U, t, accum_plan=None,
@@ -283,6 +316,81 @@ class MultiMatSystem:
         R = R + self._nonconservative(geom, U, dap, divu)
         return R * geom.emask
 
+    def rhs(self, geom: DGGeom, U, t, accum_plan=None, want_delt=False,
+            face_gp=False):
+        """Order-dispatching rhs: P0 keeps the finite-volume path;
+        P1 (ndof==4) runs the generic DG machinery (pde/dg.py dg_rhs)
+        through the facade — the riemannDeriv rows (partial-pressure
+        gradients and velocity divergence, Surface.cpp:282-289) ride the
+        k=0 accumulation rows of 3*nmat+1 zero-state components, and the
+        non-conservative volume terms are then integrated against the
+        basis at the volume Gauss points.  Returns (C*K, E) [, delt]."""
+        K = geom.ndof
+        if K == 1:
+            return self.rhs_p0(geom, U, t, accum_plan=accum_plan,
+                               want_delt=want_delt)
+        from .dg import dg_rhs
+
+        nmat, C = self.nmat, self.ncomp
+        E = U.shape[-1]
+        nx = 3 * nmat + 1
+        facade = _FusedMMFacade(self)
+        Uv = U.reshape(C, K, E)
+        Up = jnp.concatenate(
+            [Uv, jnp.zeros((nx, K, E), U.dtype)], axis=0
+        ).reshape((C + nx) * K, E)
+        fused = (accum_plan is not None
+                 and getattr(accum_plan, "fused", None) is not None
+                 and getattr(self, "fused_ok", False))
+        delt = None
+        if fused:
+            out = dg_rhs(facade, geom, Up, None, t, accum_plan=accum_plan,
+                         face_gp=False, want_charvel=want_delt)
+            acc, delt = out if want_delt else (out, None)
+        else:
+            if want_delt:
+                raise ValueError("want_delt needs the fused face plan")
+            acc = dg_rhs(facade, geom, Up, None, t, accum_plan=accum_plan,
+                         face_gp=face_gp)
+        accv = acc.reshape(C + nx, K, E)
+        dap = accv[C:C + 3 * nmat, 0, :]
+        divu = accv[C + 3 * nmat, 0, :]
+        R = accv[:C] + self._nonconservative_ho(geom, Uv, dap, divu)
+        R = (R * geom.emask).reshape(C * K, E)
+        return (R, delt) if want_delt else R
+
+    def _nonconservative_ho(self, geom: DGGeom, Uv, dap, divu):
+        """High-order non-conservative volume integral: the face-summed
+        riemannDeriv surrogates for grad(alpha_k p_k) and div(u) are
+        cell-constant (divided by vol), the state is evaluated at the
+        volume Gauss points, and the product is integrated against every
+        basis function (MultiMatTerms.cpp nonConservativeInt at P0 is the
+        1-point special case).  Uv (C, K, E); returns (C, K, E)."""
+        nmat, C = self.nmat, self.ncomp
+        K, E = Uv.shape[1], Uv.shape[2]
+        tb = geom.tables
+        dt_ = Uv.dtype
+        V = geom.vol * geom.emask + (1.0 - geom.emask)
+        dapv = dap / V                                   # (3*nmat, E)
+        divuv = divu / V                                 # (E,)
+        B_vol = jnp.asarray(tb["B_vol"], dtype=dt_)      # (G,K)
+        wB = jnp.asarray(tb["w_vol"][:, None] * tb["B_vol"], dtype=dt_)
+        s = jnp.einsum("gk,cke->cge", B_vol, Uv)         # (C,G,E)
+        rho = sum(s[density_idx(nmat, k)] for k in range(nmat))
+        vel = [s[momentum_idx(nmat, i)] / rho for i in range(3)]
+        dap_tot = [sum(dapv[3 * k + i] for k in range(nmat))
+                   for i in range(3)]
+        ncf = [jnp.zeros_like(s[0]) for _ in range(C)]
+        for k in range(nmat):
+            ncf[volfrac_idx(nmat, k)] = s[volfrac_idx(nmat, k)] * divuv
+            y_k = s[density_idx(nmat, k)] / rho
+            e = jnp.zeros_like(s[0])
+            for i in range(3):
+                e = e - vel[i] * (y_k * dap_tot[i] - dapv[3 * k + i])
+            ncf[energy_idx(nmat, k)] = e
+        Rnc = jnp.einsum("gk,cge->cke", wB, jnp.stack(ncf))
+        return Rnc * (geom.vol * geom.emask)
+
     def _nonconservative(self, geom: DGGeom, U, dap, divu):
         """Non-conservative volume terms from the accumulated face sums
         (MultiMatTerms.cpp:140-170): alpha_k div(u) and the velocity-
@@ -338,6 +446,9 @@ class _FusedMMFacade:
     (+dap at L, -dap at R) accumulation.
     """
 
+    has_src = False
+    needs_face_gp = False
+
     def __init__(self, mm: "MultiMatSystem"):
         self.mm = mm
         self.ncomp = mm.ncomp + 3 * mm.nmat + 1
@@ -345,7 +456,20 @@ class _FusedMMFacade:
     def bc_state(self, bctype, sL, fn, gp, t):
         C = self.mm.ncomp
         core = self.mm.bc_state(bctype, sL[:C], fn)
+        if gp is not None:
+            # coordinate BC (Dirichlet) available only on the unfused
+            # path, which passes the face Gauss coordinates
+            dirich = self.mm.problem.solution(gp, t).astype(sL.dtype)
+            core = jnp.where(bctype == BC_DIRICHLET, dirich, core)
         return jnp.concatenate([core, sL[C:]], axis=0)
+
+    def flux_cols(self, state, gp, t):
+        """Conservative volume-flux columns; the riemannDeriv carrier
+        rows have no volume flux (they only accumulate face sums)."""
+        C = self.mm.ncomp
+        cols = self.mm.flux_cols(state[:C], gp, t)
+        z = jnp.zeros_like(state[C:])
+        return [jnp.concatenate([c, z], axis=0) for c in cols]
 
     def riemann(self, fn, sL, sR, gp, t):
         mm = self.mm
@@ -360,17 +484,34 @@ class _FusedMMFacade:
 
 
 class MultiMatSolver:
-    """SSP-RK3 DG(P0) driver for the multi-material system."""
+    """SSP-RK3 DG(P0/P1) driver for the multi-material system.
+
+    P0 is the reference fork's parity surface (DGMultiMat.hpp:154
+    asserts ndof==1); P1 (ndof=4) is beyond-parity: the generic DG
+    volume/surface machinery through the facade plus consistent
+    material-fraction Superbee limiting (pde/limiter.py
+    consistent_mm_phi)."""
 
     def __init__(self, system: MultiMatSystem, geom: DGGeom, cfl=0.5,
-                 const_dt=None):
-        if geom.ndof != 1:
-            raise ValueError("multimat currently supports DG(P0) only")
+                 const_dt=None, limiter=None):
+        if geom.ndof not in (1, 4):
+            raise ValueError("multimat supports DG(P0) and DG(P1) only")
+        if limiter not in (None, "superbeep1"):
+            raise ValueError(
+                f"unknown multimat limiter {limiter!r} (superbeep1 only: "
+                "consistent fraction limiting needs the phi factors)")
+        if limiter is not None and geom.ndof < 4:
+            raise ValueError("limiters require ndof >= 4")
         self.system = system
         self.geom = geom
         self.cfl = cfl
         self.const_dt = const_dt
+        self.limiter = limiter
+        # CFL order scale (DG.cpp:1404-1418)
+        p = {1: 0.0, 4: 1.0}[geom.ndof]
+        self.cflscale = 1.0 / (2.0 * p + 1.0)
         self.accum_plan = None
+        self.bounds_plan = None
         import os
 
         if (jax.default_backend() == "tpu"
@@ -387,38 +528,114 @@ class MultiMatSolver:
                     f"falls back to the slow XLA gather path: {e!r}",
                     RuntimeWarning, stacklevel=2)
                 self.accum_plan = None
+            if (self.accum_plan is not None and limiter == "superbeep1"
+                    and os.environ.get("QUINOA_TPU_NO_BOUNDS") != "1"):
+                try:
+                    from ..ops.nbr_bounds import build_bounds_plan
+
+                    self.bounds_plan = build_bounds_plan(geom)
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(
+                        "Pallas bounds-plan build failed; the limiter "
+                        f"falls back to the esuelT gather: {e!r}",
+                        RuntimeWarning, stacklevel=2)
+                    self.bounds_plan = None
         # the fused kernels can't evaluate coordinate-dependent BCs
         # (Dirichlet samples problem.solution at face points)
-        system.fused_ok = not bool(
+        self._has_dirichlet = bool(
             np.isin(np.asarray(geom.bctype), [BC_DIRICHLET]).any())
+        system.fused_ok = not self._has_dirichlet
         self._step = jax.jit(self._step_impl)
+
+    def _limit(self, geom, u, bounds_plan):
+        if self.limiter is None:
+            return u
+        from .limiter import superbee_phi, consistent_mm_phi
+
+        C, K = self.system.ncomp, geom.ndof
+        E = u.shape[-1]
+        bounds = None
+        if bounds_plan is not None:
+            from ..ops.nbr_bounds import neighbor_mean_bounds
+
+            u0 = u.reshape(C, K, E)[:, 0, :]
+            bounds = neighbor_mean_bounds(bounds_plan, u0)
+        phi = superbee_phi(geom, u, None, C, bounds=bounds)
+        phi = consistent_mm_phi(phi, self.system.nmat)
+        Uv = u.reshape(C, K, E)
+        return Uv.at[:, 1:4, :].multiply(phi[:, None, :]).reshape(C * K, E)
 
     def initial_state(self, t0=0.0):
         from ..inciter.dg import DGState
 
         g = self.geom
-        # P0 projection = cell-centroid average via the init rule
+        # L2 projection onto the modal basis (P0: centroid average)
         from .dg import dg_initialize
 
         u0 = dg_initialize(self.system, g, t0)
         dtype = g.vol.dtype
         return DGState(
             u=u0.astype(dtype),
-            ndofel=jnp.ones((g.nelem,), dtype=jnp.int32),
+            ndofel=jnp.full((g.nelem,), g.ndof, dtype=jnp.int32),
             t=jnp.asarray(t0, dtype=dtype),
             it=jnp.asarray(0, dtype=jnp.int32),
             dt=jnp.asarray(0.0, dtype=dtype),
         )
 
     def step(self, state):
-        return self._step(self.geom, self.accum_plan, state)
+        return self._step(self.geom, self.accum_plan, self.bounds_plan,
+                          state)
 
     def nsteps(self, state, n):
         for _ in range(n):
             state = self.step(state)
         return state
 
-    def _step_impl(self, geom, accum_plan, state):
+    def _dt_ho(self, geom, u):
+        """Unfused dt at P1: the generic charvel face sweep through the
+        facade over the zero-padded state."""
+        from .dg import dg_dt
+
+        C, K = self.system.ncomp, geom.ndof
+        E = u.shape[-1]
+        nx = 3 * self.system.nmat + 1
+        facade = _FusedMMFacade(self.system)
+        Up = jnp.concatenate(
+            [u.reshape(C, K, E), jnp.zeros((nx, K, E), u.dtype)], axis=0
+        ).reshape((C + nx) * K, E)
+        return dg_dt(facade, geom, Up, None)
+
+    def _minv(self, geom):
+        if geom.ndof == 1:
+            return 1.0 / geom.vol
+        mn = jnp.asarray(geom.tables["mnorm"], dtype=geom.vol.dtype)
+        inv = 1.0 / (geom.vol[None, :] * mn[:, None])    # (K,E)
+        return jnp.tile(inv, (self.system.ncomp, 1))     # (C*K,E)
+
+    def _clean_alpha(self, geom, u):
+        """Enforce the sum_k alpha_k == 1 closure on ALL dof rows: the
+        majority material's fraction dofs are replaced by
+        (1,0,0,0) - sum of the others (the alpha part of upstream
+        Quinoa's cleanTraceMultiMat; without it the truncation-level
+        total-alpha slope content feeds back through the face states
+        and drifts the means ~1e-3 per 10 steps through shocks).  P1+
+        only — at P0 the scheme preserves the sum to round-off."""
+        C, K = self.system.ncomp, geom.ndof
+        E = u.shape[-1]
+        nmat = self.system.nmat
+        Uv = u.reshape(C, K, E)
+        al = Uv[:nmat]                                   # (nmat,K,E)
+        kmax = jnp.argmax(al[:, 0, :], axis=0)           # (E,)
+        unit0 = jnp.zeros((K, E), u.dtype).at[0].set(1.0)
+        total = al.sum(axis=0)                           # (K,E)
+        fix = unit0[None] - (total[None] - al)           # (nmat,K,E)
+        onehot = jnp.arange(nmat)[:, None, None] == kmax[None, None, :]
+        al_new = jnp.where(onehot, fix, al)
+        return Uv.at[:nmat].set(al_new).reshape(C * K, E)
+
+    def _step_impl(self, geom, accum_plan, bounds_plan, state):
         from ..inciter.dg import DGState, RK0, RK1
 
         un = state.u
@@ -428,21 +645,36 @@ class MultiMatSolver:
                  and getattr(self.system, "fused_ok", False))
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
-        elif not fused:
-            dt = self.system.dt_p0(geom, u) * self.cfl
-        minv = 1.0 / geom.vol
+        minv = self._minv(geom)
         for s in range(3):
+            u = self._limit(geom, u, bounds_plan)
+            if s == 0:
+                # RK anchor is the LIMITED stage-0 solution (DG.cpp:1471)
+                un = u
+                # dt on the LIMITED state: the raw P1 projection of a
+                # discontinuous alpha can be negative at face points
+                if self.const_dt is None and not fused:
+                    if geom.ndof == 1:
+                        dt = (self.system.dt_p0(geom, u)
+                              * self.cfl * self.cflscale)
+                    else:
+                        dt = (self._dt_ho(geom, u)
+                              * self.cfl * self.cflscale)
             if fused and s == 0 and self.const_dt is None:
                 # the fused pass emits the dt charvel sums with the rhs
-                r, delt = self.system.rhs_p0(geom, u, state.t,
-                                             accum_plan=accum_plan,
-                                             want_delt=True)
+                r, delt = self.system.rhs(geom, u, state.t,
+                                          accum_plan=accum_plan,
+                                          want_delt=True)
                 big = jnp.asarray(jnp.finfo(u.dtype).max, dtype=u.dtype)
                 elemdt = geom.vol / jnp.maximum(delt, 1e-300)
-                dt = jnp.where(geom.emask > 0, elemdt, big).min()                     * self.cfl
+                dt = (jnp.where(geom.emask > 0, elemdt, big).min()
+                      * self.cfl * self.cflscale)
             else:
-                r = self.system.rhs_p0(geom, u, state.t,
-                                       accum_plan=accum_plan)
+                r = self.system.rhs(geom, u, state.t,
+                                    accum_plan=accum_plan,
+                                    face_gp=self._has_dirichlet)
             u = RK0[s] * un + RK1[s] * (u + dt * r * minv)
+            if geom.ndof > 1:
+                u = self._clean_alpha(geom, u)
         return DGState(u=u, ndofel=state.ndofel, t=state.t + dt,
                        it=state.it + 1, dt=dt)

@@ -72,6 +72,52 @@ class MMInterfaceAdvection:
 
 
 @dataclasses.dataclass(frozen=True)
+class MMSmoothWave:
+    """Smooth multi-material density waves advected by a uniform flow.
+
+    With constant pressure, velocity, and volume fractions, the
+    velocity-equilibrium system reduces to pure advection of the
+    material densities (the stiffened-gas internal energy density
+    (p + gamma p_inf)/(gamma - 1) is density-independent, so material
+    energies advect too): an exact solution that is smooth, exercises
+    every conservative flux column, and makes the non-conservative
+    terms analytically zero — the convergence-order anchor for the
+    beyond-parity DG(P1) multimat path (no analog in the reference
+    fork: DGMultiMat.hpp:154 asserts ndof==1)."""
+
+    nmat: int = 2
+    eos: Tuple[StiffenedGas, ...] = (
+        StiffenedGas(gamma=1.4),
+        StiffenedGas(gamma=1.6),
+    )
+    vel: Tuple[float, float, float] = (1.0, 0.5, 0.0)
+    p0: float = 2.0
+
+    def solution(self, xyz, t):
+        nmat = self.nmat
+        x, y = xyz[0], xyz[1]
+        u, v, w = self.vel
+        xi = x - u * t
+        eta = y - v * t
+        two_pi = 2.0 * np.pi
+        alpha = [jnp.full_like(x, 1.0 / nmat) for _ in range(nmat)]
+        s = [None] * (3 * nmat + 3)
+        rhob = jnp.zeros_like(x)
+        for k in range(nmat):
+            rk = (1.0 + 0.5 * k
+                  + 0.2 * jnp.sin(two_pi * xi) * jnp.cos(two_pi * eta))
+            s[volfrac_idx(nmat, k)] = alpha[k]
+            s[density_idx(nmat, k)] = alpha[k] * rk
+            s[energy_idx(nmat, k)] = alpha[k] * self.eos[k].totalenergy(
+                rk, u, v, w, self.p0)
+            rhob = rhob + s[density_idx(nmat, k)]
+        s[momentum_idx(nmat, 0)] = rhob * u
+        s[momentum_idx(nmat, 1)] = rhob * v
+        s[momentum_idx(nmat, 2)] = rhob * w
+        return jnp.stack(s)
+
+
+@dataclasses.dataclass(frozen=True)
 class MMSodShocktube:
     """Two-material Sod shock tube (MultiMat SodShocktube.cpp): material 0
     fills the left state, material 1 the right, alphamin elsewhere."""
