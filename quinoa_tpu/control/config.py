@@ -417,10 +417,6 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             for g, cv in zip(cfg.params.get("gammas", (1.4,) * nmat),
                              cfg.params.get("cvs", (717.5,) * nmat))
         )
-        if cfg.scheme != "dg":
-            raise ValueError(
-                "multimat under --npes supports scheme dg (P0) only; "
-                "run dgp1 single-device")
         if cfg.problem == "interface_advection":
             mmprob = MMInterfaceAdvection(nmat=nmat, eos=eos)
         elif cfg.problem == "sod_shocktube":
@@ -436,15 +432,21 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             bc[ss] = BC_SYMMETRY
         for ss in cfg.bc_extrapolate:
             bc[ss] = BC_EXTRAPOLATE
+        if cfg.scheme not in ("dg", "dgp1"):
+            raise ValueError(
+                f"multimat supports scheme dg (P0) or dgp1, not "
+                f"{cfg.scheme!r}")
+        mm_ndof = _SCHEME_NDOF[cfg.scheme]
         mmsys = MultiMatSystem(mmprob)
         sharded = build_dg_shards(
-            mesh, npes, ndof=1, bc_sidesets=bc,
+            mesh, npes, ndof=mm_ndof, bc_sidesets=bc,
             algorithm=cfg.partitioner, hierarchy=hierarchy,
         )
         return SPMDMultiMatSolver(
             mmsys, sharded, dmesh,
             cfl=cfg.cfl if cfg.cfl is not None else 0.5,
             const_dt=cfg.dt,
+            limiter=("superbeep1" if mm_ndof == 4 else None),
         )
 
     kwargs = {}

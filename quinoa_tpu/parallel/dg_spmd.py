@@ -399,46 +399,84 @@ class SPMDDGSolver:
 
 
 class SPMDMultiMatSolver(SPMDDGSolver):
-    """Multi-material DG(P0) over a device mesh: the DG ghost/exchange
-    machinery with the multimat rhs (AUSM+up + non-conservative terms,
-    pde/multimat.py) — the distributed counterpart of MultiMatSolver."""
+    """Multi-material DG(P0/P1) over a device mesh: the DG
+    ghost/exchange machinery with the multimat rhs (AUSM+up +
+    non-conservative terms, pde/multimat.py) — the distributed
+    counterpart of MultiMatSolver.  P1 adds consistent
+    material-fraction Superbee limiting and the per-stage alpha
+    closure, both identical to the single-device solver."""
 
     def __init__(self, system, sharded: ShardedDG, mesh: Mesh,
-                 cfl: float = 0.5, const_dt=None):
+                 cfl: float = 0.5, const_dt=None, limiter=None):
         import numpy as _np
 
         from ..pde.dg import BC_DIRICHLET as _BCD
 
+        K = sharded.geom.ndof
+        if K not in (1, 4):
+            raise ValueError("multimat supports DG(P0) and DG(P1) only")
+        if limiter not in (None, "superbeep1"):
+            raise ValueError(
+                f"unknown multimat limiter {limiter!r} (superbeep1 only)")
         # fused kernels can't evaluate coordinate-dependent BCs
-        system.fused_ok = not bool(_np.isin(
+        self._has_dirichlet = bool(_np.isin(
             _np.asarray(sharded.geom.bctype), [_BCD]).any())
+        system.fused_ok = not self._has_dirichlet
         super().__init__(system, sharded, mesh, cfl=cfl,
-                         const_dt=const_dt, limiter=None)
+                         const_dt=const_dt, limiter=limiter)
 
     def _step_local(self, sharded, aplan, bplan, state):
+        from ..pde.multimat import clean_alpha_closure, mm_consistent_limit
+
         sh: ShardedDG = _local(sharded)
         g = sh.geom
+        K = g.ndof
+        C = self.system.ncomp
         plan = _local(aplan) if aplan is not None else None
+        bnds = _local(bplan) if bplan is not None else None
         un = state.u[0]
         u = un
         t = state.t[0]
         dt = state.dt[0]
-        minv = 1.0 / g.vol
+        minv = (1.0 / g.vol) if K == 1 else jnp.tile(
+            1.0 / (g.vol[None, :]
+                   * jnp.asarray(g.tables["mnorm"],
+                                 dtype=g.vol.dtype)[:, None]), (C, 1))
+        fused = (plan is not None
+                 and getattr(plan, "fused", None) is not None
+                 and getattr(self.system, "fused_ok", False))
         for s in range(3):
+            # comsol + (with a limiter) comlim exchanges, as in the
+            # compflow SPMD solver
             u = self._exchange(sh, u)
+            if self.limiter is not None:
+                u = mm_consistent_limit(self.system, g, u, bnds)
+                u = self._exchange(sh, u)
             if s == 0:
-                # dt AFTER the ghost refresh: a face against a ghost must
-                # see the owner's current value, as it does single-device
+                # dt AFTER the ghost refresh (and limiting): a face
+                # against a ghost must see the owner's current value,
+                # as it does single-device
                 un = u
                 if self.const_dt is not None:
                     dt = jnp.asarray(self.const_dt, dtype=g.vol.dtype)
-                else:
+                elif not fused:
                     # emask marks OWNED elements, so the local min spans
                     # exactly the single-device element set
                     dt = jax.lax.pmin(
-                        self.system.dt_p0(g, u) * self.cfl, AXIS)
-            r = self.system.rhs_p0(g, u, t, accum_plan=plan)
+                        self.system.dt(g, u) * self.cfl * self.cflscale,
+                        AXIS)
+            if fused and s == 0 and self.const_dt is None:
+                r, delt = self.system.rhs(g, u, t, accum_plan=plan,
+                                          want_delt=True)
+                dt = jax.lax.pmin(
+                    dg_dt_from_delt(g, delt) * self.cfl * self.cflscale,
+                    AXIS)
+            else:
+                r = self.system.rhs(g, u, t, accum_plan=plan,
+                                    face_gp=self._has_dirichlet)
             unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
+            if K > 1:
+                unew = clean_alpha_closure(unew, C, K, self.system.nmat)
             u = jnp.where(sh.owned[None, :] > 0, unew, u)
         return DGState(u=u[None], ndofel=state.ndofel,
                        t=(t + dt)[None], it=(state.it[0] + 1)[None],

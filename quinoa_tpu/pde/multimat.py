@@ -414,6 +414,23 @@ class MultiMatSystem:
             ncf[energy_idx(nmat, k)] = e
         return geom.vol * geom.emask * jnp.stack(ncf)
 
+    def dt(self, geom: DGGeom, U):
+        """Order-dispatching max-charvel time step: P0 keeps the
+        finite-volume sweep; P1 runs the generic dg_dt through the
+        facade over the zero-padded state."""
+        if geom.ndof == 1:
+            return self.dt_p0(geom, U)
+        from .dg import dg_dt
+
+        C, K = self.ncomp, geom.ndof
+        E = U.shape[-1]
+        nx = 3 * self.nmat + 1
+        facade = _FusedMMFacade(self)
+        Up = jnp.concatenate(
+            [U.reshape(C, K, E), jnp.zeros((nx, K, E), U.dtype)], axis=0
+        ).reshape((C + nx) * K, E)
+        return dg_dt(facade, geom, Up, None)
+
     def dt_p0(self, geom: DGGeom, U):
         uL = U[:, geom.el]
         uR = U[:, geom.er]
@@ -433,6 +450,47 @@ class MultiMatSystem:
     def analytic(self, xyz, t):
         return self.problem.solution(xyz, t)
 
+
+
+def clean_alpha_closure(u, C, K, nmat):
+    """Enforce the sum_k alpha_k == 1 closure on ALL dof rows: the
+    majority material's fraction dofs are replaced by
+    (1,0,0,0) - sum of the others (the alpha part of upstream
+    Quinoa's cleanTraceMultiMat; without it the truncation-level
+    total-alpha slope content feeds back through the face states
+    and drifts the means ~1e-3 per 10 steps through shocks).  P1+
+    only — at P0 the scheme preserves the sum to round-off."""
+    E = u.shape[-1]
+    Uv = u.reshape(C, K, E)
+    al = Uv[:nmat]                                   # (nmat,K,E)
+    kmax = jnp.argmax(al[:, 0, :], axis=0)           # (E,)
+    unit0 = jnp.zeros((K, E), u.dtype).at[0].set(1.0)
+    total = al.sum(axis=0)                           # (K,E)
+    fix = unit0[None] - (total[None] - al)           # (nmat,K,E)
+    onehot = jnp.arange(nmat)[:, None, None] == kmax[None, None, :]
+    al_new = jnp.where(onehot, fix, al)
+    return Uv.at[:nmat].set(al_new).reshape(C * K, E)
+
+
+def mm_consistent_limit(system, geom, u, bounds_plan=None):
+    """Consistent material-fraction Superbee limiting for multimat
+    DG(P1): the Superbee phi with the common-alpha adjustment
+    (pde/limiter.py consistent_mm_phi), shared by the single-device
+    and SPMD solvers."""
+    from .limiter import superbee_phi, consistent_mm_phi
+
+    C, K = system.ncomp, geom.ndof
+    E = u.shape[-1]
+    bounds = None
+    if bounds_plan is not None:
+        from ..ops.nbr_bounds import neighbor_mean_bounds
+
+        u0 = u.reshape(C, K, E)[:, 0, :]
+        bounds = neighbor_mean_bounds(bounds_plan, u0)
+    phi = superbee_phi(geom, u, None, C, bounds=bounds)
+    phi = consistent_mm_phi(phi, system.nmat)
+    Uv = u.reshape(C, K, E)
+    return Uv.at[:, 1:4, :].multiply(phi[:, None, :]).reshape(C * K, E)
 
 
 class _FusedMMFacade:
@@ -552,20 +610,7 @@ class MultiMatSolver:
     def _limit(self, geom, u, bounds_plan):
         if self.limiter is None:
             return u
-        from .limiter import superbee_phi, consistent_mm_phi
-
-        C, K = self.system.ncomp, geom.ndof
-        E = u.shape[-1]
-        bounds = None
-        if bounds_plan is not None:
-            from ..ops.nbr_bounds import neighbor_mean_bounds
-
-            u0 = u.reshape(C, K, E)[:, 0, :]
-            bounds = neighbor_mean_bounds(bounds_plan, u0)
-        phi = superbee_phi(geom, u, None, C, bounds=bounds)
-        phi = consistent_mm_phi(phi, self.system.nmat)
-        Uv = u.reshape(C, K, E)
-        return Uv.at[:, 1:4, :].multiply(phi[:, None, :]).reshape(C * K, E)
+        return mm_consistent_limit(self.system, geom, u, bounds_plan)
 
     def initial_state(self, t0=0.0):
         from ..inciter.dg import DGState
@@ -594,18 +639,7 @@ class MultiMatSolver:
         return state
 
     def _dt_ho(self, geom, u):
-        """Unfused dt at P1: the generic charvel face sweep through the
-        facade over the zero-padded state."""
-        from .dg import dg_dt
-
-        C, K = self.system.ncomp, geom.ndof
-        E = u.shape[-1]
-        nx = 3 * self.system.nmat + 1
-        facade = _FusedMMFacade(self.system)
-        Up = jnp.concatenate(
-            [u.reshape(C, K, E), jnp.zeros((nx, K, E), u.dtype)], axis=0
-        ).reshape((C + nx) * K, E)
-        return dg_dt(facade, geom, Up, None)
+        return self.system.dt(geom, u)
 
     def _minv(self, geom):
         if geom.ndof == 1:
@@ -615,25 +649,8 @@ class MultiMatSolver:
         return jnp.tile(inv, (self.system.ncomp, 1))     # (C*K,E)
 
     def _clean_alpha(self, geom, u):
-        """Enforce the sum_k alpha_k == 1 closure on ALL dof rows: the
-        majority material's fraction dofs are replaced by
-        (1,0,0,0) - sum of the others (the alpha part of upstream
-        Quinoa's cleanTraceMultiMat; without it the truncation-level
-        total-alpha slope content feeds back through the face states
-        and drifts the means ~1e-3 per 10 steps through shocks).  P1+
-        only — at P0 the scheme preserves the sum to round-off."""
-        C, K = self.system.ncomp, geom.ndof
-        E = u.shape[-1]
-        nmat = self.system.nmat
-        Uv = u.reshape(C, K, E)
-        al = Uv[:nmat]                                   # (nmat,K,E)
-        kmax = jnp.argmax(al[:, 0, :], axis=0)           # (E,)
-        unit0 = jnp.zeros((K, E), u.dtype).at[0].set(1.0)
-        total = al.sum(axis=0)                           # (K,E)
-        fix = unit0[None] - (total[None] - al)           # (nmat,K,E)
-        onehot = jnp.arange(nmat)[:, None, None] == kmax[None, None, :]
-        al_new = jnp.where(onehot, fix, al)
-        return Uv.at[:nmat].set(al_new).reshape(C * K, E)
+        return clean_alpha_closure(u, self.system.ncomp, geom.ndof,
+                                   self.system.nmat)
 
     def _step_impl(self, geom, accum_plan, bounds_plan, state):
         from ..inciter.dg import DGState, RK0, RK1

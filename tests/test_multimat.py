@@ -342,3 +342,37 @@ def test_mm_p1_f32_stable():
     nmat = 2
     um = u.reshape(system.ncomp, 4, -1)[:, 0, :]
     assert np.abs(um[:nmat].sum(axis=0) - 1.0).max() < 1e-5
+
+
+@pytest.mark.parametrize("nshard", [2])
+def test_mm_p1_spmd_matches_single(nshard):
+    """Sharded multimat DG(P1) (consistent limiting + alpha closure in
+    the shard_map body, comsol+comlim exchanges) reproduces the
+    single-device dgp1 run."""
+    import jax
+    from jax.sharding import Mesh
+
+    from quinoa_tpu.parallel.dg_shard import build_dg_shards
+    from quinoa_tpu.parallel.dg_spmd import SPMDMultiMatSolver
+
+    prob = MMSodShocktube()
+    system = MultiMatSystem(prob)
+    mesh = box_tet_mesh(16, 2, 2, hi=(1.0, 0.125, 0.125))
+    bc = {1: BC_EXTRAPOLATE, 2: BC_EXTRAPOLATE,
+          3: BC_SYMMETRY, 4: BC_SYMMETRY, 5: BC_SYMMETRY, 6: BC_SYMMETRY}
+
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    s1solver = MultiMatSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    s1 = s1solver.nsteps(s1solver.initial_state(), 8)
+
+    sharded = build_dg_shards(mesh, nshard, ndof=4, bc_sidesets=bc)
+    dmesh = Mesh(np.array(jax.devices()[:nshard]), ("shard",))
+    sN = SPMDMultiMatSolver(system, sharded, dmesh, cfl=0.5,
+                            limiter="superbeep1")
+    st = sN.nsteps(sN.initial_state(), 8)
+
+    assert np.isclose(float(np.asarray(st.t).ravel()[0]), float(s1.t),
+                      rtol=1e-12)
+    uN = sN.gather_global(st)
+    err = np.abs(uN - np.asarray(s1.u)).max()
+    assert err < 1e-9, err
