@@ -99,6 +99,29 @@ def test_multimat_virtualization(tmp_path, monkeypatch):
                                rtol=0, atol=1e-9)
 
 
+def test_multimat_dgp1_virtualization(tmp_path, monkeypatch):
+    """Multimat DG(P1) (scheme dgp1: consistent limiting + alpha
+    closure in the shard_map body) under --npes 2 -u 0.5 reproduces the
+    single-device dgp1 diag."""
+    import re
+
+    base = ("/root/reference/tests/regression/inciter/multimat/"
+            "SodShocktube/")
+    monkeypatch.chdir(tmp_path)
+    deck = open(base + "sod_shocktube_dg.q").read()
+    deck = re.sub(r"nstep\s+\d+", "nstep 6", deck)
+    deck = deck.replace("scheme dg", "scheme dgp1")
+    (tmp_path / "mm.q").write_text(deck)
+    assert main(["inciter", "-c", str(tmp_path / "mm.q"),
+                 "-i", base + "rectangle_01_1.5k.exo",
+                 "--diag", "d1"]) == 0
+    assert main(["inciter", "-c", str(tmp_path / "mm.q"),
+                 "-i", base + "rectangle_01_1.5k.exo",
+                 "--diag", "du", "--npes", "2", "-u", "0.5"]) == 0
+    np.testing.assert_allclose(_read_diag("du"), _read_diag("d1"),
+                               rtol=0, atol=1e-9)
+
+
 def test_dtref_under_virtualization(tmp_path, meshfile, monkeypatch):
     """During-timestep AMR under overdecomposition: each remesh is a
     resharding event that must land on the single-device trajectory
