@@ -151,6 +151,12 @@ def load_inciter(deck_text: str) -> InciterConfig:
             nm = _i(blk, "nmat")
             if nm is not None:
                 cfg.params["nmat"] = nm
+            ints = _i(blk, "intsharp")
+            if ints is not None:
+                cfg.params["intsharp"] = ints
+            ip = _f(blk, "intsharp_param")
+            if ip is not None:
+                cfg.params["intsharp_param"] = ip
             for p in ("alpha", "beta", "p0", "r0", "ce", "kappa",
                       "betax", "betay", "betaz"):
                 v = _f(blk, p)
@@ -319,7 +325,11 @@ def build_inciter(cfg: InciterConfig, mesh):
                 f"{cfg.scheme!r}")
         mm_ndof = _SCHEME_NDOF[cfg.scheme]
         geom = build_dggeom(mesh, ndof=mm_ndof, bc_sidesets=bc)
-        system = MultiMatSystem(problem)
+        system = MultiMatSystem(
+            problem,
+            intsharp=bool(cfg.params.get("intsharp", 0)),
+            thinc_beta=cfg.params.get("intsharp_param", 2.5),
+        )
         solver = MultiMatSolver(
             system, geom,
             cfl=cfg.cfl if cfg.cfl is not None else 0.5,
@@ -437,7 +447,11 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
                 f"multimat supports scheme dg (P0) or dgp1, not "
                 f"{cfg.scheme!r}")
         mm_ndof = _SCHEME_NDOF[cfg.scheme]
-        mmsys = MultiMatSystem(mmprob)
+        mmsys = MultiMatSystem(
+            mmprob,
+            intsharp=bool(cfg.params.get("intsharp", 0)),
+            thinc_beta=cfg.params.get("intsharp_param", 2.5),
+        )
         sharded = build_dg_shards(
             mesh, npes, ndof=mm_ndof, bc_sidesets=bc,
             algorithm=cfg.partitioner, hierarchy=hierarchy,

@@ -76,11 +76,20 @@ def _split_mach(mach):
 class MultiMatSystem:
     """DG(P0) multi-material Euler with AUSM+up and non-conservative terms."""
 
-    def __init__(self, problem):
+    def __init__(self, problem, intsharp=False, thinc_beta=2.5):
         self.problem = problem
         self.nmat = problem.nmat
         self.eos: List[StiffenedGas] = list(problem.eos)
         self.ncomp = 3 * self.nmat + 3
+        # THINC interface sharpening at P1+ (upstream Quinoa's intsharp
+        # / intsharp_param keywords; the fork never reconstructs — its
+        # DGMultiMat asserts ndof==1).  beta=2.5 measured best against
+        # the consistent-Superbee baseline: 48 vs 80 interface cells
+        # after 10 cells of planar advection (beta 1.8, the upstream
+        # default against its more-diffusive vertex limiter, is no
+        # sharper than Superbee alone here)
+        self.intsharp = bool(intsharp)
+        self.thinc_beta = float(thinc_beta)
 
     # -- state helpers --------------------------------------------------------
 
@@ -224,6 +233,82 @@ class MultiMatSystem:
             cols.append(jnp.stack(f))
         return cols
 
+    def thinc_carriers(self, geom: DGGeom, Uv):
+        """THINC carrier components (3*nmat, K, E) for interface
+        sharpening at P1 (Xiao-style algebraic interface capturing, the
+        analog of upstream Quinoa's THINCReco; no counterpart in the
+        /root/reference fork, which asserts ndof==1):
+
+        rows 3k   : q_k(xi) — the cell's normalized coordinate along the
+                    interface normal n_k = grad(alpha_k)/|grad(alpha_k)|,
+                    0 at the most-upwind vertex, 1 at the most-downwind.
+                    q is AFFINE in the reference coordinates, so its P1
+                    Dubiner modal representation is exact — the carriers
+                    ride the generic face machinery (fused kernels
+                    included) and every face Gauss point receives its
+                    own cell's q exactly;
+        rows 3k+1 : q0_k — interface position from the closed-form
+                    slab-mean inversion of the tanh profile (cell const);
+        rows 3k+2 : flag_k — 1.0 where THINC replaces the linear
+                    reconstruction (interface cell: delta < mean alpha
+                    < 1-delta and a resolvable gradient);
+        rows 3k+3 : rho_k — cell-MEAN material density (alpha rho)/alpha
+                    (cell constant; the face-linear ratio is 0/0-ill-
+                    conditioned where the linear alpha crosses zero
+                    inside a flagged cell);
+        rows 3k+4 : rhoE_k — cell-mean material energy density.
+        Returns (5*nmat, K, E).
+        """
+        nmat, K = self.nmat, geom.ndof
+        beta = self.thinc_beta
+        delta = 1.0e-4
+        dt_ = Uv.dtype
+        rows = []
+        for k in range(nmat):
+            a = Uv[volfrac_idx(nmat, k)]                 # (K,E)
+            u1, u2, u3 = a[1], a[2], a[3]
+            dxi = (2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3)
+            g = [sum(dxi[m] * geom.jacInv[m, j] for m in range(3))
+                 for j in range(3)]
+            gn = jnp.sqrt(g[0] ** 2 + g[1] ** 2 + g[2] ** 2)
+            abar = a[0]
+            flag = ((abar > delta) & (abar < 1.0 - delta)
+                    & (gn > 1.0e-8)).astype(dt_)
+            gsafe = jnp.maximum(gn, 1.0e-30)
+            n = [g[j] / gsafe for j in range(3)]
+            # vertex projections along n: node0 at 0, the three edge
+            # vectors J[:, i]
+            pj = [sum(n[m] * geom.Jmat[m, i] for m in range(3))
+                  for i in range(3)]
+            pmin = jnp.minimum(jnp.minimum(pj[0], pj[1]),
+                               jnp.minimum(pj[2], 0.0))
+            pmax = jnp.maximum(jnp.maximum(pj[0], pj[1]),
+                               jnp.maximum(pj[2], 0.0))
+            L = jnp.maximum(pmax - pmin, 1.0e-30)
+            # q(xi) = (sum_i pj_i xi_i - pmin)/L, affine -> exact P1
+            # modal coefficients in the Dubiner basis (B1=2x+e+z-1,
+            # B2=3e+z-1, B3=4z-1)
+            c0 = -pmin / L
+            c1, c2, c3 = pj[0] / L, pj[1] / L, pj[2] / L
+            m1 = c1 / 2.0
+            m2 = (c2 - m1) / 3.0
+            m3 = (c3 - m1 - m2) / 4.0
+            m0 = c0 + m1 + m2 + m3
+            qrow = jnp.stack([m0, m1, m2, m3])           # (K,E), K==4
+            # interface position from the slab-mean inversion:
+            # mean = 1/2 + (1/2b) ln[(e^b + z e^-b)/(1+z)], z = e^{2 b q0}
+            ab = jnp.clip(abar, delta, 1.0 - delta)
+            Em = jnp.exp(beta * (2.0 * ab - 1.0))
+            z = (jnp.exp(beta) - Em) / (Em - jnp.exp(-beta))
+            q0 = jnp.log(z) / (2.0 * beta)
+            zK = jnp.zeros_like(a)
+            asafe = jnp.maximum(abar, delta)
+            rhok = Uv[density_idx(nmat, k)][0] / asafe
+            rek = Uv[energy_idx(nmat, k)][0] / asafe
+            rows += [qrow, zK.at[0].set(q0), zK.at[0].set(flag),
+                     zK.at[0].set(rhok), zK.at[0].set(rek)]
+        return jnp.stack(rows)
+
     # -- P0 rhs ----------------------------------------------------------------
 
     def rhs_p0(self, geom: DGGeom, U, t, accum_plan=None,
@@ -334,11 +419,13 @@ class MultiMatSystem:
         nmat, C = self.nmat, self.ncomp
         E = U.shape[-1]
         nx = 3 * nmat + 1
-        facade = _FusedMMFacade(self)
+        thinc = self.intsharp
+        facade = _FusedMMFacade(self, thinc=thinc)
         Uv = U.reshape(C, K, E)
-        Up = jnp.concatenate(
-            [Uv, jnp.zeros((nx, K, E), U.dtype)], axis=0
-        ).reshape((C + nx) * K, E)
+        parts = [Uv, jnp.zeros((nx, K, E), U.dtype)]
+        if thinc:
+            parts.append(self.thinc_carriers(geom, Uv).astype(U.dtype))
+        Up = jnp.concatenate(parts, axis=0).reshape(facade.ncomp * K, E)
         fused = (accum_plan is not None
                  and getattr(accum_plan, "fused", None) is not None
                  and getattr(self, "fused_ok", False))
@@ -352,7 +439,7 @@ class MultiMatSystem:
                 raise ValueError("want_delt needs the fused face plan")
             acc = dg_rhs(facade, geom, Up, None, t, accum_plan=accum_plan,
                          face_gp=face_gp)
-        accv = acc.reshape(C + nx, K, E)
+        accv = acc.reshape(facade.ncomp, K, E)
         dap = accv[C:C + 3 * nmat, 0, :]
         divu = accv[C + 3 * nmat, 0, :]
         R = accv[:C] + self._nonconservative_ho(geom, Uv, dap, divu)
@@ -507,9 +594,58 @@ class _FusedMMFacade:
     has_src = False
     needs_face_gp = False
 
-    def __init__(self, mm: "MultiMatSystem"):
+    def __init__(self, mm: "MultiMatSystem", thinc=False):
         self.mm = mm
+        self.thinc = bool(thinc)
         self.ncomp = mm.ncomp + 3 * mm.nmat + 1
+        if self.thinc:
+            self.ncomp += 5 * mm.nmat
+
+    def _thinc_faces(self, s):
+        """Replace the face-evaluated volume fractions of flagged
+        interface cells by the THINC tanh profile, renormalize the
+        fractions to sum to 1, and re-derive the conserved rows from
+        the linearly-reconstructed material primitives (density,
+        energy density, velocity) so the material state stays
+        continuous through the sharpened fraction."""
+        mm = self.mm
+        C, nmat = mm.ncomp, mm.nmat
+        base = C + 3 * nmat + 1
+        beta = mm.thinc_beta
+        floor = 50.0 * jnp.finfo(s.dtype).eps
+        a_lin = [s[volfrac_idx(nmat, k)] for k in range(nmat)]
+        a_new, flags = [], []
+        for k in range(nmat):
+            q = s[base + 5 * k]
+            q0 = s[base + 5 * k + 1]
+            flag = s[base + 5 * k + 2]
+            ath = 0.5 * (1.0 + jnp.tanh(beta * (q - q0)))
+            flags.append(flag > 0.5)
+            a_new.append(jnp.where(flags[k], ath, a_lin[k]))
+        ssum = sum(a_new)
+        a_new = [a / jnp.maximum(ssum, floor) for a in a_new]
+        rho_new = jnp.zeros_like(s[0])
+        rho_lin = jnp.zeros_like(s[0])
+        out = s
+        for k in range(nmat):
+            # flagged cells re-derive the conserved rows from the
+            # cell-MEAN material primitives (well-conditioned: the mean
+            # fraction is >= delta there); unflagged rows pass through
+            rhok = s[base + 5 * k + 3]
+            rek = s[base + 5 * k + 4]
+            dk = jnp.where(flags[k], a_new[k] * rhok,
+                           s[density_idx(nmat, k)])
+            ek = jnp.where(flags[k], a_new[k] * rek,
+                           s[energy_idx(nmat, k)])
+            out = out.at[volfrac_idx(nmat, k)].set(a_new[k])
+            out = out.at[density_idx(nmat, k)].set(dk)
+            out = out.at[energy_idx(nmat, k)].set(ek)
+            rho_new = rho_new + dk
+            rho_lin = rho_lin + s[density_idx(nmat, k)]
+        for i in range(3):
+            vi = s[momentum_idx(nmat, i)] / rho_lin
+            out = out.at[momentum_idx(nmat, i)].set(rho_new * vi)
+        return out
 
     def bc_state(self, bctype, sL, fn, gp, t):
         C = self.mm.ncomp
@@ -532,10 +668,17 @@ class _FusedMMFacade:
     def riemann(self, fn, sL, sR, gp, t):
         mm = self.mm
         C, nmat = mm.ncomp, mm.nmat
+        if self.thinc:
+            sL = self._thinc_faces(sL)
+            sR = self._thinc_faces(sR)
         flx, ap, vriem = mm.ausm(fn, sL[:C], sR[:C])
         dap = jnp.stack([ap[k] * fn[i] for k in range(nmat)
                          for i in range(3)])
-        return jnp.concatenate([flx, -dap, -vriem[None]], axis=0)
+        rows = [flx, -dap, -vriem[None]]
+        if self.thinc:
+            # THINC carriers have no flux: nothing accumulates
+            rows.append(jnp.zeros_like(sL[C + 3 * nmat + 1:]))
+        return jnp.concatenate(rows, axis=0)
 
     def charvel(self, s, fn, gp=None):
         return self.mm.charvel(s[:self.mm.ncomp], fn)

@@ -376,3 +376,122 @@ def test_mm_p1_spmd_matches_single(nshard):
     uN = sN.gather_global(st)
     err = np.abs(uN - np.asarray(s1.u)).max()
     assert err < 1e-9, err
+
+
+class _MMPlanarInterface:
+    """Planar two-material interface advected along x at unit speed
+    (uniform p, u): the canonical interface-sharpening benchmark."""
+
+    nmat = 2
+
+    def __init__(self):
+        from quinoa_tpu.pde.eos import StiffenedGas
+
+        self.eos = (StiffenedGas(gamma=1.4), StiffenedGas(gamma=1.4))
+
+    def solution(self, xyz, t):
+        x = xyz[0]
+        left = x - 1.0 * t < 0.2
+        big = 1.0 - 1e-12
+        a0 = jnp.where(left, big, 1e-12)
+        a1 = jnp.where(left, 1e-12, big)
+        r = jnp.where(left, 1.0, 0.5).astype(x.dtype)
+        zero = jnp.zeros_like(x)
+        s = [None] * 9
+        s[0], s[1] = a0, a1
+        for k, a in ((0, a0), (1, a1)):
+            s[2 + k] = a * r
+            s[7 + k] = a * self.eos[k].totalenergy(r, 1.0, 0.0, 0.0, 1.0)
+        s[4] = s[2] + s[3]
+        s[5] = zero
+        s[6] = zero
+        return jnp.stack(s)
+
+
+@pytest.mark.slow
+def test_mm_p1_thinc_sharpens_interface():
+    """THINC interface sharpening (intsharp): after ~7 cells of planar
+    advection the 5%-95% interface width is substantially narrower than
+    the consistent-Superbee baseline, with density bounds and stability
+    intact (measured: 48 vs 80 cells at 10 cells of travel, beta=2.5)."""
+    prob = _MMPlanarInterface()
+    mesh = box_tet_mesh(24, 2, 2, hi=(1.0, 1.0 / 12, 1.0 / 12))
+    bc = {1: BC_EXTRAPOLATE, 2: BC_EXTRAPOLATE,
+          3: BC_SYMMETRY, 4: BC_SYMMETRY, 5: BC_SYMMETRY, 6: BC_SYMMETRY}
+    g = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    width = {}
+    for sharp in (False, True):
+        system = MultiMatSystem(prob, intsharp=sharp)
+        sol = MultiMatSolver(system, g, cfl=0.5, limiter="superbeep1")
+        s = sol.initial_state()
+        for _ in range(1200):
+            s = sol.step(s)
+        u = np.asarray(s.u)
+        assert np.isfinite(u).all()
+        um = u.reshape(9, 4, -1)[:, 0, :]
+        rho = um[2:4].sum(axis=0)
+        assert rho.min() > 0.49 and rho.max() < 1.01
+        a0 = um[0]
+        width[sharp] = int(((a0 > 0.05) & (a0 < 0.95)).sum())
+    assert width[True] <= width[False] - 8, width
+
+
+def test_mm_p1_thinc_fused_matches_unfused():
+    """The THINC face transform (tanh profile + mean-primitive
+    re-derivation) inside the fused Pallas kernels reproduces the
+    unfused XLA rhs (interpret mode on CPU, f64)."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.pde.problems.multimat import MMInterfaceAdvection
+
+    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    bc = {i: BC_EXTRAPOLATE for i in range(1, 7)}
+    prob = MMInterfaceAdvection()
+    system = MultiMatSystem(prob, intsharp=True)
+    g = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    plan = build_accum_plan(g, TF=128, W=128)
+    assert plan.fused is not None
+
+    sol = MultiMatSolver(system, g, cfl=0.5, limiter="superbeep1")
+    u = sol._limit(g, sol.initial_state().u, None)
+
+    system.fused_ok = True
+    r_f = jax.jit(
+        lambda gg, p, uu: system.rhs(gg, uu, 0.0, accum_plan=p)
+    )(g, plan, u)
+    system.fused_ok = False
+    r_x = jax.jit(lambda gg, uu: system.rhs(gg, uu, 0.0))(g, u)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x),
+                               rtol=0, atol=1e-9)
+
+
+def test_mm_deck_intsharp_keywords():
+    """`intsharp 1` / `intsharp_param` in the multimat block configure
+    THINC (upstream Quinoa's keywords; no analog in the fork)."""
+    from quinoa_tpu.control.config import load_inciter, build_inciter
+
+    deck = """
+inciter
+  nstep 5
+  cfl 0.5
+  scheme dgp1
+  multimat
+    physics veleq problem sod_shocktube nmat 2
+    intsharp 1
+    intsharp_param 3.0
+    material gamma 1.4 1.4 end cv 717.5 717.5 end end
+    bc_extrapolate sideset 1 2 end end
+    bc_sym sideset 3 4 5 6 end end
+  end
+  diagnostics interval 1 error l2 end
+end
+"""
+    cfg = load_inciter(deck)
+    assert cfg.params["intsharp"] == 1
+    assert cfg.params["intsharp_param"] == 3.0
+    mesh = box_tet_mesh(8, 2, 2, hi=(1.0, 0.25, 0.25))
+    solver, diag = build_inciter(cfg, mesh)
+    assert solver.system.intsharp and solver.system.thinc_beta == 3.0
+    s = solver.nsteps(solver.initial_state(), 3)
+    assert np.isfinite(np.asarray(s.u)).all()
