@@ -107,8 +107,9 @@ KEYWORDS: Dict[str, dict] = {
         kind="block", parent="inciter", usage="multimat ... end",
         short="Start the multi-material flow PDE block",
         long="nmat-material compressible flow with volume fractions "
-             "(DG P0; the reference fork asserts ndof==1 for "
-             "multimat)."),
+             "(scheme dg = P0, the reference fork's parity surface — "
+             "it asserts ndof==1; scheme dgp1 adds consistent-limited "
+             "DG(P1) with optional THINC sharpening, beyond-parity)."),
     "physics": dict(
         kind="scalar", parent="transport|compflow|multimat",
         usage="physics advection|advdiff|euler|veleq",
@@ -123,8 +124,8 @@ KEYWORDS: Dict[str, dict] = {
              "shear_diff, user_defined (transport); sedov_blastwave, "
              "sod_shocktube, taylor_green, vortical_flow, "
              "rayleigh_taylor, nl_energy_growth, rotated_sod_shocktube "
-             "(compflow); interface_advection, sod_shocktube "
-             "(multimat)."),
+             "(compflow); interface_advection, sod_shocktube, "
+             "smooth_wave (multimat)."),
     "ncomp": dict(
         kind="scalar", parent="transport", usage="ncomp <int>",
         short="Set number of scalar components",
@@ -138,6 +139,18 @@ KEYWORDS: Dict[str, dict] = {
         kind="scalar", parent="multimat", usage="nmat <int>",
         short="Set number of materials",
         long="Material count for the multi-material system."),
+    "intsharp": dict(
+        kind="scalar", parent="multimat", usage="intsharp 0|1",
+        short="Toggle THINC interface sharpening (dgp1 multimat)",
+        long="Algebraic tanh interface reconstruction of the volume "
+             "fractions at face quadrature points (upstream Quinoa's "
+             "keyword; requires scheme dgp1)."),
+    "intsharp_param": dict(
+        kind="scalar", parent="multimat", usage="intsharp_param <real>",
+        short="THINC interface steepness beta",
+        long="Steepness of the tanh profile; default 2.5 (measured "
+             "best against the consistent-Superbee baseline: 48 vs 80 "
+             "interface cells after 10 cells of planar advection)."),
     "material": dict(
         kind="block", parent="compflow|multimat",
         usage="material gamma ... end [cv ... end] [pstiff ... end] end",
