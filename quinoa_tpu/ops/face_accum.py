@@ -67,7 +67,7 @@ class FusedStream:
     jax.tree_util.register_dataclass,
     data_fields=[
         "near", "far", "erF", "elFR",
-        "ksRF", "blkRF", "mloRF", "mhiRF", "xirRF", "permRF",
+        "ksRF", "blkRF", "mloRF", "mhiRF", "xirRF", "permRF", "ipermRF",
     ],
     meta_fields=["ntileRF", "nblkRF", "Fn", "Ff", "WRF"],
 )
@@ -90,6 +90,7 @@ class FusedPlan:
     mhiRF: jnp.ndarray
     xirRF: jnp.ndarray   # (3G, FpRF) er-sorted static xi_r of far faces
     permRF: jnp.ndarray  # (FpF,) er-sort permutation of the far stream
+    ipermRF: jnp.ndarray  # (FpF,) inverse: er-sorted -> el-sorted order
     ntileRF: int
     nblkRF: int
     Fn: int
@@ -337,6 +338,7 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
         near=sN, far=sF, erF=erF, elFR=elFR,
         ksRF=ksRF.reshape(1, -1), blkRF=blkRF, mloRF=mloRF,
         mhiRF=mhiRF, xirRF=xirRF, permRF=permRF,
+        ipermRF=np.argsort(permRF, kind="stable").astype(np.int32),
         ntileRF=ntileRF, nblkRF=nblkRF,
         Fn=sN["nreal"], Ff=FpF, WRF=WRF,
     )
@@ -360,6 +362,7 @@ def _fused_from_arrays(p, to_jnp=jnp.asarray) -> FusedPlan:
         ksRF=to_jnp(p["ksRF"]), blkRF=to_jnp(p["blkRF"]),
         mloRF=to_jnp(p["mloRF"]), mhiRF=to_jnp(p["mhiRF"]),
         xirRF=to_jnp(p["xirRF"]), permRF=to_jnp(p["permRF"]),
+        ipermRF=to_jnp(p["ipermRF"]),
         ntileRF=p["ntileRF"], nblkRF=p["nblkRF"],
         Fn=p["Fn"], Ff=p["Ff"], WRF=p["WRF"],
     )
@@ -501,6 +504,7 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 128,
         ksRF=fstack(("ksRF",)), blkRF=fstack(("blkRF",)),
         mloRF=fstack(("mloRF",)), mhiRF=fstack(("mhiRF",)),
         xirRF=fstack(("xirRF",)), permRF=fstack(("permRF",)),
+        ipermRF=fstack(("ipermRF",)),
         ntileRF=fps[0]["ntileRF"], nblkRF=fps[0]["nblkRF"],
         Fn=fps[0]["Fn"], Ff=fps[0]["Ff"], WRF=fps[0]["WRF"],
     )

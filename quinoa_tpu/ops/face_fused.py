@@ -329,7 +329,8 @@ def _padU(U, NBW):
     return jnp.pad(U, ((0, 0), (0, NBW - U.shape[1])))
 
 
-def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
+def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
+                         sr_in=False):
     """Shared near/far fused kernel.
 
     Both variants gather LEFT states in-window, run basis+BC+Riemann,
@@ -338,7 +339,10 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
     shares el's W-block by construction) and accumulates the right
     contributions + dt row at er — no pre-gather, no permute, no
     second pass.  The FAR variant takes pre-gathered right states and
-    emits [weighted flux; charvel] rows for the er-sorted R pass."""
+    emits [weighted flux; charvel] rows for the er-sorted R pass; with
+    sr_in the right states arrive pre-evaluated at the face Gauss
+    points (C*G rows from the er-sorted rstate pass) instead of as
+    CK-row modal states."""
     from ..pde.dg import BC_INTERIOR
 
     def kernel(blk_ref, ks_ref, ker_ref, ulo_ref, uhi_ref, *rest):
@@ -376,9 +380,9 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
         UvL = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
         UvL = UvL.reshape(C, K, TF)
 
-        if far:
+        if far and not sr_in:
             UvR = uvr_ref[...].reshape(C, K, TF)
-        else:
+        elif not far:
             ker = ker_ref[0, :]
             locr = (ker - b * W)[:, None]
             validr = jnp.where(ker >= 0, 1.0, 0.0).astype(dt_)
@@ -390,9 +394,7 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
                    + dotT(uhi_ref[...], hot_rhi)).reshape(C, K, TF)
 
         xi_l = xil_ref[...].reshape(3, G, TF)
-        xi_r = xir_ref[...].reshape(3, G, TF)
         B_l = eval_basis_cm(K, xi_l)
-        B_r = eval_basis_cm(K, xi_r)
 
         def row3(a, k):
             return jax.lax.squeeze(
@@ -402,7 +404,15 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
             return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
 
         sL = sum(row3(B_l, k)[None] * dof3(UvL, k) for k in range(K))
-        sR = sum(row3(B_r, k)[None] * dof3(UvR, k) for k in range(K))
+        if far and sr_in:
+            # right states arrive pre-evaluated at the Gauss points
+            # (er-sorted rstate pass + below-cliff permute)
+            sR = uvr_ref[...].reshape(C, G, TF)
+        else:
+            xi_r = xir_ref[...].reshape(3, G, TF)
+            B_r = eval_basis_cm(K, xi_r)
+            sR = sum(row3(B_r, k)[None] * dof3(UvR, k)
+                     for k in range(K))
         vf3 = validf[None, None, :] > 0
         sL = jnp.where(vf3, sL, 1.0)
         sR = jnp.where(vf3, sR, 1.0)
@@ -447,6 +457,77 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far):
                                        precision="highest")
 
     return kernel
+
+
+def _make_far_rstate_kernel(TF, W, C, K, G):
+    """Er-sorted far right-state pass: window-gather er modal states
+    (er-sorted far faces target the blkRF windows, so er is in-window
+    by construction) and evaluate the face-right Gauss-point states
+    sR (C*G rows).  Replaces the far stream's CK-row right-state XLA
+    gather — C*G=15 rows permute back below the 16-row gather cliff
+    while C*K=20 rows sit above it (ROADMAP measured landmark)."""
+
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, xir_ref, o_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        dt_ = ulo_ref.dtype
+        ks = ks_ref[0, :]
+        loc = ks - b * W
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+        locr = loc[None, :]
+        hot_lo = jnp.where(iota == locr, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
+        hot_hi = jnp.where(iota == locr - W, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
+        u = (jax.lax.dot(ulo_ref[...], hot_lo, precision="highest")
+             + jax.lax.dot(uhi_ref[...], hot_hi, precision="highest"))
+        UvR = u.reshape(C, K, TF)
+        xi_r = xir_ref[...].reshape(3, G, TF)
+        B_r = eval_basis_cm(K, xi_r)
+
+        def row3(a, k):
+            return jax.lax.squeeze(
+                jax.lax.slice_in_dim(a, k, k + 1, axis=0), (0,))
+
+        def dof3(a, k):
+            return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
+
+        sR = sum(row3(B_r, k)[None] * dof3(UvR, k) for k in range(K))
+        o_ref[...] = sR.reshape(C * G, TF)
+
+    return kernel
+
+
+def far_rstate_pass(fp, U, C, K, G, interpret=None):
+    """U (C*K, E) -> (C*G, FpF) el-sorted-far-order right states at the
+    face Gauss points, computed in the er-sorted windows."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    TF = fp.ksRF.shape[-1] // fp.ntileRF
+    WRF = fp.WRF
+    NBW = (fp.nblkRF + 2) * WRF
+    Upad = _padU(U, NBW)
+    srER = pl.pallas_call(
+        _make_far_rstate_kernel(TF, WRF, C, K, G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(fp.ntileRF,),
+            in_specs=[
+                pl.BlockSpec((1, TF), lambda t, blk: (0, t)),
+                pl.BlockSpec((C * K, WRF), lambda t, blk: (0, blk[t])),
+                pl.BlockSpec((C * K, WRF),
+                             lambda t, blk: (0, blk[t] + 1)),
+                pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),
+            ],
+            out_specs=pl.BlockSpec((C * G, TF), lambda t, blk: (0, t)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((C * G, fp.ntileRF * TF),
+                                       U.dtype),
+        interpret=interpret,
+    )(fp.blkRF, fp.ksRF, Upad, Upad, fp.xirRF)
+    # permute er-sorted -> el-sorted far order (C*G rows: below cliff)
+    return srER[:, :fp.Ff][:, fp.ipermRF]
 
 
 def _make_far_raccum_kernel(TF, W, C, K, G):
@@ -522,7 +603,7 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
     dt_ = U.dtype
     wface = np.asarray(geom.tables["w_face"])
 
-    def stream_call(st, far, extra_in=()):
+    def stream_call(st, far, extra_in=(), sr_in=False):
         nblk = st.nblk
         Ws = st.W
         NBW = (nblk + 2) * Ws
@@ -543,7 +624,9 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
         ]
         args = [st.blk, st.ks, st.ker, Upad, Upad]
         if far:
-            in_specs.append(pl.BlockSpec((CK, TF), lambda t, blk: (0, t)))
+            rrows = C * G if sr_in else CK
+            in_specs.append(
+                pl.BlockSpec((rrows, TF), lambda t, blk: (0, t)))
             args.append(extra_in[0])
             out_shape.append(
                 jax.ShapeDtypeStruct((CG1, st.ntile * TF), dt_))
@@ -558,7 +641,8 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
         ]
         args += [st.xil, st.xir, st.fn, st.fa, st.bt]
         return pl.pallas_call(
-            _make_nearfar_kernel(system, TF, Ws, C, K, G, wface, far),
+            _make_nearfar_kernel(system, TF, Ws, C, K, G, wface, far,
+                                 sr_in=sr_in),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(st.ntile,),
@@ -578,19 +662,28 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
     FpF = fp.far.ntile * TF
     import os as _os
 
-    if CK > 16 and _os.environ.get("QUINOA_SPLIT_FAR_GATHER") == "1":
-        # XLA's TPU gather cost TRIPLES above 16 rows; split the CK-row
-        # right-state gather into two <=16-row halves (A/B experiment:
-        # flip the env var and re-run bench.py)
-        Uv = U.reshape(C, K, -1)
-        h = (C + 1) // 2
-        UvRf = jnp.concatenate([
-            Uv[:h, :, fp.erF].reshape(h * K, FpF),
-            Uv[h:, :, fp.erF].reshape((C - h) * K, FpF),
-        ], axis=0)
+    if _os.environ.get("QUINOA_FAR_SR") == "1":
+        # er-sorted in-window right-state pass: sR at the face Gauss
+        # points (C*G rows) instead of the CK-row modal gather (A/B
+        # experiment vs the gather variants below)
+        srF = far_rstate_pass(fp, U, C, K, G, interpret=interpret)
+        loF, hiF, wflF = stream_call(fp.far, far=True, extra_in=(srF,),
+                                     sr_in=True)
     else:
-        UvRf = U.reshape(C, K, -1)[:, :, fp.erF].reshape(CK, FpF)
-    loF, hiF, wflF = stream_call(fp.far, far=True, extra_in=(UvRf,))
+        if CK > 16 and _os.environ.get("QUINOA_SPLIT_FAR_GATHER") == "1":
+            # XLA's TPU gather cost TRIPLES above 16 rows; split the
+            # CK-row right-state gather into two <=16-row halves (A/B
+            # experiment: flip the env var and re-run bench.py)
+            Uv = U.reshape(C, K, -1)
+            h = (C + 1) // 2
+            UvRf = jnp.concatenate([
+                Uv[:h, :, fp.erF].reshape(h * K, FpF),
+                Uv[h:, :, fp.erF].reshape((C - h) * K, FpF),
+            ], axis=0)
+        else:
+            UvRf = U.reshape(C, K, -1)[:, :, fp.erF].reshape(CK, FpF)
+        loF, hiF, wflF = stream_call(fp.far, far=True,
+                                     extra_in=(UvRf,))
     accF = (jnp.where(fp.far.mlo > 0, loF, 0.0)
             + jnp.where(fp.far.mhi > 0, hiF, 0.0))[:, :plan.E]
 

@@ -244,6 +244,45 @@ def test_fused_nearfar_matches_xla_rhs(ndof):
     assert np.isclose(dt_f, dt_x, rtol=1e-12)
 
 
+def test_fused_nearfar_far_sr_variant(monkeypatch):
+    """QUINOA_FAR_SR=1 routes the far stream through the er-sorted
+    right-state pass (sR at Gauss points, C*G rows) instead of the
+    CK-row modal gather; the rhs must match the default path exactly."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.pde.dg import dg_rhs
+
+    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    plan = build_accum_plan(geom, TF=128, W=128)
+    assert plan.fused.Ff > 0
+
+    rng = np.random.default_rng(11)
+    E, K = geom.nelem, 4
+    U0 = np.zeros((5 * K, E))
+    U0[0] = 1.0 + 0.05 * rng.random(E)
+    U0[4 * K] = 2.5 + 0.05 * rng.random(E)
+    for ck in range(5 * K):
+        if ck % K:
+            U0[ck] = 0.01 * rng.random(E)
+    U = jnp.asarray(U0)
+
+    def rhs(g, p, u):
+        return dg_rhs(system, g, u, None, 0.0, accum_plan=p,
+                      face_gp=False, want_charvel=True)
+
+    r_def, delt_def = jax.jit(rhs)(geom, plan, U)
+    monkeypatch.setenv("QUINOA_FAR_SR", "1")
+    r_sr, delt_sr = jax.jit(rhs)(geom, plan, U)
+    np.testing.assert_allclose(np.asarray(r_sr), np.asarray(r_def),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(delt_sr),
+                               np.asarray(delt_def), rtol=0, atol=1e-12)
+
+
 def test_nbr_bounds_matches_esuelt():
     """The Pallas window neighbor-bounds pass (interpret mode on CPU)
     reproduces the esuelT-gather min/max bounds bit-exactly, and the
