@@ -42,7 +42,7 @@ RK1 = (1.0, 1.0 / 4.0, 2.0 / 3.0)
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["edges", "A", "ensup"],
+    data_fields=["edges", "A", "ensup", "xyz"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -52,11 +52,14 @@ class EdgeTables:
     edges : (2, nedge) i32 endpoints
     A     : (nedge,)   dual-face area scale 2*m_ab/h_ab
     ensup : (D, N) i32 edge-slot assembly table (slots: side*nedge+edge)
+    xyz   : (2, 3, nedge) static endpoint coordinates (keeps the
+            charspeed coordinate lookup out of the per-step program)
     """
 
     edges: jnp.ndarray
     A: jnp.ndarray
     ensup: jnp.ndarray
+    xyz: "jnp.ndarray | None" = None
 
 
 def edge_arrays_np(coords: np.ndarray, inpoel: np.ndarray, nnode: int):
@@ -100,19 +103,24 @@ def build_edge_tables(mesh, dtype=None) -> EdgeTables:
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     edges, A, ensup, _ = edge_arrays_np(mesh.coords, mesh.inpoel, mesh.nnode)
+    xyz = np.stack([mesh.coords[edges[:, 0]].T, mesh.coords[edges[:, 1]].T])
     return EdgeTables(
         edges=jnp.asarray(edges.T, dtype=jnp.int32),
         A=jnp.asarray(A, dtype=dtype),
         ensup=jnp.asarray(ensup),
+        xyz=jnp.asarray(xyz, dtype=dtype),
     )
 
 
 def alecg_flux_rhs(system, geom, u):
     """Galerkin volume rhs: R_a -= (V_e/4) sum_b grad_b . F(u_b)."""
+    from ..pde.cg import cg_coords_n
+
     un = gather_nodes(u, geom.inpoelT)  # (4, C, E)
+    cn = cg_coords_n(geom)  # static cache: no per-step coords gather
     divF = None
     for b in range(4):
-        fb = system.flux_at_nodes(un[b], geom.coords[:, geom.inpoelT[b]])
+        fb = system.flux_at_nodes(un[b], cn[b])
         d = sum(geom.grad[b, j] * fb[j] for j in range(3))
         divF = d if divF is None else divF + d
     w = (geom.J * geom.emask) / 24.0  # V/4
@@ -120,14 +128,17 @@ def alecg_flux_rhs(system, geom, u):
     return assemble_add(contrib, geom.nsup)
 
 
-def alecg_dissipation(system, geom, edges, A, ensup, u):
-    """Edge Rusanov: R_a += A_ab lambda_ab (u_b - u_a)."""
+def alecg_dissipation(system, geom, edges, A, ensup, u, exyz=None):
+    """Edge Rusanov: R_a += A_ab lambda_ab (u_b - u_a); exyz is the
+    optional static endpoint-coordinate cache (2, 3, nE)."""
     a, b = edges[0], edges[1]
     ua = u[:, a]
     ub = u[:, b]
+    xa = exyz[0] if exyz is not None else geom.coords[:, a]
+    xb = exyz[1] if exyz is not None else geom.coords[:, b]
     lam = jnp.maximum(
-        system.charspeed(ua, geom.coords[:, a]),
-        system.charspeed(ub, geom.coords[:, b]),
+        system.charspeed(ua, xa),
+        system.charspeed(ub, xb),
     )
     d = A * lam * (ub - ua)  # (C, nE)
     contrib = jnp.stack([d, -d])  # slot 0 -> node a, slot 1 -> node b
@@ -191,7 +202,8 @@ class ALECGSolver:
         u = state.u
         for s in range(3):
             r = alecg_flux_rhs(self.system, geom, u) + alecg_dissipation(
-                self.system, geom, edget.edges, edget.A, edget.ensup, u
+                self.system, geom, edget.edges, edget.A, edget.ensup, u,
+                exyz=edget.xyz,
             )
             u = RK0[s] * un + RK1[s] * (u + dt * r / lhs[None, :])
             # Dirichlet: pin to the analytic solution at the stage time

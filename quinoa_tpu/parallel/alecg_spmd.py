@@ -36,7 +36,7 @@ from .spmd import AXIS, HaloCombiner, PpermuteHalo, _local
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["cg", "edgesT", "eA", "ensup"],
+    data_fields=["cg", "edgesT", "eA", "ensup", "exyz"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +53,7 @@ class ShardedALECG:
     edgesT: jnp.ndarray
     eA: jnp.ndarray
     ensup: jnp.ndarray
+    exyz: "jnp.ndarray | None" = None  # (S, 2, 3, EE) static endpoint coords
 
 
 def build_alecg_shards(
@@ -93,11 +94,15 @@ def build_alecg_shards(
     S = nshard
     s_edges = np.zeros((S, 2, EE), dtype=np.int32)
     s_A = np.zeros((S, EE))
+    s_xyz = np.zeros((S, 2, 3, EE))
     s_ensup = np.full((S, De, Nmax), 2 * EE, dtype=np.int32)
     for s, (edges, A, ensup, nn) in enumerate(per):
         ne = len(edges)
         s_edges[s, :, :ne] = edges.T
         s_A[s, :ne] = A
+        sc = coords[nodes[s]]
+        s_xyz[s, 0, :, :ne] = sc[edges[:, 0]].T
+        s_xyz[s, 1, :, :ne] = sc[edges[:, 1]].T
         # remap slot ids a*ne + e into the padded slot space a*EE + e
         a_idx = ensup // ne if ne else ensup
         e_idx = ensup % ne if ne else ensup
@@ -110,6 +115,7 @@ def build_alecg_shards(
         edgesT=jnp.asarray(s_edges),
         eA=jnp.asarray(s_A, dtype=dtype),
         ensup=jnp.asarray(s_ensup),
+        exyz=jnp.asarray(s_xyz, dtype=dtype),
     )
 
 
@@ -178,7 +184,8 @@ class SPMDALECGSolver:
         un = u
         for s in range(3):
             r = alecg_flux_rhs(self.system, geom, u) + alecg_dissipation(
-                self.system, geom, sh.edgesT, sh.eA, sh.ensup, u
+                self.system, geom, sh.edgesT, sh.eA, sh.ensup, u,
+                exyz=sh.exyz,
             )
             r = halo.sum(r)
             # lumped mass == fully-summed nodal volume (ALECG lhsmerge)

@@ -153,10 +153,12 @@ def build_overdecomposed_cg(
         for s, v in enumerate(rev_lists[d]):
             rev_m[d, : len(v), s] = v
 
+    from ..pde.cg import coords_cache_np
+
+    coords_m = coords.transpose(0, 2, 1, 3).reshape(npes, 3, NlM)
+    cn_m, ctr_m = coords_cache_np(coords_m, inpoelT_m)
     geom = CGGeom(
-        coords=jnp.asarray(
-            coords.transpose(0, 2, 1, 3).reshape(npes, 3, NlM),
-            dtype=g.coords.dtype),
+        coords=jnp.asarray(coords_m, dtype=g.coords.dtype),
         inpoelT=jnp.asarray(inpoelT_m),
         J=jnp.asarray(J.reshape(npes, EM), dtype=g.J.dtype),
         grad=jnp.asarray(
@@ -166,6 +168,8 @@ def build_overdecomposed_cg(
         emask=jnp.asarray(emask.reshape(npes, EM), dtype=g.emask.dtype),
         nsup=jnp.asarray(nsup_m),
         nnode=NlM,
+        coords_n=jnp.asarray(cn_m, dtype=g.coords.dtype),
+        ctr=jnp.asarray(ctr_m, dtype=g.coords.dtype),
     )
     merged = ShardedCG(
         geom=geom,

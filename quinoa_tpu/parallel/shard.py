@@ -254,6 +254,9 @@ def build_cg_shards(
         if nn < Nmax:
             s_coords[s, :, nn:] = coords[n[0], :, None] if nn else 0.0
 
+    from ..pde.cg import coords_cache_np
+
+    s_cn, s_ctr = coords_cache_np(s_coords, s_inpoelT)
     geom = CGGeom(
         coords=jnp.asarray(s_coords, dtype=dtype),
         inpoelT=jnp.asarray(s_inpoelT),
@@ -263,6 +266,8 @@ def build_cg_shards(
         emask=jnp.asarray(s_emask, dtype=dtype),
         nsup=jnp.asarray(s_nsup),
         nnode=int(Nmax),
+        coords_n=jnp.asarray(s_cn, dtype=dtype),
+        ctr=jnp.asarray(s_ctr, dtype=dtype),
     )
     return ShardedCG(
         geom=geom,

@@ -32,7 +32,7 @@ from ..ops.node_window import (NodePlan, build_node_plan,
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["coords", "inpoelT", "J", "grad", "vol", "emask", "nsup",
-                 "plan"],
+                 "plan", "coords_n", "ctr"],
     meta_fields=["nnode"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +61,15 @@ class CGGeom:
     nsup: jnp.ndarray
     nnode: int
     plan: Optional[NodePlan] = None
+    # static element-node coordinate caches: coords_n (4, 3, E) and the
+    # element centers ctr (3, E).  Gathering coords by inpoelT inside
+    # the step costs a full XLA gather launch each (dt's wave-speed
+    # sweep + the Taylor-Galerkin velocity/source evaluations = 4+
+    # per-step gathers of purely STATIC data); builders precompute
+    # them once instead (DiagCG.cpp re-derives these per rhs because
+    # Charm++ chares own their coords — a TPU program should not).
+    coords_n: Optional[jnp.ndarray] = None
+    ctr: Optional[jnp.ndarray] = None
 
     @property
     def nelem(self) -> int:
@@ -82,6 +91,36 @@ def cg_assemble_add(geom: CGGeom, contrib):
     if geom.plan is not None:
         return assemble_add_window(geom.plan, contrib)
     return assemble_add(contrib, geom.nsup)
+
+
+def coords_cache_np(coords, inpoelT):
+    """Host-side static coordinate caches: (…, 3, N) coords +
+    (…, 4, E) inpoelT -> (coords_n (…, 4, 3, E), ctr (…, 3, E)).
+    Leading shard axes are looped host-side (stacked builders)."""
+    coords = np.asarray(coords)
+    inpoelT = np.asarray(inpoelT)
+    if coords.ndim == 2:
+        cn = np.stack([coords[:, inpoelT[a]] for a in range(4)])
+        return cn, cn.mean(axis=0)
+    pairs = [coords_cache_np(coords[s], inpoelT[s])
+             for s in range(coords.shape[0])]
+    return (np.stack([p[0] for p in pairs]),
+            np.stack([p[1] for p in pairs]))
+
+
+def cg_coords_n(geom: CGGeom):
+    """Element-node coordinates (4, 3, E): the static cache when the
+    builder filled it, else the per-step gather fallback."""
+    if geom.coords_n is not None:
+        return geom.coords_n
+    return jnp.stack([geom.coords[:, geom.inpoelT[a]] for a in range(4)])
+
+
+def cg_ctr(geom: CGGeom):
+    """Element centers (3, E) with the same cache-or-gather contract."""
+    if geom.ctr is not None:
+        return geom.ctr
+    return sum(geom.coords[:, geom.inpoelT[a]] for a in range(4)) / 4.0
 
 
 def make_cggeom(mesh, dtype=None, window: bool = False) -> CGGeom:
@@ -106,6 +145,7 @@ def make_cggeom(mesh, dtype=None, window: bool = False) -> CGGeom:
     if window:
         plan = build_node_plan(mesh.inpoel, mesh.nnode,
                                dtype=np.dtype(dtype))
+    cn, ctr = coords_cache_np(mesh.coords.T, mesh.inpoel.T)
     return CGGeom(
         coords=jnp.asarray(mesh.coords.T, dtype=dtype),
         inpoelT=jnp.asarray(mesh.inpoel.T, dtype=jnp.int32),
@@ -116,6 +156,8 @@ def make_cggeom(mesh, dtype=None, window: bool = False) -> CGGeom:
         nsup=jnp.asarray(nsup),
         nnode=int(mesh.nnode),
         plan=plan,
+        coords_n=jnp.asarray(cn, dtype=dtype),
+        ctr=jnp.asarray(ctr, dtype=dtype),
     )
 
 
@@ -169,12 +211,11 @@ class CGTransport:
         C, E = self.ncomp, geom.nelem
 
         # stage 1: element intermediate at t + dt/2
-        # velocity at the four element nodes: (4, C, 3, E)
+        # velocity at the four element nodes: (4, C, 3, E), from the
+        # STATIC coords cache — no per-step gather
+        cn = cg_coords_n(geom)
         vel_n = jnp.stack(
-            [
-                self.problem.velocity(geom.coords[:, geom.inpoelT[a]], t)
-                for a in range(4)
-            ]
+            [self.problem.velocity(cn[a], t) for a in range(4)]
         )
         # advective term: sum_a sum_j grad[a,j] * v[a,c,j] * u[a,c]
         adv = jnp.zeros((C, E), dtype=U.dtype)
@@ -184,8 +225,7 @@ class CGTransport:
         ue = un.mean(axis=0) - 0.5 * dt * adv  # (C, E)
 
         # stage 2: element fluxes to nodes with center velocity
-        ctr = sum(geom.coords[:, geom.inpoelT[a]] for a in range(4)) / 4.0
-        vel_c = self.problem.velocity(ctr, t)  # (C, 3, E)
+        vel_c = self.problem.velocity(cg_ctr(geom), t)  # (C, 3, E)
         d = dt * geom.J * geom.emask / 6.0  # (E,)
 
         vdotg = [
@@ -222,9 +262,10 @@ class CGTransport:
     def dt(self, geom: CGGeom, U):
         """Minimum time-step over local elements (before CFL scaling)."""
         L = jnp.cbrt(geom.J / 6.0)
+        cn = cg_coords_n(geom)
         speeds = []
         for a in range(4):
-            v = self.problem.velocity(geom.coords[:, geom.inpoelT[a]], 0.0)
+            v = self.problem.velocity(cn[a], 0.0)
             speeds.append(jnp.sqrt((v**2).sum(axis=1)).max(axis=0))  # (E,)
         maxvel = jnp.maximum(
             jnp.maximum(speeds[0], speeds[1]), jnp.maximum(speeds[2], speeds[3])

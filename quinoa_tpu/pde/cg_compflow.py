@@ -64,9 +64,12 @@ class CGCompFlow:
 
         # nodal source (manufactured problems only)
         if getattr(self.problem, "manufactured", False):
+            from .cg import cg_coords_n
+
+            cn = cg_coords_n(geom)
             s = jnp.zeros((C, E), dtype=U.dtype)
             for a in range(4):
-                s = s + self.problem.src(geom.coords[:, geom.inpoelT[a]], t)
+                s = s + self.problem.src(cn[a], t)
             ue = ue + 0.5 * dt * s / 4.0
 
         # stage 2: element fluxes assembled to nodes
@@ -78,8 +81,9 @@ class CGCompFlow:
         )  # (4, 5, E)
 
         if getattr(self.problem, "manufactured", False):
-            ctr = sum(geom.coords[:, geom.inpoelT[a]] for a in range(4)) / 4.0
-            s_c = self.problem.src(ctr, t + 0.5 * dt)  # (5, E)
+            from .cg import cg_ctr
+
+            s_c = self.problem.src(cg_ctr(geom), t + 0.5 * dt)  # (5, E)
             contrib = contrib + (d / 4.0) * s_c[None]
 
         return contrib
