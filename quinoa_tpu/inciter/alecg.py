@@ -77,8 +77,10 @@ def edge_arrays_np(coords: np.ndarray, inpoel: np.ndarray, nnode: int):
 
     edges = gen_inpoed(inpoel).astype(np.int64)  # (nE,2) lo<hi
     nE = len(edges)
+    # gen_inpoed's unique() output is lexsorted, so the packed keys are
+    # ascending and the edge lookup is a vectorized searchsorted (the
+    # dict-LUT scan was ~10 s of host time per build at 64^3)
     key = edges[:, 0] << 32 | edges[:, 1]
-    lut = {int(k): i for i, k in enumerate(key)}
 
     # consistent-mass off-diagonal sums m_ab = sum_e J_e/120 over elements
     # containing edge (a,b)
@@ -89,7 +91,7 @@ def edge_arrays_np(coords: np.ndarray, inpoel: np.ndarray, nnode: int):
         a = inp[:, _TET_EDGES[le, 0]]
         b = inp[:, _TET_EDGES[le, 1]]
         k = np.minimum(a, b) << 32 | np.maximum(a, b)
-        idx = np.fromiter((lut[int(x)] for x in k), dtype=np.int64, count=len(k))
+        idx = np.searchsorted(key, k)
         np.add.at(m, idx, J / 120.0)
 
     h = np.linalg.norm(coords[edges[:, 1]] - coords[edges[:, 0]], axis=1)
