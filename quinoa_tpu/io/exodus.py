@@ -101,11 +101,23 @@ def read_exodus(path: str) -> UnsMesh:
             ).astype(np.float64)
 
         nblk = int(dims.get("num_el_blk", 1))
+        blk_ids = (
+            np.array(f.variables["eb_prop1"][:]).astype(int)
+            if "eb_prop1" in f.variables
+            else np.arange(1, nblk + 1)
+        )
         tets = []
         tris = []  # shell triangles, if any
+        tri_blocks = []  # (block id, tris) for shell blocks
         elem_kind = []  # per global element id: ('tet'|'tri', local index)
         ntet = ntri = 0
         for b in range(1, nblk + 1):
+            if f"connect{b}" not in f.variables:
+                # declared-but-empty block: files written by other tools
+                # (e.g. the reference's meshconv box_24.exo, num_el_blk=3
+                # with only connect1/2 present) legally omit the connect
+                # variable of a zero-element block
+                continue
             conn = f.variables[f"connect{b}"]
             arr = np.array(conn[:]).astype(np.int64) - 1  # to 0-based
             if arr.shape[1] == 4:
@@ -116,6 +128,7 @@ def read_exodus(path: str) -> UnsMesh:
                 elem_kind += [("tri", ntri + i) for i in range(arr.shape[0])]
                 ntri += arr.shape[0]
                 tris.append(arr)
+                tri_blocks.append((int(blk_ids[b - 1]), arr))
             else:
                 raise ValueError(f"unsupported element block width {arr.shape[1]}")
         inpoel = (
@@ -148,6 +161,13 @@ def read_exodus(path: str) -> UnsMesh:
                     faces.append(tri_all[local])
             if faces:
                 mesh.bface[int(ss_ids[i - 1])] = np.asarray(faces, np.int32)
+        if nss == 0:
+            # no side sets: shell-triangle blocks ARE the boundary
+            # surface (the reference's meshconv meshes, e.g. box_24.exo,
+            # carry a TRIANGLES block instead of a side set — its
+            # ExodusMeshReader reads them as triinpoel)
+            for bid, arr in tri_blocks:
+                mesh.bface[bid] = arr.astype(np.int32)
         mesh.bnode = mesh.bnode_from_bface()
         return mesh
     finally:

@@ -37,9 +37,12 @@ def read_netgen(path: str) -> UnsMesh:
     coords = np.array(take(3 * npoin), dtype=np.float64).reshape(npoin, 3)
     ntet = int(take(1)[0])
     tets = np.array(take(5 * ntet), dtype=np.int64).reshape(ntet, 5)
-    inpoel = tets[:, 1:] - 1
-    # Netgen tets are negatively oriented vs our convention: swap 2 nodes
-    # if needed (validate and fix per element)
+    # the netgen neutral file carries tets ROTATED: the line is
+    # (tag, n3, n0, n1, n2) — NetgenMeshReader.cpp:86 reads
+    # tag >> n[3] >> n[0] >> n[1] >> n[2]
+    inpoel = tets[:, [2, 3, 4, 1]] - 1
+    # safeguard: fix any negatively-oriented tets (files from other
+    # tools), matching build_dggeom's positive-Jacobian requirement
     mesh = UnsMesh(coords=coords, inpoel=inpoel.astype(np.int32))
     x = mesh.coords
     a, b, c, d = (x[mesh.inpoel[:, i]] for i in range(4))
@@ -70,7 +73,9 @@ def write_netgen(path: str, mesh: UnsMesh) -> None:
         fh.write(f"{mesh.nelem}\n")
         for e in range(mesh.nelem):
             a, b, c, d = (int(n) + 1 for n in mesh.inpoel[e])
-            fh.write(f" 1 {a} {b} {c} {d}\n")
+            # rotated on disk: (tag, n3, n0, n1, n2) —
+            # NetgenMeshWriter.cpp:86-90
+            fh.write(f" 1 {d} {a} {b} {c}\n")
         ntris = sum(len(v) for v in mesh.bface.values())
         fh.write(f"{ntris}\n")
         for ss in sorted(mesh.bface.keys()):

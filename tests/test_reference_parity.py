@@ -420,3 +420,54 @@ def test_slot_cyl_dg_diag_parity():
             s = solver.step(s)
         l2sol, _, _ = diag.compute(s)
         assert np.isclose(l2sol[0], std[r, 3], rtol=1e-5)
+
+
+def _netgen_tokens(path):
+    """Tokenize a netgen neutral file for a numeric ndiff-style
+    comparison, masking element TAG columns to zero — the reference's
+    own netgen.ndiff.cfg skips them ('ignore line/tet element tags'),
+    because its NetgenMeshWriter hardcodes tag 1 while readers of other
+    formats carry the source tag through."""
+    lines = [ln.split() for ln in open(path).read().splitlines()
+             if ln.split()]
+    out = []
+    for ln in lines:
+        vals = [float(t) for t in ln]
+        if len(vals) in (4, 5) and all(v == int(v) for v in vals):
+            vals[0] = 0.0  # element line: mask the tag column
+        out.extend(vals)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("src", ["box_24.exo", "box_24.txt.msh"])
+def test_meshconv_netgen_output_parity(src, tmp_path):
+    """meshconv exo2netgen / gmshtxt2netgen: converting the reference's
+    committed box_24 meshes to netgen neutral format reproduces its
+    committed box_24.mesh.std numerically (the reference regression
+    tests/regression/meshconv/netgen_output/CMakeLists.txt), including
+    the on-disk tet rotation (NetgenMeshWriter.cpp:86-90) and the
+    shell-triangle surface section."""
+    from quinoa_tpu.io.meshfactory import read_mesh
+    from quinoa_tpu.io.netgen import write_netgen
+
+    base = f"{REF}/meshconv/netgen_output/"
+    mesh = read_mesh(base + src)
+    out = str(tmp_path / "box_24.mesh")
+    write_netgen(out, mesh)
+    ours = _netgen_tokens(out)
+    std = _netgen_tokens(base + "box_24.mesh.std")
+    assert ours.shape == std.shape
+    np.testing.assert_allclose(ours, std, rtol=0, atol=1e-6)
+
+
+def test_netgen_reader_real_torus_mesh():
+    """Read a genuine netgen-produced file (torus.mesh, committed by the
+    reference's meshconv suite): the rotation convention must yield
+    positively-oriented tets without any per-element fixes."""
+    from quinoa_tpu.io.netgen import read_netgen
+    from quinoa_tpu.mesh.geometry import tet_geometry
+
+    m = read_netgen(f"{REF}/meshconv/gmsh_output/torus.mesh")
+    assert m.nelem > 0 and m.nnode > 0
+    J, _ = tet_geometry(m.coords, m.inpoel)
+    assert (J > 0).all()
