@@ -860,6 +860,14 @@ def _cmd_meshconv(argv):
     args.input = args.input[0]
     fmt = detect_format(args.input)
     mesh = read_mesh(args.input, fmt)
+    if not mesh.bface and mesh.nelem:
+        # no boundary in the input: derive the exterior surface, like
+        # the reference's meshconv (shear.exo.std grows a shell block
+        # of the 16000 exterior triangles from the block-only input)
+        from .mesh.derived import exterior_faces
+
+        mesh.bface[1] = exterior_faces(mesh.inpoel, mesh.nnode)
+        mesh.bnode = mesh.bnode_from_bface()
     if args.verbose:
         print(
             f"meshconv: {args.input} ({fmt}) -> {args.output}: "

@@ -199,6 +199,16 @@ def gen_faces(inpoel: np.ndarray, nnode: int):
     }
 
 
+def exterior_faces(inpoel: np.ndarray, nnode: int) -> np.ndarray:
+    """Outward-oriented boundary triangles (ntri, 3): the faces with no
+    neighbor element.  The reference's meshconv derives these when the
+    input mesh carries no boundary (its multiblockexo2exo baseline
+    shear.exo.std gains a 16000-triangle shell block this way)."""
+    esuel = gen_esuel(inpoel, nnode)
+    e, lf = np.nonzero(esuel < 0)
+    return inpoel[e[:, None], _TET_FACES[lf]].astype(np.int32)
+
+
 def leaky_partition(esuel: np.ndarray, inpoel: np.ndarray, coords: np.ndarray) -> bool:
     """Boundary surface-integral leak test.
 

@@ -471,3 +471,29 @@ def test_netgen_reader_real_torus_mesh():
     assert m.nelem > 0 and m.nnode > 0
     J, _ = tet_geometry(m.coords, m.inpoel)
     assert (J > 0).all()
+
+
+def test_meshconv_multiblock_exo_parity(tmp_path):
+    """meshconv multiblockexo2exo: the 5-tet-block shear_5blocks.exo
+    merges into one block with the same coords/connectivity as the
+    committed shear.exo.std, and the derived exterior surface matches
+    the std's 16000-triangle shell block as a set (the reference
+    derives boundary triangles when the input has none)."""
+    from quinoa_tpu.cli import main
+
+    base = f"{REF}/meshconv/exo_output/"
+    out = str(tmp_path / "shear.exo")
+    assert main(["meshconv", "-i", base + "shear_5blocks.exo",
+                 "-o", out]) == 0
+    ours = read_exodus(out)
+    std = read_exodus(base + "shear.exo.std")
+    assert ours.nnode == std.nnode and ours.nelem == std.nelem
+    np.testing.assert_allclose(ours.coords, std.coords, rtol=0, atol=0)
+    np.testing.assert_array_equal(ours.inpoel, std.inpoel)
+    tri_ours = np.concatenate([np.sort(v, axis=1)
+                               for v in ours.bface.values()])
+    tri_std = np.concatenate([np.sort(v, axis=1)
+                              for v in std.bface.values()])
+    assert tri_ours.shape == tri_std.shape == (16000, 3)
+    key = lambda t: t[np.lexsort(t.T[::-1])]
+    np.testing.assert_array_equal(key(tri_ours), key(tri_std))
