@@ -497,3 +497,50 @@ def test_meshconv_multiblock_exo_parity(tmp_path):
     assert tri_ours.shape == tri_std.shape == (16000, 3)
     key = lambda t: t[np.lexsort(t.T[::-1])]
     np.testing.assert_array_equal(key(tri_ours), key(tri_std))
+
+
+def test_restart_suite_parity(tmp_path, monkeypatch):
+    """The reference's restart regression (tests/regression/inciter/
+    restart): run slot_cyl.q 5 steps with a checkpoint, then continue
+    with slot_cyl_restart.q to step 10 from that checkpoint.  Both
+    runs' diag rows must match the committed slot_cyl_checkpoint.std /
+    slot_cyl.std to the baselines' printed precision (6 significant
+    digits), and the restarted rows 6-10 must equal an uninterrupted
+    10-step run's bit-for-bit."""
+    from quinoa_tpu.cli import main
+
+    base = f"{REF}/inciter/restart/"
+    monkeypatch.chdir(tmp_path)
+
+    ck = str(tmp_path / "ckpt")
+    assert main(["inciter", "-c", base + "slot_cyl.q",
+                 "-i", base + "unitsquare_01_3.6k.exo",
+                 "--diag", "diagA", "-r", "5",
+                 "--checkpoint-dir", ck, "-o", "outA"]) == 0
+    a = _load_std_diag("diagA")
+    stdA = _load_std_diag(base + "slot_cyl_checkpoint.std")
+    assert a.shape[0] == 5
+    np.testing.assert_allclose(a[:, 1:4], stdA[:, 1:4],
+                               rtol=3e-6, atol=1e-12)
+
+    assert main(["inciter", "-c", base + "slot_cyl_restart.q",
+                 "-i", base + "unitsquare_01_3.6k.exo",
+                 "--diag", "diagB", "--restart", ck, "-o", "outB"]) == 0
+    b = _load_std_diag("diagB")
+    stdB = _load_std_diag(base + "slot_cyl.std")
+    assert int(b[-1, 0]) == 10
+    # the reference's slot_cyl.std carries rows 1-10 of the restarted
+    # run; ours writes only the continued rows — compare on overlap
+    rows = {int(r[0]): r for r in stdB}
+    for r in b:
+        np.testing.assert_allclose(r[1:4], rows[int(r[0])][1:4],
+                                   rtol=3e-6, atol=1e-12)
+
+    # uninterrupted 10-step run == checkpoint+restart, bit-for-bit
+    assert main(["inciter", "-c", base + "slot_cyl_restart.q",
+                 "-i", base + "unitsquare_01_3.6k.exo",
+                 "--diag", "diagC", "-o", "outC"]) == 0
+    c = _load_std_diag("diagC")
+    crows = {int(r[0]): r for r in c}
+    for r in b:
+        np.testing.assert_array_equal(r[1:], crows[int(r[0])][1:])
