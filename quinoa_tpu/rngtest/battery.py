@@ -531,6 +531,91 @@ BigCrush: List[Callable] = Crush + [
     lambda k: hamming_weight_blocks(k, nblocks=2**19, L=32),
 ]
 
+#: third tranche: the remaining parameter points that bring the battery
+#: to the reference BigCrush's 106 instances (BigCrush.cpp runs each
+#: family at several (sample size, dimension, window, lag) points; the
+#: exact-law analogs below sweep the same axes)
+BigCrush = BigCrush + [
+    # birthday spacings at more dimensions (BigCrush: d = 2^7..2^30;
+    # keep the collision intensity n^3/4d well below n so the Poisson
+    # spacing law holds)
+    lambda k: birthday_spacings(k, n=2**9, d=2**25, reps=256),
+    lambda k: birthday_spacings(k, n=2**8, d=2**22, reps=256),
+    lambda k: birthday_spacings(k, n=2**11, d=2**28, reps=192),
+    # collisions at small/large cell counts
+    lambda k: collision(k, n=2**16, d=2**22, reps=48),
+    lambda k: collision(k, n=2**14, d=2**18, reps=64),
+    lambda k: collision(k, n=2**12, d=2**14, reps=64),
+    # gap windows (BigCrush sweeps alpha/beta)
+    lambda k: gap(k, n=2**22, alpha=0.0, beta=0.5, tmax=16),
+    lambda k: gap(k, n=2**22, alpha=0.25, beta=0.75, tmax=16),
+    lambda k: gap(k, n=2**23, alpha=0.0, beta=0.03125, tmax=48),
+    lambda k: gap(k, n=2**22, alpha=0.9375, beta=1.0, tmax=48),
+    # poker at more alphabet sizes / hand widths
+    lambda k: simp_poker(k, n=2**20, d=16, k=16),
+    lambda k: simp_poker(k, n=2**20, d=32, k=8),
+    lambda k: simp_poker(k, n=2**20, d=4, k=16),
+    # coupon collector at more alphabet sizes
+    lambda k: coupon_collector(k, n=2**21, d=4, tmax=24),
+    lambda k: coupon_collector(k, n=2**21, d=32, tmax=160),
+    # max-of-t at more tuple widths
+    lambda k: max_of_t(k, n=2**20, t=4, bins=64),
+    lambda k: max_of_t(k, n=2**20, t=32, bins=64),
+    # weight distribution at more windows (BigCrush: several [lo,hi))
+    lambda k: weight_distrib(k, n=2**20, k=32, lo=0.0, hi=0.25),
+    lambda k: weight_distrib(k, n=2**20, k=32, lo=0.0, hi=0.0625),
+    lambda k: weight_distrib(k, n=2**20, k=32, lo=0.75, hi=1.0),
+    # matrix ranks at more shapes
+    lambda k: matrix_rank(k, n=4096, dim=32),
+    lambda k: matrix_rank(k, n=512, dim=128),
+    # hamming independence / weights at more block sizes
+    lambda k: hamming_indep(k, n=2**18),
+    lambda k: hamming_weight_blocks(k, nblocks=2**18, L=64),
+    lambda k: hamming_weight_blocks(k, nblocks=2**16, L=128),
+    # random walks at more lengths (BigCrush: L = 50..10000)
+    lambda k: random_walk(k, n=2**16, steps=64),
+    lambda k: random_walk(k, n=2**15, steps=1024),
+    lambda k: walk_last_return(k, nwalks=2**16, m=64),
+    lambda k: walk_last_return(k, nwalks=2**15, m=128),
+    # uniformity / spacing at full BigCrush stream sizes
+    lambda k: ks_uniform(k, n=2**23),
+    lambda k: ks_uniform(k, n=2**21),
+    # permutations at the remaining orders
+    lambda k: permutation(k, n=2**20, t=3),
+    lambda k: permutation(k, n=2**20, t=5),
+    # serial pairs / overlapping serial at more dimensions
+    lambda k: serial_pairs(k, n=2**22, d=64),
+    lambda k: serial_pairs(k, n=2**21, d=512),
+    lambda k: serial_over(k, n=2**21, d=32),
+    lambda k: serial_over(k, n=2**21, d=512),
+    lambda k: collision_over(k, n=2**19, d=2**12),
+    lambda k: collision_over(k, n=2**18, d=2**16),
+    # autocorrelation at more lags
+    lambda k: autocorrelation(k, n=2**23, lag=4),
+    lambda k: autocorrelation(k, n=2**23, lag=8),
+    lambda k: autocorrelation(k, n=2**22, lag=16),
+    # runs at doubled stream
+    lambda k: runs_up(k, n=2**23),
+    lambda k: longest_head_run(k, nblocks=2**15, L=128),
+    lambda k: longest_head_run(k, nblocks=2**17, L=32),
+    # sample statistics at more tuple widths / lags
+    lambda k: sample_prod(k, m=2**17, t=4),
+    lambda k: sample_prod(k, m=2**17, t=24),
+    lambda k: sample_mean(k, m=2**17, t=6),
+    lambda k: sample_mean(k, m=2**17, t=16),
+    lambda k: sample_corr(k, n=2**22, lag=4),
+    lambda k: sample_corr(k, n=2**21, lag=8),
+    # second parameter points for the remaining smallcrush families
+    lambda k: coupon_collector(k, n=2**21, d=8, tmax=60),
+    lambda k: max_of_t(k, n=2**20, t=12, bins=128),
+    lambda k: weight_distrib(k, n=2**20, k=64, lo=0.25, hi=0.75),
+    lambda k: matrix_rank(k, n=1024, dim=96),
+    lambda k: gap(k, n=2**22, alpha=0.375, beta=0.4375, tmax=64),
+    lambda k: simp_poker(k, n=2**20, d=64, k=4),
+    lambda k: random_walk(k, n=2**14, steps=4096),
+]
+assert len(BigCrush) == 106, len(BigCrush)  # BigCrush.cpp's instance count
+
 
 def run_battery(seed: int = 0, battery=None, impl: str = "threefry2x32"):
     """Run a battery; returns (results, failed_names)."""
