@@ -375,7 +375,9 @@ def sample_prod(key, m=2**14, t=8):
     """svaria_SampleProd: -log(prod of t uniforms) is EXACTLY Gamma(t,1);
     transform to uniform and KS."""
     u = np.asarray(jax.random.uniform(key, (m, t)))
-    s = -np.log(np.maximum(u, 1e-300)).sum(axis=1)
+    # clamp at the dtype's tiny: 1e-300 underflows to 0 in f32, making
+    # the clamp a no-op and log(0) = -inf poison the whole KS sample
+    s = -np.log(np.maximum(u, np.finfo(u.dtype).tiny)).sum(axis=1)
     g = stats.gamma.cdf(s, t)
     return TestResult("SampleProd", float(stats.kstest(g, "uniform").pvalue))
 
@@ -497,13 +499,96 @@ Crush: List[Callable] = [
     lambda k: hamming_weight_blocks(k, nblocks=2**17, L=32),
 ]
 
+_CrushCore = list(Crush)  # the 23 distinct families, shared with BigCrush
+
+#: second tranche: parameter points bringing Crush to TestU01's 96
+#: test instances (Crush.cpp sweeps each family over several sample
+#: size / dimension / window / lag points between the SmallCrush and
+#: BigCrush scales)
+Crush = Crush + [
+    lambda k: birthday_spacings(k, n=2**10, d=2**28, reps=48),
+    lambda k: birthday_spacings(k, n=2**9, d=2**25, reps=96),
+    lambda k: birthday_spacings(k, n=2**8, d=2**22, reps=128),
+    lambda k: collision(k, n=2**15, d=2**24, reps=24),
+    lambda k: collision(k, n=2**13, d=2**20, reps=48),
+    lambda k: collision(k, n=2**12, d=2**18, reps=48),
+    lambda k: gap(k, n=2**21, alpha=0.0, beta=0.25, tmax=20),
+    lambda k: gap(k, n=2**21, alpha=0.5, beta=0.75, tmax=20),
+    lambda k: gap(k, n=2**22, alpha=0.0, beta=0.0625, tmax=40),
+    lambda k: gap(k, n=2**21, alpha=0.875, beta=1.0, tmax=32),
+    lambda k: simp_poker(k, n=2**19, d=16, k=8),
+    lambda k: simp_poker(k, n=2**19, d=8, k=16),
+    lambda k: simp_poker(k, n=2**19, d=4, k=8),
+    lambda k: simp_poker(k, n=2**19, d=32, k=4),
+    lambda k: coupon_collector(k, n=2**20, d=4, tmax=24),
+    lambda k: coupon_collector(k, n=2**20, d=16, tmax=80),
+    lambda k: coupon_collector(k, n=2**20, d=32, tmax=160),
+    lambda k: max_of_t(k, n=2**19, t=4, bins=32),
+    lambda k: max_of_t(k, n=2**19, t=16, bins=32),
+    lambda k: max_of_t(k, n=2**19, t=24, bins=64),
+    lambda k: weight_distrib(k, n=2**19, k=32, lo=0.0, hi=0.5),
+    lambda k: weight_distrib(k, n=2**19, k=32, lo=0.0, hi=0.125),
+    lambda k: weight_distrib(k, n=2**19, k=48, lo=0.25, hi=0.75),
+    lambda k: weight_distrib(k, n=2**19, k=32, lo=0.875, hi=1.0),
+    lambda k: matrix_rank(k, n=2048, dim=32),
+    lambda k: matrix_rank(k, n=512, dim=96),
+    lambda k: matrix_rank(k, n=256, dim=128),
+    lambda k: hamming_indep(k, n=2**16),
+    lambda k: hamming_indep(k, n=2**15),
+    lambda k: hamming_weight_blocks(k, nblocks=2**16, L=64),
+    lambda k: hamming_weight_blocks(k, nblocks=2**15, L=128),
+    lambda k: hamming_weight_blocks(k, nblocks=2**17, L=16),
+    lambda k: random_walk(k, n=2**15, steps=128),
+    lambda k: random_walk(k, n=2**15, steps=512),
+    lambda k: random_walk(k, n=2**14, steps=2048),
+    lambda k: walk_last_return(k, nwalks=2**14, m=64),
+    lambda k: walk_last_return(k, nwalks=2**13, m=128),
+    lambda k: walk_last_return(k, nwalks=2**15, m=16),
+    lambda k: ks_uniform(k, n=2**21),
+    lambda k: ks_uniform(k, n=2**19),
+    lambda k: ks_uniform(k, n=2**18),
+    lambda k: permutation(k, n=2**19, t=3),
+    lambda k: permutation(k, n=2**19, t=5),
+    lambda k: permutation(k, n=2**18, t=7),
+    lambda k: serial_pairs(k, n=2**21, d=64),
+    lambda k: serial_pairs(k, n=2**20, d=256),
+    lambda k: serial_pairs(k, n=2**19, d=32),
+    lambda k: serial_over(k, n=2**20, d=64),
+    lambda k: serial_over(k, n=2**20, d=256),
+    lambda k: serial_over(k, n=2**19, d=32),
+    lambda k: collision_over(k, n=2**17, d=2**12),
+    lambda k: collision_over(k, n=2**18, d=2**14),
+    lambda k: collision_over(k, n=2**16, d=2**11),
+    lambda k: autocorrelation(k, n=2**22, lag=2),
+    lambda k: autocorrelation(k, n=2**22, lag=4),
+    lambda k: autocorrelation(k, n=2**21, lag=8),
+    lambda k: autocorrelation(k, n=2**21, lag=16),
+    lambda k: runs_up(k, n=2**21),
+    lambda k: runs_up(k, n=2**19),
+    lambda k: longest_head_run(k, nblocks=2**13, L=128),
+    lambda k: longest_head_run(k, nblocks=2**15, L=32),
+    lambda k: longest_head_run(k, nblocks=2**14, L=96),
+    lambda k: sample_prod(k, m=2**15, t=4),
+    lambda k: sample_prod(k, m=2**15, t=16),
+    lambda k: sample_prod(k, m=2**14, t=24),
+    lambda k: sample_mean(k, m=2**15, t=6),
+    lambda k: sample_mean(k, m=2**15, t=16),
+    lambda k: sample_mean(k, m=2**14, t=24),
+    lambda k: sample_corr(k, n=2**21, lag=2),
+    lambda k: sample_corr(k, n=2**20, lag=4),
+    lambda k: sample_corr(k, n=2**19, lag=16),
+    lambda k: gap(k, n=2**21, alpha=0.4375, beta=0.5625, tmax=32),
+    lambda k: max_of_t(k, n=2**19, t=8, bins=128),
+]
+assert len(Crush) == 96, len(Crush)  # TestU01 Crush's test count
+
 
 #: BigCrush-scale battery (src/RNGTest/BigCrush.cpp): the same exact-law
 #: families at multiple parameter points and 4-16x the Crush stream
 #: sizes — the reference's BigCrush is likewise its Crush families
 #: re-parameterized and enlarged (106 parameterized instances over the
 #: same test structures).
-BigCrush: List[Callable] = Crush + [
+BigCrush: List[Callable] = _CrushCore + [
     lambda k: birthday_spacings(k, n=2**13, d=2**30, reps=128),
     lambda k: collision(k, n=2**18, d=2**28, reps=32),
     lambda k: gap(k, n=2**24, alpha=0.0, beta=0.0625, tmax=32),
