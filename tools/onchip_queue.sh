@@ -1,0 +1,20 @@
+#!/bin/bash
+# One-shot on-chip measurement program (run when the TPU tunnel is up):
+# far-stream A/B, headline + SPMD benches, CG/ALECG benches, fused
+# multimat validation, pdg/dgp2 benches.  Each step bounded; results
+# appended to the log with timestamps.
+cd "$(dirname "$0")/.." || exit 1
+LOG=${1:-/tmp/onchip_results.log}
+run() {
+  echo "=== $* — $(date -u +%H:%M:%S)" | tee -a "$LOG"
+  timeout 590 "$@" 2>&1 | tail -8 | tee -a "$LOG"
+}
+run python tools/ab_far_stream.py 48
+run python bench.py
+run python bench.py --npes 1
+run python bench_cg.py 48
+run python bench_alecg.py
+run python tools/check_multimat_fused.py
+run python bench.py --pdg
+run python bench.py --dgp2
+echo "=== done — $(date -u +%H:%M:%S)" | tee -a "$LOG"
