@@ -238,6 +238,117 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
     return out[C:, :E], out[:C, :E]
 
 
+def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim):
+    """Bounds + Superbee phi + P1-mode scaling in ONE window pass: the
+    separate XLA phi chain (12 Gauss evaluations over (C, E) slabs with
+    HBM round trips between the bounds kernel and the mode multiply)
+    runs on the means already sitting in VMEM (Limiter.cpp:154-317)."""
+    inner = _make_kernel(W, C, FTE)
+    G = Bself.shape[1]
+
+    def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
+               fpos_ref, uf_ref, o_ref):
+        class _Cap:
+            """Capture the bounds kernel's (2C, W) output."""
+            def __init__(self):
+                self.val = None
+
+            def __setitem__(self, idx, v):
+                self.val = v
+
+        cap = _Cap()
+        inner(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
+              fpos_ref, cap)
+        vmax, vmin = cap.val[:C], cap.val[C:]
+
+        dt_ = u0_ref.dtype
+        uf = uf_ref[...]                        # (C*K, W) full state
+        u0 = u0_ref[...]                        # (C, W) means
+
+        def row(k):
+            return jax.lax.squeeze(
+                jax.lax.slice_in_dim(uf, k, k + 1, axis=0), (0,))
+
+        eps = 1.0e-14
+        one = jnp.ones_like(u0)
+        phi = one
+        for lf in range(4):
+            for g in range(G):
+                state = jnp.stack([
+                    sum(float(Bself[lf, g, k]) * row(c * K + k)
+                        for k in range(K))
+                    for c in range(C)
+                ])
+                uNeg = state - u0
+                up = jnp.minimum(
+                    1.0, (vmax - u0)
+                    / (2.0 * jnp.where(uNeg > eps, uNeg, 1.0)))
+                dn = jnp.minimum(
+                    1.0, (vmin - u0)
+                    / (2.0 * jnp.where(uNeg < -eps, uNeg, 1.0)))
+                phi_gp = jnp.where(uNeg > eps, up,
+                                   jnp.where(uNeg < -eps, dn, one))
+                phi_gp = jnp.maximum(
+                    0.0,
+                    jnp.maximum(jnp.minimum(beta_lim * phi_gp, 1.0),
+                                jnp.minimum(phi_gp, beta_lim)))
+                phi = jnp.minimum(phi, phi_gp)
+
+        rows = []
+        for c in range(C):
+            phic = jax.lax.squeeze(
+                jax.lax.slice_in_dim(phi, c, c + 1, axis=0), (0,))
+            for k in range(K):
+                r = row(c * K + k)
+                rows.append(r * phic if 1 <= k < 4 else r)
+        o_ref[...] = jnp.stack(rows)
+
+    return kernel
+
+
+def superbee_limit_window(plan: BoundsPlan, geom, U, C,
+                          beta_lim: float = 2.0, interpret=None):
+    """U (C*K, E) -> limited U: neighbor bounds + Superbee coefficient +
+    P1-dof scaling fused into the bounds window pass (headline path:
+    dofmask-free DG(P1)); matches superbee_p1(geom, U, None, C,
+    bounds=neighbor_mean_bounds(...)) exactly."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    K = geom.ndof
+    E = U.shape[1]
+    W, ntile, FTE = plan.W, plan.ntile, plan.FTE
+    dt_ = U.dtype
+    BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
+
+    u0 = U.reshape(C, K, -1)[:, 0, :]
+    NT = ntile * FTE
+    fv = u0[:, plan.fidx.reshape(-1)].reshape(C, 4, NT)
+    fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)
+    fn = jnp.where(plan.fmask > 0, fv, BIG).min(axis=1)
+    u0p = jnp.pad(u0, ((0, 0), (W, plan.Ep + W - E)))
+    Ufp = jnp.pad(U, ((0, 0), (0, plan.Ep - E)))
+
+    Bself = np.asarray(geom.tables["B_selfface"])
+    out = pl.pallas_call(
+        _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((4, W), lambda t: (0, t)),
+            pl.BlockSpec((C, W), lambda t: (0, t)),
+            pl.BlockSpec((C, W), lambda t: (0, t + 1)),
+            pl.BlockSpec((C, W), lambda t: (0, t + 2)),
+            pl.BlockSpec((C, FTE), lambda t: (0, t)),
+            pl.BlockSpec((C, FTE), lambda t: (0, t)),
+            pl.BlockSpec((1, FTE), lambda t: (0, t)),
+            pl.BlockSpec((C * K, W), lambda t: (0, t)),
+        ],
+        out_specs=pl.BlockSpec((C * K, W), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((C * K, plan.Ep), dt_),
+        interpret=interpret,
+    )(plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos, Ufp)
+    return out[:, :E]
+
+
 def build_bounds_plan_stacked(sharded_geom, W: int = 512) -> BoundsPlan:
     """Per-shard bounds plans at a common FTE, stacked with a leading
     shard axis (local element ids incl. ghosts; El uniform across

@@ -283,6 +283,57 @@ def test_fused_nearfar_far_sr_variant(monkeypatch):
                                np.asarray(delt_def), rtol=0, atol=1e-12)
 
 
+def test_superbee_limit_window_matches_split_path(monkeypatch):
+    """QUINOA_LIMIT_IN_KERNEL=1 fuses bounds + Superbee phi + P1-dof
+    scaling into the window pass; matches the bounds-kernel + XLA-phi
+    split to FMA-fusion tolerance (the phi chain's multiply-adds may
+    contract differently in the two separately-traced programs)."""
+    import jax
+
+    from quinoa_tpu.ops.nbr_bounds import (
+        build_bounds_plan, neighbor_mean_bounds, superbee_limit_window,
+    )
+    from quinoa_tpu.pde.dg import uview
+    from quinoa_tpu.pde.limiter import superbee_p1
+
+    mesh = box_tet_mesh(8, 8, 6, hi=(0.8, 0.8, 0.6))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    plan = build_bounds_plan(geom, W=128)
+    assert plan.nef > 0  # far path live
+
+    rng = np.random.default_rng(5)
+    C, K, E = 5, 4, geom.nelem
+    U0 = rng.standard_normal((C * K, E)) * 0.1
+    U0[[c * K for c in range(C)]] += 2.0
+    U = jnp.asarray(U0)
+    u0 = uview(U, C, K)[:, 0, :]
+    ref = superbee_p1(geom, U, None, C,
+                      bounds=neighbor_mean_bounds(plan, u0))
+    new = superbee_limit_window(plan, geom, U, C)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+    # solver-level: a Sedov step under the env flag stays equivalent
+    from quinoa_tpu.inciter.dg import DGSolver
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    sol = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    sol.accum_plan = build_accum_plan(geom)
+    sol.bounds_plan = plan
+    s_ref = sol.nsteps(sol.initial_state(), 2)
+
+    monkeypatch.setenv("QUINOA_LIMIT_IN_KERNEL", "1")
+    sol2 = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    sol2.accum_plan = sol.accum_plan
+    sol2.bounds_plan = plan
+    s_new = sol2.nsteps(sol2.initial_state(), 2)
+    np.testing.assert_allclose(np.asarray(s_new.u), np.asarray(s_ref.u),
+                               rtol=0, atol=1e-11)
+    assert np.isclose(float(s_new.dt), float(s_ref.dt), rtol=1e-12)
+
+
 def test_nbr_bounds_matches_esuelt():
     """The Pallas window neighbor-bounds pass (interpret mode on CPU)
     reproduces the esuelT-gather min/max bounds bit-exactly, and the
