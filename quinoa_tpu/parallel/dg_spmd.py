@@ -213,6 +213,13 @@ class SPMDDGSolver:
         if self.limiter == "wenop1":
             return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
+            import os
+
+            if (bounds_plan is not None and dofmask is None
+                    and os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"):
+                from ..ops.nbr_bounds import superbee_limit_window
+
+                return superbee_limit_window(bounds_plan, geom, u, C)
             bounds = None
             if bounds_plan is not None:
                 from ..pde.dg import uview
