@@ -244,8 +244,25 @@ class DGSolver:
             # dofmask None = every dof active (non-p-adaptive): saves the
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
-            u = self._limit(g, u, dofmask, bounds_plan)
             fused = accum_plan is not None and not self.needs_face_gp
+            import os
+
+            rv = None
+            if (fused and dofmask is None and bounds_plan is not None
+                    and self.limiter == "superbeep1" and g.ndof > 1
+                    and not getattr(self.system, "has_src", True)
+                    and os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"
+                    and os.environ.get("QUINOA_VOL_IN_KERNEL") == "1"):
+                # one window pass: bounds + phi + P1 scaling + the flux
+                # volume integral on the limited state (dg_rhs consumes
+                # it as vol_rhs and skips its volume einsum chain)
+                from ..ops.nbr_bounds import superbee_limit_window
+
+                u, rv = superbee_limit_window(
+                    bounds_plan, g, u, self.system.ncomp,
+                    emit_vol=True, system=self.system)
+            else:
+                u = self._limit(g, u, dofmask, bounds_plan)
             # p-adaptive runs ride the SAME maskless fused kernel: with
             # the inactive dofs zeroed on input, B*u equals the
             # dofmask-masked states on both sides of every face, and the
@@ -273,13 +290,14 @@ class DGSolver:
                 # than the whole fused rhs at bench scale)
                 r, delt = dg_rhs(self.system, g, uf, None, state.t,
                                  accum_plan=accum_plan, face_gp=False,
-                                 want_charvel=True)
+                                 want_charvel=True, vol_rhs=rv)
                 dt = dg_dt_from_delt(g, delt) * (
                     self.cfl * self.cflscale
                 )
             elif fused:
                 r = dg_rhs(self.system, g, uf, None, state.t,
-                           accum_plan=accum_plan, face_gp=False)
+                           accum_plan=accum_plan, face_gp=False,
+                           vol_rhs=rv)
             else:
                 r = dg_rhs(self.system, g, u, dofmask, state.t,
                            accum_plan=accum_plan,

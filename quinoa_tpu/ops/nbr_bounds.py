@@ -238,16 +238,26 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
     return out[C:, :E], out[:C, :E]
 
 
-def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim):
+def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
+                              vol=None):
     """Bounds + Superbee phi + P1-mode scaling in ONE window pass: the
     separate XLA phi chain (12 Gauss evaluations over (C, E) slabs with
     HBM round trips between the bounds kernel and the mode multiply)
-    runs on the means already sitting in VMEM (Limiter.cpp:154-317)."""
+    runs on the means already sitting in VMEM (Limiter.cpp:154-317).
+
+    With vol=(system, B_vol, wdB) the kernel ALSO emits the flux
+    volume integral evaluated on the limited state it just produced
+    (dg_rhs's volume einsum chain, Integrate/Volume.cpp) — the step's
+    only remaining XLA compute pass on the modal slabs."""
     inner = _make_kernel(W, C, FTE)
     G = Bself.shape[1]
 
     def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
-               fpos_ref, uf_ref, o_ref):
+               fpos_ref, uf_ref, *rest):
+        if vol is not None:
+            jac_ref, vole_ref, o_ref, rv_ref = rest
+        else:
+            (o_ref,) = rest
         class _Cap:
             """Capture the bounds kernel's (2C, W) output."""
             def __init__(self):
@@ -303,15 +313,57 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim):
                 rows.append(r * phic if 1 <= k < 4 else r)
         o_ref[...] = jnp.stack(rows)
 
+        if vol is not None:
+            system, Bvol, wdB = vol
+            Gv = Bvol.shape[0]
+            jac = jac_ref[...]                   # (9, W): jacInv[m,j]
+            vole = vole_ref[...]                 # (1, W): vol*emask
+
+            def jrow(m, j):
+                return jax.lax.squeeze(
+                    jax.lax.slice_in_dim(jac, 3 * m + j, 3 * m + j + 1,
+                                         axis=0), (0,))
+
+            def lrow(i):
+                return rows[i]                   # limited state rows
+
+            Rv = [jnp.zeros_like(rows[0]) for _ in range(C * K)]
+            for g in range(Gv):
+                state = jnp.stack([
+                    sum(float(Bvol[g, k]) * lrow(c * K + k)
+                        for k in range(K))
+                    for c in range(C)
+                ])                               # (C, W)
+                Fj = system.flux_cols(state, None, 0.0)  # [3] of (C, W)
+                for m in range(3):
+                    fref = sum(Fj[j] * jrow(m, j)[None] for j in range(3))
+                    for k in range(K):
+                        w = float(wdB[g, k, m])
+                        if w == 0.0:
+                            continue
+                        for c in range(C):
+                            fc = jax.lax.squeeze(
+                                jax.lax.slice_in_dim(fref, c, c + 1,
+                                                     axis=0), (0,))
+                            Rv[c * K + k] = Rv[c * K + k] + w * fc
+            ve = jax.lax.squeeze(
+                jax.lax.slice_in_dim(vole, 0, 1, axis=0), (0,))
+            rv_ref[...] = jnp.stack(Rv) * ve[None, :]
+
     return kernel
 
 
 def superbee_limit_window(plan: BoundsPlan, geom, U, C,
-                          beta_lim: float = 2.0, interpret=None):
+                          beta_lim: float = 2.0, interpret=None,
+                          emit_vol=False, system=None):
     """U (C*K, E) -> limited U: neighbor bounds + Superbee coefficient +
     P1-dof scaling fused into the bounds window pass (headline path:
     dofmask-free DG(P1)); matches superbee_p1(geom, U, None, C,
-    bounds=neighbor_mean_bounds(...)) exactly."""
+    bounds=neighbor_mean_bounds(...)) to FMA-contraction tolerance.
+
+    emit_vol=True (coordinate-free, source-free systems only) also
+    returns the flux volume integral on the limited state — dg_rhs
+    consumes it as vol_rhs and skips its own volume einsum chain."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K = geom.ndof
@@ -329,23 +381,49 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
     Ufp = jnp.pad(U, ((0, 0), (0, plan.Ep - E)))
 
     Bself = np.asarray(geom.tables["B_selfface"])
+    in_specs = [
+        pl.BlockSpec((4, W), lambda t: (0, t)),
+        pl.BlockSpec((C, W), lambda t: (0, t)),
+        pl.BlockSpec((C, W), lambda t: (0, t + 1)),
+        pl.BlockSpec((C, W), lambda t: (0, t + 2)),
+        pl.BlockSpec((C, FTE), lambda t: (0, t)),
+        pl.BlockSpec((C, FTE), lambda t: (0, t)),
+        pl.BlockSpec((1, FTE), lambda t: (0, t)),
+        pl.BlockSpec((C * K, W), lambda t: (0, t)),
+    ]
+    args = [plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos, Ufp]
+    vol = None
+    out_specs = pl.BlockSpec((C * K, W), lambda t: (0, t))
+    out_shape = jax.ShapeDtypeStruct((C * K, plan.Ep), dt_)
+    if emit_vol:
+        tb = geom.tables
+        wdB = np.asarray(tb["w_vol"])[:, None, None] \
+            * np.asarray(tb["dBdxi_vol"])
+        vol = (system, np.asarray(tb["B_vol"]), wdB)
+        jacp = jnp.pad(geom.jacInv.reshape(9, -1).astype(dt_),
+                       ((0, 0), (0, plan.Ep - E)))
+        volep = jnp.pad((geom.vol * geom.emask).astype(dt_)[None],
+                        ((0, 0), (0, plan.Ep - E)))
+        in_specs += [
+            pl.BlockSpec((9, W), lambda t: (0, t)),
+            pl.BlockSpec((1, W), lambda t: (0, t)),
+        ]
+        args += [jacp, volep]
+        out_specs = [out_specs,
+                     pl.BlockSpec((C * K, W), lambda t: (0, t))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((C * K, plan.Ep), dt_)]
     out = pl.pallas_call(
-        _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim),
+        _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
+                                  vol=vol),
         grid=(ntile,),
-        in_specs=[
-            pl.BlockSpec((4, W), lambda t: (0, t)),
-            pl.BlockSpec((C, W), lambda t: (0, t)),
-            pl.BlockSpec((C, W), lambda t: (0, t + 1)),
-            pl.BlockSpec((C, W), lambda t: (0, t + 2)),
-            pl.BlockSpec((C, FTE), lambda t: (0, t)),
-            pl.BlockSpec((C, FTE), lambda t: (0, t)),
-            pl.BlockSpec((1, FTE), lambda t: (0, t)),
-            pl.BlockSpec((C * K, W), lambda t: (0, t)),
-        ],
-        out_specs=pl.BlockSpec((C * K, W), lambda t: (0, t)),
-        out_shape=jax.ShapeDtypeStruct((C * K, plan.Ep), dt_),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos, Ufp)
+    )(*args)
+    if emit_vol:
+        return out[0][:, :E], out[1][:, :E]
     return out[:, :E]
 
 

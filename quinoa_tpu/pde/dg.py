@@ -299,7 +299,7 @@ def _phys_gp(node0, Jmat, xi):
 
 
 def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
-           face_gp=True, want_charvel=False):
+           face_gp=True, want_charvel=False, vol_rhs=None):
     """DG right-hand side: volume + surface + boundary + source integrals.
 
     U (C*K, E); dofmask (K, E) or None when every dof is active (the
@@ -321,33 +321,42 @@ def dg_rhs(system, geom: DGGeom, U, dofmask, t, accum_plan=None,
         Uv = Uv * dofmask[None]
 
     # ---- volume + source integrals ----------------------------------------
-    B_vol = jnp.asarray(tb["B_vol"], dtype=dt_)          # (G,K)
-    xi_vol = jnp.asarray(tb["xi_vol"].T, dtype=dt_)      # (3,G)
-    # weighted reference-gradient table: (G,K,3) * w -> wdB
-    wdB = jnp.asarray(tb["w_vol"][:, None, None] * tb["dBdxi_vol"], dtype=dt_)
-    wB = jnp.asarray(tb["w_vol"][:, None] * tb["B_vol"], dtype=dt_)  # (G,K)
+    if vol_rhs is not None:
+        # the fused limit+volume window kernel already produced the
+        # (vol*emask-scaled) flux volume term on the limited state
+        # (ops/nbr_bounds.py superbee_limit_window emit_vol; callers
+        # gate this to coordinate-free, source-free systems)
+        Rv = vol_rhs.reshape(C, K, E)
+    else:
+        B_vol = jnp.asarray(tb["B_vol"], dtype=dt_)      # (G,K)
+        xi_vol = jnp.asarray(tb["xi_vol"].T, dtype=dt_)  # (3,G)
+        # weighted reference-gradient table: (G,K,3) * w -> wdB
+        wdB = jnp.asarray(tb["w_vol"][:, None, None] * tb["dBdxi_vol"],
+                          dtype=dt_)
+        wB = jnp.asarray(tb["w_vol"][:, None] * tb["B_vol"],
+                         dtype=dt_)                      # (G,K)
 
-    state = jnp.einsum("gk,cke->cge", B_vol, Uv)         # (C,G,E)
-    gp = (
-        geom.node0[:, None, :]
-        + jnp.einsum("ime,mg->ige", geom.Jmat, xi_vol)
-    )                                                    # (3,G,E)
+        state = jnp.einsum("gk,cke->cge", B_vol, Uv)     # (C,G,E)
+        gp = (
+            geom.node0[:, None, :]
+            + jnp.einsum("ime,mg->ige", geom.Jmat, xi_vol)
+        )                                                # (3,G,E)
 
-    Rv = jnp.zeros((C, K, E), dtype=dt_)
-    if K > 1:
-        Fj = system.flux_cols(state, gp, t)              # [3] of (C,G,E)
-        Fref = jnp.stack(
-            [
-                sum(Fj[j] * geom.jacInv[m, j] for j in range(3))
-                for m in range(3)
-            ]
-        )                                                # (3,C,G,E)
-        Rv = Rv + jnp.einsum("gkm,mcge->cke", wdB, Fref)
-    if getattr(system, "has_src", True):
-        sarr = system.src(gp, t)                         # (C,G,E)
-        Rv = Rv + jnp.einsum("gk,cge->cke", wB, sarr)
+        Rv = jnp.zeros((C, K, E), dtype=dt_)
+        if K > 1:
+            Fj = system.flux_cols(state, gp, t)          # [3] of (C,G,E)
+            Fref = jnp.stack(
+                [
+                    sum(Fj[j] * geom.jacInv[m, j] for j in range(3))
+                    for m in range(3)
+                ]
+            )                                            # (3,C,G,E)
+            Rv = Rv + jnp.einsum("gkm,mcge->cke", wdB, Fref)
+        if getattr(system, "has_src", True):
+            sarr = system.src(gp, t)                     # (C,G,E)
+            Rv = Rv + jnp.einsum("gk,cge->cke", wB, sarr)
 
-    Rv = Rv * (geom.vol * geom.emask)
+        Rv = Rv * (geom.vol * geom.emask)
 
     if accum_plan is not None and dofmask is None and not face_gp:
         # fully fused Pallas face pass (ops/face_fused.py); with

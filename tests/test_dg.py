@@ -333,6 +333,16 @@ def test_superbee_limit_window_matches_split_path(monkeypatch):
                                rtol=0, atol=1e-11)
     assert np.isclose(float(s_new.dt), float(s_ref.dt), rtol=1e-12)
 
+    # + the flux volume integral emitted from the same pass
+    monkeypatch.setenv("QUINOA_VOL_IN_KERNEL", "1")
+    sol3 = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    sol3.accum_plan = sol.accum_plan
+    sol3.bounds_plan = plan
+    s_v = sol3.nsteps(sol3.initial_state(), 2)
+    np.testing.assert_allclose(np.asarray(s_v.u), np.asarray(s_ref.u),
+                               rtol=0, atol=1e-11)
+    assert np.isclose(float(s_v.dt), float(s_ref.dt), rtol=1e-12)
+
 
 def test_nbr_bounds_matches_esuelt():
     """The Pallas window neighbor-bounds pass (interpret mode on CPU)
