@@ -259,7 +259,25 @@ class SPMDDGSolver:
             kk = jnp.arange(K)[:, None]
             dofmask = ((kk < ndofel[None, :]).astype(g.vol.dtype)
                        if self.pref else None)
-            u = self._limit(g, u, dofmask, bnds)
+            import os as _os
+
+            rv = None
+            if (fused and dofmask is None and bnds is not None
+                    and self.limiter == "superbeep1" and K > 1
+                    and not getattr(self.system, "has_src", True)
+                    and _os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"
+                    and _os.environ.get("QUINOA_VOL_IN_KERNEL") == "1"):
+                # bounds means are exchange-fresh, so owned elements'
+                # limited values (and their volume term) are complete
+                # pre-exchange; ghost rows of rv are discarded by the
+                # owned mask below
+                from ..ops.nbr_bounds import superbee_limit_window
+
+                u, rv = superbee_limit_window(bnds, g, u, C,
+                                              emit_vol=True,
+                                              system=self.system)
+            else:
+                u = self._limit(g, u, dofmask, bnds)
             if self.limiter is not None:
                 u = self._exchange(sh, u)
             # p-adaptive rides the maskless fused kernel on dof-zeroed
@@ -285,7 +303,7 @@ class SPMDDGSolver:
                 # (same as the single-chip solver)
                 r, delt = dg_rhs(self.system, g, uf, None, t,
                                  accum_plan=plan, face_gp=False,
-                                 want_charvel=True)
+                                 want_charvel=True, vol_rhs=rv)
                 dt = jax.lax.pmin(
                     dg_dt_from_delt(g, delt)
                     * (self.cfl * self.cflscale),
@@ -293,7 +311,7 @@ class SPMDDGSolver:
                 )
             elif fused:
                 r = dg_rhs(self.system, g, uf, None, t,
-                           accum_plan=plan, face_gp=False)
+                           accum_plan=plan, face_gp=False, vol_rhs=rv)
             else:
                 r = dg_rhs(self.system, g, u, dofmask, t,
                            accum_plan=plan,
