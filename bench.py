@@ -78,9 +78,7 @@ def main_spmd(npes: int):
     }))
 
 
-#: env-gated kernel-fusion candidates (parity-tested; see ROADMAP):
-#: measured in SUBPROCESSES so a TPU-side compile failure or hang of a
-#: variant can never cost the default measurement
+#: env-gated kernel-fusion candidates (parity-tested; see ROADMAP)
 VARIANTS = [
     {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1"},
     {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1",
@@ -88,41 +86,51 @@ VARIANTS = [
 ]
 
 
-def _try_variants(base_result: dict, deadline_s: float = 900.0) -> dict:
-    """Re-run the bench under each fusion-variant env in a bounded
-    subprocess; return the best result (ties/failures -> base).  A
-    global deadline keeps the whole bench inside the driver's window
-    even when variant compiles are slow."""
+def _run_inner(env, timeout_s):
+    """One measurement in a SUBPROCESS (`--inner`): the TPU is a
+    single-client device, so the orchestrating parent must never
+    initialize it — every measurement (default and variants) gets the
+    chip exclusively, and a variant compile failure or hang can never
+    cost the default number.  Returns the parsed JSON dict or None."""
     import os
     import subprocess
 
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            env={**os.environ, **env},
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
+def orchestrate(deadline_s: float = 1500.0):
+    """Default + fusion-variant measurements, each in its own bounded
+    subprocess; prints ONE JSON line with the best result."""
     t0 = time.perf_counter()
-    best = dict(base_result)
-    best.setdefault("flags", "default")
+    best = _run_inner({}, 560)
+    if best is None:
+        # subprocess plumbing unavailable: measure in-process (prints)
+        main()
+        return
+    best["flags"] = "default"
     for env in VARIANTS:
         left = deadline_s - (time.perf_counter() - t0)
         if left < 120:
             break
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner"],
-                env={**os.environ, **env},
-                capture_output=True, text=True,
-                timeout=min(560, left),
-            )
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            r = json.loads(line)
-        except Exception:
-            continue
-        if r.get("value", 0) > best.get("value", 0):
+        r = _run_inner(env, min(560, left))
+        if r is not None and r.get("value", 0) > best.get("value", 0):
             r["flags"] = "+".join(k.replace("QUINOA_", "")
                                   for k in sorted(env))
             best = r
-    return best
+    print(json.dumps(best))
 
 
-def main(pref: bool = False, ndof: int = 4, inner: bool = False):
+def main(pref: bool = False, ndof: int = 4):
     from quinoa_tpu.mesh import box_tet_mesh
     from quinoa_tpu.pde.dg import build_dggeom, BC_SYMMETRY
     from quinoa_tpu.pde.dg_compflow import DGCompFlow
@@ -177,10 +185,6 @@ def main(pref: bool = False, ndof: int = 4, inner: bool = False):
             updates_per_sec / CPU_REFERENCE_UPDATES_PER_SEC, 3
         ),
     }
-    if not inner and not pref and ndof == 4:
-        # headline config: also try the env-gated fusion variants in
-        # bounded subprocesses and report the best
-        result = _try_variants(result)
     print(json.dumps(result))
 
 
@@ -192,6 +196,6 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--dgp2":
         main(ndof=10)
     elif len(sys.argv) > 1 and sys.argv[1] == "--inner":
-        main(inner=True)
-    else:
         main()
+    else:
+        orchestrate()

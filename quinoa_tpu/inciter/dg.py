@@ -156,15 +156,6 @@ class DGSolver:
         if self.limiter == "wenop1":
             return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
-            import os
-
-            if (bounds_plan is not None and dofmask is None
-                    and os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"):
-                # bounds + phi + P1 scaling in ONE window pass (A/B
-                # candidate vs the bounds-kernel + XLA-phi split)
-                from ..ops.nbr_bounds import superbee_limit_window
-
-                return superbee_limit_window(bounds_plan, geom, u, C)
             bounds = None
             if bounds_plan is not None:
                 # neighbor bounds via target-sorted window scan kernels
@@ -245,23 +236,17 @@ class DGSolver:
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
             fused = accum_plan is not None and not self.needs_face_gp
-            import os
+            # env-gated fused limit(+volume) window pass: bounds + phi
+            # + P1 scaling (+ the flux volume integral, consumed by
+            # dg_rhs as vol_rhs) in ONE kernel (ops/nbr_bounds.py)
+            from ..ops.nbr_bounds import maybe_fused_limit
 
-            rv = None
-            if (fused and dofmask is None and bounds_plan is not None
-                    and self.limiter == "superbeep1" and g.ndof > 1
-                    and not getattr(self.system, "has_src", True)
-                    and os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"
-                    and os.environ.get("QUINOA_VOL_IN_KERNEL") == "1"):
-                # one window pass: bounds + phi + P1 scaling + the flux
-                # volume integral on the limited state (dg_rhs consumes
-                # it as vol_rhs and skips its volume einsum chain)
-                from ..ops.nbr_bounds import superbee_limit_window
-
-                u, rv = superbee_limit_window(
-                    bounds_plan, g, u, self.system.ncomp,
-                    emit_vol=True, system=self.system)
+            fl = maybe_fused_limit(self.system, g, u, dofmask,
+                                   bounds_plan, fused, self.limiter)
+            if fl is not None:
+                u, rv = fl
             else:
+                rv = None
                 u = self._limit(g, u, dofmask, bounds_plan)
             # p-adaptive runs ride the SAME maskless fused kernel: with
             # the inactive dofs zeroed on input, B*u equals the

@@ -346,7 +346,10 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
     from ..pde.dg import BC_INTERIOR
 
     def kernel(blk_ref, ks_ref, ker_ref, ulo_ref, uhi_ref, *rest):
-        if far:
+        if far and sr_in:
+            (uvr_ref, xil_ref, fn_ref, fa_ref, bt_ref,
+             lo_ref, hi_ref, wfl_ref) = rest
+        elif far:
             (uvr_ref, xil_ref, xir_ref, fn_ref, fa_ref, bt_ref,
              lo_ref, hi_ref, wfl_ref) = rest
         else:
@@ -632,14 +635,20 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
                 jax.ShapeDtypeStruct((CG1, st.ntile * TF), dt_))
             out_specs.append(pl.BlockSpec((CG1, TF),
                                           lambda t, blk: (0, t)))
+        in_specs.append(pl.BlockSpec((3 * G, TF),
+                                     lambda t, blk: (0, t)))   # xi_l
+        args.append(st.xil)
+        if not (far and sr_in):
+            # sr_in kernels never evaluate B_r: don't DMA xi_r blocks
+            in_specs.append(pl.BlockSpec((3 * G, TF),
+                                         lambda t, blk: (0, t)))  # xi_r
+            args.append(st.xir)
         in_specs += [
-            pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),  # xi_l
-            pl.BlockSpec((3 * G, TF), lambda t, blk: (0, t)),  # xi_r
             pl.BlockSpec((3, TF), lambda t, blk: (0, t)),      # fn
             pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # fa
             pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # bt
         ]
-        args += [st.xil, st.xir, st.fn, st.fa, st.bt]
+        args += [st.fn, st.fa, st.bt]
         return pl.pallas_call(
             _make_nearfar_kernel(system, TF, Ws, C, K, G, wface, far,
                                  sr_in=sr_in),

@@ -125,70 +125,80 @@ def _bounds_plan_from_nbr(nbr, dtype, W: int = 512,
     )
 
 
+def _bounds_body(W, C, FTE, nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref,
+             fn_ref, fpos_ref):
+    """Shared bounds computation: returns (vmax, vmin) each (C, W).
+    Called by both the bounds-only kernel and the fused limit(+vol)
+    kernel — a plain function, so no write-once output-ref tricks."""
+    t = pl.program_id(0)
+    dt_ = u0_ref.dtype
+    BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
+
+    self_u = u0_ref[...]                    # (C, W)
+    vmax = self_u
+    vmin = self_u
+    blocks = (um1_ref[...], u0_ref[...], up1_ref[...])
+    # Mosaic's tpu.dynamic_gather gathers within ONE vreg: source
+    # and indices must both be a single 128-lane chunk (lowering
+    # asserts indices.shape == source.shape + (1,)), so both the
+    # output tile and the 3W window are walked in 128-lane chunks
+    # with range-masked selects.
+    SUB = 128
+    for a in range(4):
+        g = nbr_ref[a, :]                   # (W,) global id or -1
+        loc = g - (t - 1) * W               # in [0, 3W) when near
+        near = (loc >= 0) & (loc < 3 * W) & (g >= 0)
+        vo = []
+        vno = []
+        for o in range(W // SUB):
+            loc_o = jax.lax.slice(loc, (o * SUB,), ((o + 1) * SUB,))
+            near_o = jax.lax.slice(near, (o * SUB,),
+                                   ((o + 1) * SUB,))
+            v = jnp.full((C, SUB), -BIG, dt_)
+            vn = jnp.full((C, SUB), BIG, dt_)
+            for b in range(3):
+                blk = blocks[b]
+                for s in range(W // SUB):
+                    lb = loc_o - b * W - s * SUB
+                    idx = jnp.clip(lb, 0, SUB - 1).astype(jnp.int32)
+                    idx2 = jnp.broadcast_to(idx[None, :], (C, SUB))
+                    sub = jax.lax.slice(blk, (0, s * SUB),
+                                        (C, (s + 1) * SUB))
+                    gb = jnp.take_along_axis(
+                        sub, idx2, axis=1, mode="promise_in_bounds")
+                    inb = ((lb >= 0) & (lb < SUB) & near_o)[None, :]
+                    v = jnp.where(inb, gb, v)
+                    vn = jnp.where(inb, gb, vn)
+            vo.append(v)
+            vno.append(vn)
+        vmax = jnp.maximum(vmax, jnp.concatenate(vo, axis=1))
+        vmin = jnp.minimum(vmin, jnp.concatenate(vno, axis=1))
+
+    # merge the far-slot extrema (unique positions per tile: a
+    # sum-matmul one-hot places each value exactly)
+    fpos = fpos_ref[0, :]                   # (FTE,)
+    pv = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (FTE, W), 1)
+    hot = jnp.where(fpos[:, None] == iota, 1.0, 0.0).astype(dt_) \
+        * pv[:, None]
+    rows = jnp.concatenate(
+        [jnp.where(pv > 0, fx_ref[...], 0.0),
+         jnp.where(pv > 0, fn_ref[...], 0.0),
+         pv[None, :]], axis=0)              # (2C+1, FTE)
+    tmp = jax.lax.dot_general(
+        rows, hot, (((1,), (0,)), ((), ())), precision="highest")
+    touched = tmp[2 * C:, :] > 0
+    vmax = jnp.where(touched, jnp.maximum(vmax, tmp[:C]), vmax)
+    vmin = jnp.where(touched, jnp.minimum(vmin, tmp[C:2 * C]), vmin)
+
+    return vmax, vmin
+
+
 def _make_kernel(W, C, FTE):
     def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
                fpos_ref, o_ref):
-        t = pl.program_id(0)
-        dt_ = u0_ref.dtype
-        BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
-
-        self_u = u0_ref[...]                    # (C, W)
-        vmax = self_u
-        vmin = self_u
-        blocks = (um1_ref[...], u0_ref[...], up1_ref[...])
-        # Mosaic's tpu.dynamic_gather gathers within ONE vreg: source
-        # and indices must both be a single 128-lane chunk (lowering
-        # asserts indices.shape == source.shape + (1,)), so both the
-        # output tile and the 3W window are walked in 128-lane chunks
-        # with range-masked selects.
-        SUB = 128
-        for a in range(4):
-            g = nbr_ref[a, :]                   # (W,) global id or -1
-            loc = g - (t - 1) * W               # in [0, 3W) when near
-            near = (loc >= 0) & (loc < 3 * W) & (g >= 0)
-            vo = []
-            vno = []
-            for o in range(W // SUB):
-                loc_o = jax.lax.slice(loc, (o * SUB,), ((o + 1) * SUB,))
-                near_o = jax.lax.slice(near, (o * SUB,),
-                                       ((o + 1) * SUB,))
-                v = jnp.full((C, SUB), -BIG, dt_)
-                vn = jnp.full((C, SUB), BIG, dt_)
-                for b in range(3):
-                    blk = blocks[b]
-                    for s in range(W // SUB):
-                        lb = loc_o - b * W - s * SUB
-                        idx = jnp.clip(lb, 0, SUB - 1).astype(jnp.int32)
-                        idx2 = jnp.broadcast_to(idx[None, :], (C, SUB))
-                        sub = jax.lax.slice(blk, (0, s * SUB),
-                                            (C, (s + 1) * SUB))
-                        gb = jnp.take_along_axis(
-                            sub, idx2, axis=1, mode="promise_in_bounds")
-                        inb = ((lb >= 0) & (lb < SUB) & near_o)[None, :]
-                        v = jnp.where(inb, gb, v)
-                        vn = jnp.where(inb, gb, vn)
-                vo.append(v)
-                vno.append(vn)
-            vmax = jnp.maximum(vmax, jnp.concatenate(vo, axis=1))
-            vmin = jnp.minimum(vmin, jnp.concatenate(vno, axis=1))
-
-        # merge the far-slot extrema (unique positions per tile: a
-        # sum-matmul one-hot places each value exactly)
-        fpos = fpos_ref[0, :]                   # (FTE,)
-        pv = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (FTE, W), 1)
-        hot = jnp.where(fpos[:, None] == iota, 1.0, 0.0).astype(dt_) \
-            * pv[:, None]
-        rows = jnp.concatenate(
-            [jnp.where(pv > 0, fx_ref[...], 0.0),
-             jnp.where(pv > 0, fn_ref[...], 0.0),
-             pv[None, :]], axis=0)              # (2C+1, FTE)
-        tmp = jax.lax.dot_general(
-            rows, hot, (((1,), (0,)), ((), ())), precision="highest")
-        touched = tmp[2 * C:, :] > 0
-        vmax = jnp.where(touched, jnp.maximum(vmax, tmp[:C]), vmax)
-        vmin = jnp.where(touched, jnp.minimum(vmin, tmp[C:2 * C]), vmin)
-
+        vmax, vmin = _bounds_body(W, C, FTE, nbr_ref, um1_ref, u0_ref,
+                                  up1_ref, fx_ref, fn_ref, fpos_ref)
         o_ref[...] = jnp.concatenate([vmax, vmin], axis=0)
 
     return kernel
@@ -249,7 +259,6 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
     volume integral evaluated on the limited state it just produced
     (dg_rhs's volume einsum chain, Integrate/Volume.cpp) — the step's
     only remaining XLA compute pass on the modal slabs."""
-    inner = _make_kernel(W, C, FTE)
     G = Bself.shape[1]
 
     def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
@@ -258,18 +267,8 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
             jac_ref, vole_ref, o_ref, rv_ref = rest
         else:
             (o_ref,) = rest
-        class _Cap:
-            """Capture the bounds kernel's (2C, W) output."""
-            def __init__(self):
-                self.val = None
-
-            def __setitem__(self, idx, v):
-                self.val = v
-
-        cap = _Cap()
-        inner(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
-              fpos_ref, cap)
-        vmax, vmin = cap.val[:C], cap.val[C:]
+        vmax, vmin = _bounds_body(W, C, FTE, nbr_ref, um1_ref, u0_ref,
+                                  up1_ref, fx_ref, fn_ref, fpos_ref)
 
         dt_ = u0_ref.dtype
         uf = uf_ref[...]                        # (C*K, W) full state
@@ -425,6 +424,34 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
     if emit_vol:
         return out[0][:, :E], out[1][:, :E]
     return out[:, :E]
+
+
+def maybe_fused_limit(system, geom, u, dofmask, bounds_plan, fused,
+                      limiter):
+    """The env-gated fused limit(+volume) dispatch shared by the
+    single-chip and SPMD DG solvers (one definition, so the gates can
+    never drift apart).  Returns (u_limited, vol_rhs_or_None), or None
+    when the preconditions do not hold and the caller must fall back
+    to the split bounds-kernel + XLA-phi path."""
+    import os
+
+    if (bounds_plan is None or dofmask is not None
+            or limiter != "superbeep1" or geom.ndof < 4
+            or os.environ.get("QUINOA_LIMIT_IN_KERNEL") != "1"):
+        return None
+    C = system.ncomp
+    emit_vol = (
+        fused
+        and os.environ.get("QUINOA_VOL_IN_KERNEL") == "1"
+        # the kernel evaluates flux_cols(state, None, 0.0): only safe
+        # when the system declares its flux gp- AND t-independent
+        and getattr(system, "coord_free_flux", False)
+        and not getattr(system, "has_src", True)
+    )
+    if emit_vol:
+        return superbee_limit_window(bounds_plan, geom, u, C,
+                                     emit_vol=True, system=system)
+    return superbee_limit_window(bounds_plan, geom, u, C), None
 
 
 def build_bounds_plan_stacked(sharded_geom, W: int = 512) -> BoundsPlan:

@@ -213,13 +213,6 @@ class SPMDDGSolver:
         if self.limiter == "wenop1":
             return weno_p1(geom, u, dofmask, C, self.cweight)
         if self.limiter == "superbeep1":
-            import os
-
-            if (bounds_plan is not None and dofmask is None
-                    and os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"):
-                from ..ops.nbr_bounds import superbee_limit_window
-
-                return superbee_limit_window(bounds_plan, geom, u, C)
             bounds = None
             if bounds_plan is not None:
                 from ..pde.dg import uview
@@ -259,24 +252,18 @@ class SPMDDGSolver:
             kk = jnp.arange(K)[:, None]
             dofmask = ((kk < ndofel[None, :]).astype(g.vol.dtype)
                        if self.pref else None)
-            import os as _os
+            # bounds means are exchange-fresh, so owned elements'
+            # limited values (and their volume term) are complete
+            # pre-exchange; ghost rows of rv are discarded by the
+            # owned mask below (shared gate: ops/nbr_bounds.py)
+            from ..ops.nbr_bounds import maybe_fused_limit
 
-            rv = None
-            if (fused and dofmask is None and bnds is not None
-                    and self.limiter == "superbeep1" and K > 1
-                    and not getattr(self.system, "has_src", True)
-                    and _os.environ.get("QUINOA_LIMIT_IN_KERNEL") == "1"
-                    and _os.environ.get("QUINOA_VOL_IN_KERNEL") == "1"):
-                # bounds means are exchange-fresh, so owned elements'
-                # limited values (and their volume term) are complete
-                # pre-exchange; ghost rows of rv are discarded by the
-                # owned mask below
-                from ..ops.nbr_bounds import superbee_limit_window
-
-                u, rv = superbee_limit_window(bnds, g, u, C,
-                                              emit_vol=True,
-                                              system=self.system)
+            fl = maybe_fused_limit(self.system, g, u, dofmask, bnds,
+                                   fused, self.limiter)
+            if fl is not None:
+                u, rv = fl
             else:
+                rv = None
                 u = self._limit(g, u, dofmask, bnds)
             if self.limiter is not None:
                 u = self._exchange(sh, u)

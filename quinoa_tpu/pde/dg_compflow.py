@@ -58,6 +58,11 @@ class DGCompFlow:
     #: they are only needed for Dirichlet/inlet ghosts (dg_rhs skips the
     #: gpf construction when the deck has none of those faces)
     needs_face_gp = False
+    #: flux_cols ignores gp AND t entirely — the invariant the fused
+    #: limit+volume kernel relies on when it evaluates the volume
+    #: integral at gp=None, t=0 (transport velocity fields are NOT
+    #: coord-free and must never set this)
+    coord_free_flux = True
 
     def bc_state(self, bctype, sL, fn, gp, t):
         """Ghost state for boundary faces (interior overridden by caller).

@@ -93,7 +93,11 @@ def gap(key, n=2**18, alpha=0.0, beta=0.125, tmax=24):
 
 def simp_poker(key, n=2**16, d=8, k=8):
     u = np.asarray(jax.random.randint(key, (n, k), 0, d))
-    distinct = np.array([len(set(row)) for row in u[: 2**13]])
+    # vectorized distinct-count over ALL n hands (the former per-row
+    # Python set() loop truncated to 2^13 hands, silently wasting the
+    # enlarged Crush/BigCrush sample sizes)
+    su = np.sort(u, axis=1)
+    distinct = 1 + (np.diff(su, axis=1) != 0).sum(axis=1)
     # Stirling-number distribution of distinct values
     from math import comb, factorial
 
@@ -630,7 +634,7 @@ BigCrush = BigCrush + [
     # collisions at small/large cell counts
     lambda k: collision(k, n=2**16, d=2**22, reps=48),
     lambda k: collision(k, n=2**14, d=2**18, reps=64),
-    lambda k: collision(k, n=2**12, d=2**14, reps=64),
+    lambda k: collision(k, n=2**12, d=2**17, reps=64),
     # gap windows (BigCrush sweeps alpha/beta)
     lambda k: gap(k, n=2**22, alpha=0.0, beta=0.5, tmax=16),
     lambda k: gap(k, n=2**22, alpha=0.25, beta=0.75, tmax=16),

@@ -10,10 +10,10 @@ run() {
   timeout 590 "$@" 2>&1 | tail -8 | tee -a "$LOG"
 }
 run python tools/ab_far_stream.py 48
-run python bench.py
-run env QUINOA_LIMIT_IN_KERNEL=1 python bench.py
-run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 python bench.py
-run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 QUINOA_FAR_SR=1 python bench.py
+run python bench.py --inner
+run env QUINOA_LIMIT_IN_KERNEL=1 python bench.py --inner
+run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 python bench.py --inner
+run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 QUINOA_FAR_SR=1 python bench.py --inner
 run python bench.py --npes 1
 run python bench_cg.py 48
 run python bench_alecg.py
