@@ -110,14 +110,29 @@ def _run_inner(env, timeout_s):
 
 def orchestrate(deadline_s: float = 1500.0):
     """Default + fusion-variant measurements, each in its own bounded
-    subprocess; prints ONE JSON line with the best result."""
+    subprocess; prints ONE JSON line with the best result.  If the
+    caller's own timeout SIGTERMs us mid-variants, the handler emits
+    the best-so-far line so the default number is never lost."""
+    import signal
+
     t0 = time.perf_counter()
+    state = {"best": None, "done": False}
+
+    def _emit(signum=None, frame=None):
+        if not state["done"] and state["best"] is not None:
+            state["done"] = True
+            print(json.dumps(state["best"]), flush=True)
+        if signum is not None:
+            sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _emit)
     best = _run_inner({}, 560)
     if best is None:
         # subprocess plumbing unavailable: measure in-process (prints)
         main()
         return
     best["flags"] = "default"
+    state["best"] = best
     for env in VARIANTS:
         left = deadline_s - (time.perf_counter() - t0)
         if left < 120:
@@ -127,7 +142,8 @@ def orchestrate(deadline_s: float = 1500.0):
             r["flags"] = "+".join(k.replace("QUINOA_", "")
                                   for k in sorted(env))
             best = r
-    print(json.dumps(best))
+            state["best"] = best
+    _emit()
 
 
 def main(pref: bool = False, ndof: int = 4):
