@@ -384,7 +384,13 @@ def build_accum_plan(geom, TF: int = 128, W: int = 128) -> AccumPlan:
     er-sorted likewise).  TF=128 (the Pallas lane floor) is the
     measured optimum for the near/far fused pass at 663k tets (4.88M
     updates/s vs 4.56M at 256; 1024 OOMs the 16M scoped VMEM with the
-    fused kernel's one-hot windows)."""
+    fused kernel's one-hot windows).  QUINOA_FACE_TF/QUINOA_FACE_W
+    override for on-chip sweeps (wider W raises the near-face share at
+    the cost of wider one-hot builds)."""
+    import os
+
+    TF = int(os.environ.get("QUINOA_FACE_TF", TF))
+    W = int(os.environ.get("QUINOA_FACE_W", W))
     dtype = np.dtype(np.asarray(geom.vol).dtype)
     p, WL = _plan_arrays_fit(geom.el, geom.er, geom.xi_r,
                              int(geom.nelem), dtype, TF, W)

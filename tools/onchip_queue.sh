@@ -14,6 +14,8 @@ run python bench.py --inner
 run env QUINOA_LIMIT_IN_KERNEL=1 python bench.py --inner
 run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 python bench.py --inner
 run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 QUINOA_FAR_SR=1 python bench.py --inner
+run env QUINOA_FACE_W=256 python bench.py --inner
+run env QUINOA_FACE_W=512 python bench.py --inner
 run python bench.py --npes 1
 run python bench_cg.py 48
 run python bench_alecg.py
