@@ -897,27 +897,59 @@ def _cmd_rngtest(argv):
 
     from .rngtest import run_battery, SmallCrush, Crush
 
+    #: deck rng keyword -> jax PRNG impl.  r123_threefry IS jax's
+    #: threefry2x32 (same Random123 family); philox has no jax
+    #: implementation, so the other hardware-friendly counter-based
+    #: generator (rbg) stands in; MKL/RNGSSE are x86 libraries with no
+    #: TPU analog — their deck entries run the default counter RNG so
+    #: the reference decks execute end-to-end (COMPONENTS.md §2.8)
+    def _impl_of(rngname):
+        if rngname.startswith("r123_threefry"):
+            return "threefry2x32"
+        if rngname.startswith("r123_philox"):
+            return "rbg"
+        return "threefry2x32"
+
     name = args.battery
-    if name is None and args.control:
+    rngs = None  # [(deck rng name, impl, seed)]
+    if args.control:
         from .control.qparser import parse_deck, first
 
         tree = parse_deck(open(args.control).read())
         rt = first(tree, "rngtest") or tree  # battery block may be at root
-        name = ("bigcrush" if "bigcrush" in rt else
-                "crush" if "crush" in rt else "smallcrush")
+        if name is None:
+            name = ("bigcrush" if "bigcrush" in rt else
+                    "crush" if "crush" in rt else "smallcrush")
+        blk = first(rt, name)
+        if isinstance(blk, dict) and blk:
+            # subject EACH deck rng to the battery (testu01suite.ci:
+            # one chare per (rng, test); here one battery run per rng)
+            rngs = []
+            for rn, opts in blk.items():
+                seed = args.seed
+                for row in opts if isinstance(opts, list) else []:
+                    if isinstance(row, list) and len(row) >= 2 \
+                            and row[0] == "seed":
+                        seed = int(row[1])
+                rngs.append((rn, _impl_of(rn), seed))
     name = name or "smallcrush"
+    if not rngs:
+        rngs = [(args.impl, args.impl, args.seed)]
     from .rngtest.battery import BigCrush
 
     battery = (BigCrush if name == "bigcrush"
                else Crush if name == "crush" else SmallCrush)
-    results, failed = run_battery(seed=args.seed, impl=args.impl,
-                                  battery=battery)
-    print(f"{name} battery, rng={args.impl}, seed={args.seed}")
-    for r in results:
-        print(f"  {r.name:20s} p-value {r.pvalue:8.5f}  "
-              f"{'pass' if r.passed else 'FAIL'}")
-    print(f"{len(results) - len(failed)}/{len(results)} tests passed")
-    return 1 if failed else 0
+    any_failed = False
+    for rn, impl, seed in rngs:
+        results, failed = run_battery(seed=seed, impl=impl,
+                                      battery=battery)
+        any_failed = any_failed or bool(failed)
+        print(f"{name} battery, rng={rn} (impl={impl}), seed={seed}")
+        for r in results:
+            print(f"  {r.name:20s} p-value {r.pvalue:8.5f}  "
+                  f"{'pass' if r.passed else 'FAIL'}")
+        print(f"{len(results) - len(failed)}/{len(results)} tests passed")
+    return 1 if any_failed else 0
 
 
 def _cmd_fileconv(argv):

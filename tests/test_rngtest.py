@@ -152,3 +152,20 @@ def test_threefry_passes_bigcrush_sample():
     for idx in (25, 28, 33, 38, 42, 47):
         r = BigCrush[idx](jr.fold_in(key, idx))
         assert r.passed, (idx, r.name, r.pvalue)
+
+
+def test_reference_rngtest_deck_per_rng(capsys):
+    """The reference's SmallCrush_mixed.q subjects EACH deck rng to the
+    battery (testu01suite.ci): the CLI runs one battery per rng entry,
+    honoring per-rng seeds, with library rngs mapped to jax counter
+    impls (r123_philox -> rbg; MKL/RNGSSE -> default threefry)."""
+    from quinoa_tpu.cli import main
+
+    rc = main(["rngtest", "-c",
+               "/root/reference/tests/regression/rngtest/"
+               "SmallCrush_mixed.q"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("14/14 tests passed") == 3
+    assert "rng=r123_philox (impl=rbg), seed=21234" in out
+    assert "rng=mkl_mcg31" in out and "rng=rngsse_gm55" in out
