@@ -324,16 +324,10 @@ def test_superbee_limit_window_matches_split_path(monkeypatch):
     sol.bounds_plan = plan
     s_ref = sol.nsteps(sol.initial_state(), 2)
 
+    # solver-level under the FULL fusion stack (limit + volume from the
+    # same window pass; the limit-only case is subsumed — the kernel
+    # parity above already pins the limited state)
     monkeypatch.setenv("QUINOA_LIMIT_IN_KERNEL", "1")
-    sol2 = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
-    sol2.accum_plan = sol.accum_plan
-    sol2.bounds_plan = plan
-    s_new = sol2.nsteps(sol2.initial_state(), 2)
-    np.testing.assert_allclose(np.asarray(s_new.u), np.asarray(s_ref.u),
-                               rtol=0, atol=1e-11)
-    assert np.isclose(float(s_new.dt), float(s_ref.dt), rtol=1e-12)
-
-    # + the flux volume integral emitted from the same pass
     monkeypatch.setenv("QUINOA_VOL_IN_KERNEL", "1")
     sol3 = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
     sol3.accum_plan = sol.accum_plan
