@@ -9,6 +9,11 @@ run() {
   echo "=== $* — $(date -u +%H:%M:%S)" | tee -a "$LOG"
   timeout 590 "$@" 2>&1 | tail -8 | tee -a "$LOG"
 }
+# correctness FIRST: the fused kernels vs the XLA path on silicon,
+# default and with the full fusion-flag stack
+run python tools/check_fused.py 12 256
+run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 QUINOA_FAR_SR=1 \
+    python tools/check_fused.py 12 256
 run python tools/ab_far_stream.py 48
 run python bench.py --inner
 run env QUINOA_LIMIT_IN_KERNEL=1 python bench.py --inner
