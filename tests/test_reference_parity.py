@@ -544,3 +544,48 @@ def test_restart_suite_parity(tmp_path, monkeypatch):
     crows = {int(r[0]): r for r in c}
     for r in b:
         np.testing.assert_array_equal(r[1:], crows[int(r[0])][1:])
+
+
+def test_slotcyl_cfl_diagcg_field_parity():
+    """The cfl suite (transport/SlotCyl/cfl): DiagCG+FCT SlotCyl stepped
+    at CFL 0.8 (dt from the transport Rusanov law each step, not a
+    constant deck dt) matches the committed field baseline
+    slot_cyl_cfl_pe1_u0.0.std.exo within the suite's own exodiff.cfg
+    tolerances (rel 1e-7 floor 1e-9; TIME STEPS abs 1e-8).  Covers the
+    CFL-dt law for CG transport, untested by the constant-dt decks."""
+    base = f"{REF}/inciter/transport/SlotCyl/cfl/"
+    cfg = load_inciter(open(base + "slot_cyl_cfl.q").read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, _ = build_inciter(cfg, mesh)
+    s = solver.initial_state()
+    for _ in range(cfg.nstep):
+        s = solver.step(s)
+    ours = np.asarray(s.u)[0]
+
+    names, times, vals = read_exodus_fields(base +
+                                            "slot_cyl_cfl_pe1_u0.0.std.exo")
+    i = names.index("c0_numerical")
+    assert abs(times[-1] - float(s.t)) < 1e-8  # the CFL dt sequence
+    ref = vals[-1, i]
+    denom = np.maximum(np.abs(ref), 1e-9)
+    assert (np.abs(ours - ref) / denom).max() < 1e-7
+
+
+def test_gauss_hump_cube_dg_diag_parity():
+    """GaussHump on the 3-D unit cube (gauss_hump_cube.q, DG(P0)): the
+    one transport deck exercising fully 3-D Dirichlet inflow on all six
+    sidesets; diag rows vs diag_cube.std."""
+    base = f"{REF}/inciter/transport/GaussHump/"
+    cfg = load_inciter(open(base + "gauss_hump_cube.q").read())
+    mesh = read_exodus(base + "unitcube_1k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_cube.std")
+    s = solver.initial_state()
+    for r in range(min(3, std.shape[0])):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, l2err, _ = diag.compute(s)
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(float(s.t), std[r, 1], rtol=1e-7)
+        assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6), (r, l2sol[0])
+        assert np.isclose(l2err[0], std[r, 4], rtol=1e-4), (r, l2err[0])
