@@ -55,7 +55,7 @@ class InciterConfig:
     limiter: Optional[str] = None
     cweight: float = 30.0
     pref: bool = False
-    tolref: float = 0.5
+    tolref: float = 0.1  # reference default: InputDeck.hpp:232
     pde: str = "transport"  # transport | compflow
     problem: str = "slot_cyl"
     ncomp: int = 1
@@ -133,7 +133,7 @@ def load_inciter(deck_text: str) -> InciterConfig:
     pref = first(inc, "pref")
     if pref is not None:
         cfg.pref = True
-        cfg.tolref = _f(pref, "tolref", 0.5)
+        cfg.tolref = _f(pref, "tolref", 0.1)
 
     for pde in ("transport", "compflow", "multimat"):
         blk = first(inc, pde)

@@ -65,7 +65,7 @@ class DGSolver:
         limiter: Optional[str] = None,
         cweight: float = 30.0,
         pref: bool = False,
-        tolref: float = 0.5,
+        tolref: float = 0.1,
         evolve_ndof: Optional[int] = None,
     ):
         self.system = system
@@ -167,9 +167,13 @@ class DGSolver:
             return superbee_p1(geom, u, dofmask, C, bounds=bounds)
         return u
 
-    def _eval_ndof(self, geom, u):
+    def _eval_ndof(self, geom, u, ndofel):
         """p-adaptive indicator: keep P1 where any component's gradient
-        magnitude exceeds tolref (DG.cpp eval_ndof:1089-1163)."""
+        magnitude exceeds tolref (DG.cpp eval_ndof:1089-1163).  The
+        reference only re-evaluates elements currently at ndof==4
+        (DG.cpp:1108 `if(m_ndof[e] == 4)`): once an element drops to P0
+        its frozen high-order dofs can never flip it back — the decision
+        is sticky, which matters on shocks (Sedov pdg parity)."""
         g = geom
         C, K = self.system.ncomp, g.ndof
         Uv = uview(u, C, K)
@@ -184,7 +188,20 @@ class DGSolver:
             )
             grad2 = d * d if grad2 is None else grad2 + d * d
         keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
-        return jnp.where(keep, 4, 1).astype(jnp.int32)
+        fresh = jnp.where(keep, 4, 1).astype(jnp.int32)
+        return jnp.where(ndofel == 4, fresh, ndofel)
+
+    def _propagate_ndof(self, geom, ndofel):
+        """p-refine every face-neighbor of a p-refined element, one ring
+        per step (DG.cpp propagate_ndof:1286-1313): this is what lets a
+        dropped-to-P0 element re-activate as the feature front reaches
+        it — without it the indicator set is frozen at the first step's
+        decisions and a moving shock leaves the P1 region.  One pass
+        over the interior faces, non-transitive (the reference reads
+        m_ndof and writes a copy)."""
+        nbr = ndofel[jnp.maximum(geom.esuelT, 0)]  # (4,E) gather
+        prom = ((nbr == 4) & (geom.esuelT >= 0)).any(axis=0)
+        return jnp.where(prom, 4, ndofel)
 
     # -- public API -----------------------------------------------------------
 
@@ -231,7 +248,8 @@ class DGSolver:
 
         for s in range(3):
             if s == 0 and self.pref and g.ndof >= 4:
-                ndofel = self._eval_ndof(g, u)
+                ndofel = self._eval_ndof(g, u, ndofel)
+                ndofel = self._propagate_ndof(g, ndofel)
             # dofmask None = every dof active (non-p-adaptive): saves the
             # per-face mask gathers and full-size multiplies in dg_rhs
             dofmask = self._dofmask(ndofel) if self.pref else None
@@ -254,6 +272,11 @@ class DGSolver:
             # garbage the unmasked test contraction writes into inactive
             # rhs rows is discarded by the anchor restore below
             # (DG.cpp:1479-1488 keeps m_un there regardless)
+            if s == 0 and self.pref and dofmask is not None:
+                # coarsened elements' high-order dofs are ZEROED at stage
+                # 0 (DG.cpp:1452-1469), not frozen: a later ring promotion
+                # restarts them from clean P0 state
+                u = u * jnp.tile(dofmask, (self.system.ncomp, 1))
             uf = u
             if fused and dofmask is not None:
                 uf = u * jnp.tile(dofmask, (self.system.ncomp, 1))
@@ -323,6 +346,13 @@ class DGDiagnostics:
         g = self.geom
         C, K = self.system.ncomp, g.ndof
         Uv = uview(state.u, C, K)
+        # evaluate with the per-element active dofs only: P0-dropped
+        # elements carry stale frozen high-order dofs that the reference
+        # never reads (ElemDiagnostics.cpp:171-196 uses ndofel[e]);
+        # no-op for non-p-adaptive runs where ndofel == K everywhere
+        kmask = (jnp.arange(K)[None, :, None]
+                 < state.ndofel[None, None, :]).astype(state.u.dtype)
+        Uv = Uv * kmask
         ve = g.vol * g.emask
         s2 = jnp.zeros((C,), dtype=state.u.dtype)
         e2 = jnp.zeros((C,), dtype=state.u.dtype)
@@ -340,6 +370,35 @@ class DGDiagnostics:
             err = (sgp - a) * (g.emask > 0)
             e2 = e2 + (w * err**2).sum(axis=1)
             einf = jnp.maximum(einf, jnp.abs(err).max(axis=1))
+        if bool((np.asarray(state.ndofel) == 1).any()):
+            # p-adaptive: the reference integrates P0 elements' error at
+            # NGdiag(1)=1 point — the centroid (Quadrature.hpp:45-50,
+            # ElemDiagnostics.cpp:144); select per element
+            p0 = (state.ndofel == 1) & (g.emask > 0)
+            mean = Uv[:, 0, :]  # (C,E) — P0 value is the cell mean
+            ctr = jnp.full((3, 1), 0.25, dtype=state.u.dtype)
+            gp = _phys_gp(g.node0, g.Jmat, ctr)
+            a = self.system.analytic(gp, state.t).astype(state.u.dtype)
+            errc = (mean - a) * p0
+            e2c = (ve * errc**2).sum(axis=1)
+            # replace the fine-rule contribution of P0 elements
+            e2f_p0 = jnp.zeros((C,), dtype=state.u.dtype)
+            einf_keep = jnp.zeros((C,), dtype=state.u.dtype)
+            for gi in range(len(self.w)):
+                B = jnp.asarray(self.B[gi], dtype=state.u.dtype)[:, None]
+                sgp = (Uv * B).sum(axis=1)
+                gpg = _phys_gp(
+                    g.node0, g.Jmat,
+                    jnp.asarray(self.pts[gi], dtype=state.u.dtype)[:, None],
+                )
+                ag = self.system.analytic(gpg, state.t).astype(state.u.dtype)
+                w = float(self.w[gi]) * ve
+                errg = (sgp - ag) * (g.emask > 0)
+                e2f_p0 = e2f_p0 + (w * (errg * p0)**2).sum(axis=1)
+                einf_keep = jnp.maximum(
+                    einf_keep, jnp.abs(errg * (~p0)).max(axis=1))
+            e2 = e2 - e2f_p0 + e2c
+            einf = jnp.maximum(einf_keep, jnp.abs(errc).max(axis=1))
         l2sol = jnp.sqrt(s2 / self.total_vol)
         l2err = jnp.sqrt(e2 / self.total_vol)
         return (

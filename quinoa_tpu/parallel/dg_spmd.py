@@ -47,7 +47,7 @@ class SPMDDGSolver:
         cweight: float = 30.0,
         evolve_ndof: Optional[int] = None,
         pref: bool = False,
-        tolref: float = 0.5,
+        tolref: float = 0.1,
     ):
         if mesh.shape[AXIS] != sharded.nshard:
             raise ValueError("device mesh size != shard count")
@@ -185,11 +185,12 @@ class SPMDDGSolver:
 
     # -- per-shard bodies -------------------------------------------------------
 
-    def _eval_ndof(self, geom, u):
+    def _eval_ndof(self, geom, u, ndofel):
         """p-adaptive indicator, identical to the single-device one
-        (DG.cpp eval_ndof:1089-1163); ghosts hold the owner's refreshed
-        u, so every copy reaches the same decision without a dedicated
-        ndof message (the comsol-piggybacked propagate_ndof analog)."""
+        (DG.cpp eval_ndof:1089-1163) including the sticky 4->1 decision
+        (only ndof==4 elements are re-evaluated); the caller exchanges
+        the decisions afterwards so ghost entries carry the owner's
+        sticky history (the comsol ndof piggyback)."""
         from ..pde.dg import uview
 
         g = geom
@@ -206,7 +207,16 @@ class SPMDDGSolver:
             )
             grad2 = d * d if grad2 is None else grad2 + d * d
         keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
-        return jnp.where(keep, 4, 1).astype(jnp.int32)
+        fresh = jnp.where(keep, 4, 1).astype(jnp.int32)
+        return jnp.where(ndofel == 4, fresh, ndofel)
+
+    def _propagate_ndof(self, geom, ndofel):
+        """One-ring p-refinement of face neighbors of p-refined elements
+        (DG.cpp propagate_ndof:1286-1313), per shard over its face
+        tables; non-transitive, interior faces only."""
+        nbr = ndofel[jnp.maximum(geom.esuelT, 0)]  # (4,E) gather
+        prom = ((nbr == 4) & (geom.esuelT >= 0)).any(axis=0)
+        return jnp.where(prom, 4, ndofel)
 
     def _limit(self, geom, u, dofmask, bounds_plan=None):
         C = self.system.ncomp
@@ -246,7 +256,18 @@ class SPMDDGSolver:
             # sets must be overwritten by the owner's limited values.
             u = self._exchange(sh, u)
             if s == 0 and self.pref and K >= 4:
-                ndofel = self._eval_ndof(g, u)
+                ndofel = self._eval_ndof(g, u, ndofel)
+                # the reference piggybacks ndof on comsol and propagates
+                # after the merge (DG.cpp:1245, 1249): exchange the eval
+                # decisions (a ghost's sticky history lives with its
+                # owner), propagate one ring locally (every face of an
+                # owned element is in this shard's tables), then exchange
+                # again so ghost dofmasks match the owner's promotion
+                nd = self._exchange(sh, ndofel[None].astype(g.vol.dtype))
+                ndofel = jnp.round(nd[0]).astype(jnp.int32)
+                ndofel = self._propagate_ndof(g, ndofel)
+                nd = self._exchange(sh, ndofel[None].astype(g.vol.dtype))
+                ndofel = jnp.round(nd[0]).astype(jnp.int32)
             # dofmask None when every dof is active (enables the fused
             # Pallas path, as in the single-chip solver)
             kk = jnp.arange(K)[:, None]
@@ -270,6 +291,10 @@ class SPMDDGSolver:
             # p-adaptive rides the maskless fused kernel on dof-zeroed
             # input (see inciter/dg.py); the anchor restore below
             # discards the unmasked test rows
+            if s == 0 and self.pref and dofmask is not None:
+                # coarsened elements' high-order dofs zeroed at stage 0
+                # (DG.cpp:1452-1469), as in the single-shard solver
+                u = u * jnp.tile(dofmask, (C, 1))
             uf = u
             if fused and dofmask is not None:
                 uf = u * jnp.tile(dofmask, (C, 1))
@@ -331,6 +356,15 @@ class SPMDDGSolver:
         C, K = self.system.ncomp, g.ndof
         u = state.u[0]
         Uv = u.reshape(C, K, -1)
+        # p-adaptive: only the active dofs enter the norms, and P0
+        # elements' error is integrated at the single centroid point —
+        # same as the single-shard DGDiagnostics (ElemDiagnostics.cpp
+        # uses ndofel[e] + NGdiag(ndofel[e]))
+        ndofel = state.ndofel[0]
+        kmask = (jnp.arange(K)[None, :, None]
+                 < ndofel[None, None, :]).astype(u.dtype)
+        Uv = Uv * kmask
+        p0 = (ndofel == 1) & (sh.owned > 0) if self.pref else None
         pts, w = self._diag_pts, self._diag_w
         ve = g.vol * sh.owned
         vol_tot = jax.lax.psum(ve.sum(), AXIS)
@@ -353,8 +387,20 @@ class SPMDDGSolver:
             wv = float(w[gi]) * ve
             s2 = s2 + (wv * sgp**2).sum(axis=1)
             err = (sgp - a) * (sh.owned > 0)
+            if p0 is not None:
+                err = err * (~p0)  # P0 error comes from the coarse rule
             e2 = e2 + (wv * err**2).sum(axis=1)
             einf = jnp.maximum(einf, jnp.abs(err).max(axis=1))
+        if p0 is not None:
+            mean = Uv[:, 0, :]
+            gp = jnp.stack(
+                [g.node0[i] + 0.25 * (g.Jmat[i, 0] + g.Jmat[i, 1]
+                                      + g.Jmat[i, 2]) for i in range(3)]
+            )
+            a = self.system.analytic(gp, state.t[0]).astype(u.dtype)
+            errc = (mean - a) * p0
+            e2 = e2 + (ve * errc**2).sum(axis=1)
+            einf = jnp.maximum(einf, jnp.abs(errc).max(axis=1))
         l2sol = jnp.sqrt(jax.lax.psum(s2, AXIS) / vol_tot)
         l2err = jnp.sqrt(jax.lax.psum(e2, AXIS) / vol_tot)
         linferr = jax.lax.pmax(einf, AXIS)

@@ -350,6 +350,13 @@ def test_gauss_hump_pdg_diag_parity():
     ("VorticalFlow/vortical_flow_dg.q", "VorticalFlow/diag_dg.std"),
     ("VorticalFlow/vortical_flow_dgp1.q", "VorticalFlow/diag_dgp1.std"),
     ("TaylorGreen/taylor_green.q", "TaylorGreen/diag.std"),
+    # LaxFriedrichs flux on compflow DG (the only lf compflow baselines)
+    ("VorticalFlow/vortical_flow_dg_lf.q", "VorticalFlow/diag_dg_lf.std"),
+    ("VorticalFlow/vortical_flow_dgp1_lf.q", "VorticalFlow/diag_dgp1_lf.std"),
+    # CFL-based dt for DiagCG compflow and for DGP2 (the CFL/(2p+1) law)
+    ("VorticalFlow/vortical_flow.q", "VorticalFlow/diag.std"),
+    ("NLEnergyGrowth/nleg.q", "NLEnergyGrowth/diag.std"),
+    ("TaylorGreen/taylor_green_dgp2_cfl.q", "TaylorGreen/diag_dgp2_cfl.std"),
 ])
 def test_compflow_family_diag_parity(deck, stdf):
     """Sweep of the remaining compflow regression baselines: manufactured
@@ -589,3 +596,46 @@ def test_gauss_hump_cube_dg_diag_parity():
         assert np.isclose(float(s.t), std[r, 1], rtol=1e-7)
         assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6), (r, l2sol[0])
         assert np.isclose(l2err[0], std[r, 4], rtol=1e-4), (r, l2err[0])
+
+
+def test_rotated_sod_dg_diag_parity():
+    """RotatedSodShocktube (the Sod tube rotated -45deg about X,Y,Z,
+    RotatedSodShocktube.cpp) on the rotated committed mesh: diag rows vs
+    diag_rotated_dg.std — exercises the rotated-frame problem policy and
+    bc_sym on non-axis-aligned sidesets."""
+    base = f"{REF}/inciter/compflow/Euler/SodShocktube/"
+    cfg = load_inciter(open(base + "rotated_sod_shocktube_dg.q").read())
+    mesh = read_exodus(base + "rectangle_01_1.5k_rotated.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_rotated_dg.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, _, _ = diag.compute(s)
+        assert int(s.it) == int(std[r, 0])
+        for c in range(5):
+            assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6,
+                              atol=1e-10), (r, c, l2sol[c], std[r, 3 + c])
+
+
+def test_sedov_pdg_diag_parity():
+    """Sedov blastwave under p-adaptive DG (scheme pdg, a BASELINE.json
+    north-star config): diag rows vs diag_pdg.std at CFL 0.3 — the
+    eval_ndof gradient indicator must pick the same per-element dof
+    counts as DG.cpp:1088-1163 for the L2 histories to line up."""
+    base = f"{REF}/inciter/compflow/Euler/SedovBlastwave/"
+    cfg = load_inciter(open(base + "sedov_blastwave_pdg.q").read())
+    mesh = read_exodus(base + "unitsquare_01_3.6k.exo")
+    solver, diag = build_inciter(cfg, mesh)
+    std = _load_std_diag(base + "diag_pdg.std")
+    s = solver.initial_state()
+    for r in range(2):
+        for _ in range(cfg.diag_interval):
+            s = solver.step(s)
+        l2sol, _, _ = diag.compute(s)
+        assert int(s.it) == int(std[r, 0])
+        assert np.isclose(float(s.dt), std[r, 2], rtol=1e-5)
+        for c in range(5):
+            assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6,
+                              atol=1e-10), (r, c, l2sol[c], std[r, 3 + c])
