@@ -639,3 +639,31 @@ def test_sedov_pdg_diag_parity():
         for c in range(5):
             assert np.isclose(l2sol[c], std[r, 3 + c], rtol=1e-6,
                               atol=1e-10), (r, c, l2sol[c], std[r, 3 + c])
+
+
+def test_dtref_uniform_diagcg_slotcyl_diag_parity(tmp_path, monkeypatch):
+    """dtref + DiagCG+FCT SlotCyl transport (slot_cyl_amr_diagcg.q): 9
+    CLI steps with a uniform refine at it=5 reproduce
+    slot_cyl_amr_diagcg.std (the suite's own slot_cyl_diagcg.ndiff.cfg
+    tolerance) — dtref under the FCT transport path, with the CFL dt
+    halving on the refined mesh."""
+    from quinoa_tpu.cli import main
+
+    base = f"{REF}/inciter/mesh_refinement/dtref/"
+    t0 = f"{REF}/inciter/mesh_refinement/t0ref/"
+    std = _load_std_diag(base + "slot_cyl_amr_diagcg.std")
+    monkeypatch.chdir(tmp_path)
+    rc = main(["inciter", "-c", base + "slot_cyl_amr_diagcg.q",
+               "-i", t0 + "unitsquare_01_955.exo"])
+    assert rc == 0
+    ours = _load_std_diag(str(tmp_path / "diag"))
+    assert ours.shape[0] == std.shape[0]
+    for r in range(std.shape[0]):
+        assert int(ours[r, 0]) == int(std[r, 0])
+        for c in (1, 2, 3):  # it t dt L2(c0) — 4 columns only
+            # this baseline prints only 6 significant digits (the
+            # reference ndiffs at rel 1e-7 AT the printed precision);
+            # allow a half-ulp of the printed representation
+            assert np.isclose(ours[r, c], std[r, c], rtol=5e-6), (
+                r, c, ours[r, c], std[r, c],
+            )
