@@ -493,7 +493,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             "slice-aware to preserve the intra-slice halo locality"
         )
     if virtualization > 0.0 and cfg.scheme not in (
-            "diagcg", "alecg", "dg", "p0p1", "dgp1", "dgp2"):
+            "diagcg", "alecg", "dg", "p0p1", "dgp1", "dgp2", "pdg"):
         raise ValueError(
             "virtualization (overdecomposition) is implemented for "
             "diagcg, alecg, and the DG schemes; run others with "

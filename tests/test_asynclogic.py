@@ -152,3 +152,29 @@ end
                  "--diag", "du", "--npes", "2", "-u", "0.5"]) == 0
     np.testing.assert_allclose(_read_diag("du"), _read_diag("d1"),
                                rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("npes,virt", [(2, 0.0), (4, 0.5), (8, 0.0)])
+def test_asynclogic_pdg(tmp_path, npes, virt):
+    """p-adaptive DG under --npes/-u: the sticky+propagated ndof
+    decisions cross shard boundaries via the ndof exchanges (the comsol
+    piggyback analog), so the CLI must reproduce the single-device diag
+    history; f32 CLI precision bounds the comparison."""
+    base = ("/root/reference/tests/regression/inciter/transport/"
+            "GaussHump/")
+    single = str(tmp_path / "diag1")
+    rc = main(["inciter", "-c", base + "gauss_hump_pdg.q",
+               "-i", base + "unitsquare_01_3.6k.exo",
+               "--diag", single, "-o", str(tmp_path / "o1")])
+    assert rc == 0
+    diag = str(tmp_path / "diagN")
+    cmd = ["inciter", "-c", base + "gauss_hump_pdg.q",
+           "-i", base + "unitsquare_01_3.6k.exo",
+           "--diag", diag, "-o", str(tmp_path / "oN"),
+           "--npes", str(npes)]
+    if virt > 0:
+        cmd += ["-u", str(virt)]
+    assert main(cmd) == 0
+    a, b = _read_diag(single), _read_diag(diag)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=3e-6, atol=5e-8)
