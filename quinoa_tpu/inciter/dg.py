@@ -168,40 +168,15 @@ class DGSolver:
         return u
 
     def _eval_ndof(self, geom, u, ndofel):
-        """p-adaptive indicator: keep P1 where any component's gradient
-        magnitude exceeds tolref (DG.cpp eval_ndof:1089-1163).  The
-        reference only re-evaluates elements currently at ndof==4
-        (DG.cpp:1108 `if(m_ndof[e] == 4)`): once an element drops to P0
-        its frozen high-order dofs can never flip it back — the decision
-        is sticky, which matters on shocks (Sedov pdg parity)."""
-        g = geom
-        C, K = self.system.ncomp, g.ndof
-        Uv = uview(u, C, K)
-        u1, u2, u3 = Uv[:, 1, :], Uv[:, 2, :], Uv[:, 3, :]
-        dxi = (2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3)
-        grad2 = None
-        for j in range(3):
-            d = (
-                dxi[0] * g.jacInv[0, j]
-                + dxi[1] * g.jacInv[1, j]
-                + dxi[2] * g.jacInv[2, j]
-            )
-            grad2 = d * d if grad2 is None else grad2 + d * d
-        keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
-        fresh = jnp.where(keep, 4, 1).astype(jnp.int32)
-        return jnp.where(ndofel == 4, fresh, ndofel)
+        from ..pde.dg import eval_ndof_sticky
+
+        return eval_ndof_sticky(geom, u, ndofel, self.system.ncomp,
+                                self.tolref)
 
     def _propagate_ndof(self, geom, ndofel):
-        """p-refine every face-neighbor of a p-refined element, one ring
-        per step (DG.cpp propagate_ndof:1286-1313): this is what lets a
-        dropped-to-P0 element re-activate as the feature front reaches
-        it — without it the indicator set is frozen at the first step's
-        decisions and a moving shock leaves the P1 region.  One pass
-        over the interior faces, non-transitive (the reference reads
-        m_ndof and writes a copy)."""
-        nbr = ndofel[jnp.maximum(geom.esuelT, 0)]  # (4,E) gather
-        prom = ((nbr == 4) & (geom.esuelT >= 0)).any(axis=0)
-        return jnp.where(prom, 4, ndofel)
+        from ..pde.dg import propagate_ndof
+
+        return propagate_ndof(geom, ndofel)
 
     # -- public API -----------------------------------------------------------
 
@@ -272,13 +247,15 @@ class DGSolver:
             # garbage the unmasked test contraction writes into inactive
             # rhs rows is discarded by the anchor restore below
             # (DG.cpp:1479-1488 keeps m_un there regardless)
+            zeroed = False
             if s == 0 and self.pref and dofmask is not None:
                 # coarsened elements' high-order dofs are ZEROED at stage
                 # 0 (DG.cpp:1452-1469), not frozen: a later ring promotion
                 # restarts them from clean P0 state
                 u = u * jnp.tile(dofmask, (self.system.ncomp, 1))
+                zeroed = True
             uf = u
-            if fused and dofmask is not None:
+            if fused and dofmask is not None and not zeroed:
                 uf = u * jnp.tile(dofmask, (self.system.ncomp, 1))
             if s == 0:
                 # the RK anchor is the LIMITED stage-0 solution — the
@@ -347,12 +324,18 @@ class DGDiagnostics:
         C, K = self.system.ncomp, g.ndof
         Uv = uview(state.u, C, K)
         # evaluate with the per-element active dofs only: P0-dropped
-        # elements carry stale frozen high-order dofs that the reference
-        # never reads (ElemDiagnostics.cpp:171-196 uses ndofel[e]);
-        # no-op for non-p-adaptive runs where ndofel == K everywhere
-        kmask = (jnp.arange(K)[None, :, None]
-                 < state.ndofel[None, None, :]).astype(state.u.dtype)
-        Uv = Uv * kmask
+        # elements carry stale high-order dofs that the reference never
+        # reads (ElemDiagnostics.cpp:171-196 uses ndofel[e]); and their
+        # ERROR is integrated at the single NGdiag(1) centroid point
+        # (Quadrature.hpp:45-50).  Both only arise for p-adaptive runs:
+        # K==1 schemes already use the 1-point rule, and p0p1/dgp2 keep
+        # ndofel == K everywhere.
+        mixed = K > 1 and bool((np.asarray(state.ndofel) == 1).any())
+        if mixed:
+            kmask = (jnp.arange(K)[None, :, None]
+                     < state.ndofel[None, None, :]).astype(state.u.dtype)
+            Uv = Uv * kmask
+        p0 = ((state.ndofel == 1) & (g.emask > 0)) if mixed else None
         ve = g.vol * g.emask
         s2 = jnp.zeros((C,), dtype=state.u.dtype)
         e2 = jnp.zeros((C,), dtype=state.u.dtype)
@@ -368,37 +351,18 @@ class DGDiagnostics:
             w = float(self.w[gi]) * ve
             s2 = s2 + (w * sgp**2).sum(axis=1)
             err = (sgp - a) * (g.emask > 0)
+            if p0 is not None:
+                err = err * (~p0)  # P0 error comes from the coarse rule
             e2 = e2 + (w * err**2).sum(axis=1)
             einf = jnp.maximum(einf, jnp.abs(err).max(axis=1))
-        if bool((np.asarray(state.ndofel) == 1).any()):
-            # p-adaptive: the reference integrates P0 elements' error at
-            # NGdiag(1)=1 point — the centroid (Quadrature.hpp:45-50,
-            # ElemDiagnostics.cpp:144); select per element
-            p0 = (state.ndofel == 1) & (g.emask > 0)
+        if p0 is not None:
             mean = Uv[:, 0, :]  # (C,E) — P0 value is the cell mean
             ctr = jnp.full((3, 1), 0.25, dtype=state.u.dtype)
             gp = _phys_gp(g.node0, g.Jmat, ctr)
             a = self.system.analytic(gp, state.t).astype(state.u.dtype)
             errc = (mean - a) * p0
-            e2c = (ve * errc**2).sum(axis=1)
-            # replace the fine-rule contribution of P0 elements
-            e2f_p0 = jnp.zeros((C,), dtype=state.u.dtype)
-            einf_keep = jnp.zeros((C,), dtype=state.u.dtype)
-            for gi in range(len(self.w)):
-                B = jnp.asarray(self.B[gi], dtype=state.u.dtype)[:, None]
-                sgp = (Uv * B).sum(axis=1)
-                gpg = _phys_gp(
-                    g.node0, g.Jmat,
-                    jnp.asarray(self.pts[gi], dtype=state.u.dtype)[:, None],
-                )
-                ag = self.system.analytic(gpg, state.t).astype(state.u.dtype)
-                w = float(self.w[gi]) * ve
-                errg = (sgp - ag) * (g.emask > 0)
-                e2f_p0 = e2f_p0 + (w * (errg * p0)**2).sum(axis=1)
-                einf_keep = jnp.maximum(
-                    einf_keep, jnp.abs(errg * (~p0)).max(axis=1))
-            e2 = e2 - e2f_p0 + e2c
-            einf = jnp.maximum(einf_keep, jnp.abs(errc).max(axis=1))
+            e2 = e2 + (ve * errc**2).sum(axis=1)
+            einf = jnp.maximum(einf, jnp.abs(errc).max(axis=1))
         l2sol = jnp.sqrt(s2 / self.total_vol)
         l2err = jnp.sqrt(e2 / self.total_vol)
         return (

@@ -99,7 +99,12 @@ def write_pdf_exodus(path: str, pdf) -> None:
 
     counts = np.asarray(pdf.counts, dtype=float)
     n = counts.sum()
-    if counts.ndim == 2:
+    if counts.ndim == 1:
+        dens = counts / (n * pdf.binsize)
+        X = pdf.lo + (np.arange(counts.shape[0]) + 0.5) * pdf.binsize
+        Y = np.zeros_like(X)
+        Z = np.zeros_like(X)
+    elif counts.ndim == 2:
         xs, ys, dens = _bipdf_grid(pdf)
         cx = 0.5 * (xs[:-1] + xs[1:])
         cy = 0.5 * (ys[:-1] + ys[1:])

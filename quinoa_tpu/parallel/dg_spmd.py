@@ -186,37 +186,18 @@ class SPMDDGSolver:
     # -- per-shard bodies -------------------------------------------------------
 
     def _eval_ndof(self, geom, u, ndofel):
-        """p-adaptive indicator, identical to the single-device one
-        (DG.cpp eval_ndof:1089-1163) including the sticky 4->1 decision
-        (only ndof==4 elements are re-evaluated); the caller exchanges
-        the decisions afterwards so ghost entries carry the owner's
+        """Shared indicator (pde.dg.eval_ndof_sticky); the caller
+        exchanges the decisions so ghost entries carry the owner's
         sticky history (the comsol ndof piggyback)."""
-        from ..pde.dg import uview
+        from ..pde.dg import eval_ndof_sticky
 
-        g = geom
-        C, K = self.system.ncomp, g.ndof
-        Uv = uview(u, C, K)
-        u1, u2, u3 = Uv[:, 1, :], Uv[:, 2, :], Uv[:, 3, :]
-        dxi = (2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3)
-        grad2 = None
-        for j in range(3):
-            d = (
-                dxi[0] * g.jacInv[0, j]
-                + dxi[1] * g.jacInv[1, j]
-                + dxi[2] * g.jacInv[2, j]
-            )
-            grad2 = d * d if grad2 is None else grad2 + d * d
-        keep = (jnp.sqrt(grad2) > self.tolref).any(axis=0)
-        fresh = jnp.where(keep, 4, 1).astype(jnp.int32)
-        return jnp.where(ndofel == 4, fresh, ndofel)
+        return eval_ndof_sticky(geom, u, ndofel, self.system.ncomp,
+                                self.tolref)
 
     def _propagate_ndof(self, geom, ndofel):
-        """One-ring p-refinement of face neighbors of p-refined elements
-        (DG.cpp propagate_ndof:1286-1313), per shard over its face
-        tables; non-transitive, interior faces only."""
-        nbr = ndofel[jnp.maximum(geom.esuelT, 0)]  # (4,E) gather
-        prom = ((nbr == 4) & (geom.esuelT >= 0)).any(axis=0)
-        return jnp.where(prom, 4, ndofel)
+        from ..pde.dg import propagate_ndof
+
+        return propagate_ndof(geom, ndofel)
 
     def _limit(self, geom, u, dofmask, bounds_plan=None):
         C = self.system.ncomp
@@ -291,12 +272,14 @@ class SPMDDGSolver:
             # p-adaptive rides the maskless fused kernel on dof-zeroed
             # input (see inciter/dg.py); the anchor restore below
             # discards the unmasked test rows
+            zeroed = False
             if s == 0 and self.pref and dofmask is not None:
                 # coarsened elements' high-order dofs zeroed at stage 0
                 # (DG.cpp:1452-1469), as in the single-shard solver
                 u = u * jnp.tile(dofmask, (C, 1))
+                zeroed = True
             uf = u
-            if fused and dofmask is not None:
+            if fused and dofmask is not None and not zeroed:
                 uf = u * jnp.tile(dofmask, (C, 1))
             if s == 0:
                 # RK anchor = limited stage-0 solution (DG.cpp:1471),

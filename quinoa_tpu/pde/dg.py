@@ -505,6 +505,41 @@ def dg_initialize(system, geom: DGGeom, t):
     return (proj / mn[None, :, None]).reshape(C * K, E)
 
 
+def eval_ndof_sticky(geom, u, ndofel, ncomp, tolref):
+    """p-adaptive indicator shared by the single-shard and SPMD solvers:
+    keep P1 where any component's reference-space gradient magnitude
+    exceeds tolref (DG.cpp eval_ndof:1089-1163).  Sticky: only elements
+    currently at ndof==4 are re-evaluated (DG.cpp:1108) — a dropped
+    element's frozen (zeroed) dofs can never flip it back; re-activation
+    happens only through propagate_ndof's ring promotion."""
+    K = geom.ndof
+    Uv = uview(u, ncomp, K)
+    u1, u2, u3 = Uv[:, 1, :], Uv[:, 2, :], Uv[:, 3, :]
+    dxi = (2.0 * u1, u1 + 3.0 * u2, u1 + u2 + 4.0 * u3)
+    grad2 = None
+    for j in range(3):
+        d = (
+            dxi[0] * geom.jacInv[0, j]
+            + dxi[1] * geom.jacInv[1, j]
+            + dxi[2] * geom.jacInv[2, j]
+        )
+        grad2 = d * d if grad2 is None else grad2 + d * d
+    keep = (jnp.sqrt(grad2) > tolref).any(axis=0)
+    fresh = jnp.where(keep, 4, 1).astype(jnp.int32)
+    return jnp.where(ndofel == 4, fresh, ndofel)
+
+
+def propagate_ndof(geom, ndofel):
+    """p-refine every face-neighbor of a p-refined element, one ring per
+    step (DG.cpp propagate_ndof:1286-1313): this is what lets a
+    dropped-to-P0 element re-activate as the feature front reaches it.
+    Non-transitive (the reference reads m_ndof and writes a copy);
+    implemented as a 4-row esuelT gather — no TPU scatter."""
+    nbr = ndofel[jnp.maximum(geom.esuelT, 0)]  # (4,E) gather
+    prom = ((nbr == 4) & (geom.esuelT >= 0)).any(axis=0)
+    return jnp.where(prom, 4, ndofel)
+
+
 def dg_cell_avg(U, C, K):
     """Cell averages (C, E): the 0th Dubiner dof is the mean."""
     return uview(U, C, K)[:, 0, :]

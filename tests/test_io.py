@@ -396,3 +396,23 @@ def test_fileconv_classic_to_netcdf4(mesh, tmp_path, monkeypatch):
     bad = tmp_path / "x.root"
     bad.write_bytes(b"root\x00\x00\x00\x00")
     assert main(["fileconv", "-i", str(bad), "-o", "y"]) == 1
+
+
+def test_write_pdf_exodus_univariate(tmp_path):
+    """filetype exodusii with a 1-D PDF request (the reference supports
+    uni/bi/tri for every filetype) must not crash: bin-center point line
+    with the nodal density field."""
+    import numpy as np
+    from scipy.io import netcdf_file
+    from quinoa_tpu.io import write_pdf_exodus
+    from quinoa_tpu.statistics.pdf import UniPDF
+
+    pdf = UniPDF(binsize=0.5, lo=-1.0, counts=np.array([1, 3, 4, 2]))
+    p = str(tmp_path / "u.exo")
+    write_pdf_exodus(p, pdf)
+    f = netcdf_file(p, "r", mmap=False)
+    x = np.array(f.variables["coordx"][:])
+    d = np.array(f.variables["vals_nod_var1"][0, :])
+    f.close()
+    assert x.shape == (4,) and np.allclose(x, [-0.75, -0.25, 0.25, 0.75])
+    assert np.isclose(d.sum() * 0.5, 1.0)
