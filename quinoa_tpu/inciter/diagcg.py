@@ -181,6 +181,29 @@ class DiagCGSolver:
         self.vol_n = jnp.stack(
             [geom.vol[geom.inpoelT[a]] for a in range(4)])
 
+        # env-gated fused window path (ops/cg_fused.py): gather +
+        # element math + assembly in one Pallas pass per FCT stage;
+        # built only when the configuration qualifies (single shard,
+        # time-independent velocity, no diffusion) and
+        # QUINOA_CG_FUSED=1
+        import os
+
+        self.fused_plan = None
+        if (os.environ.get("QUINOA_CG_FUSED") == "1" and fct
+                and geom.coords_n is not None):
+            from ..ops.cg_fused import build_cg_fused_plan
+
+            self.fused_plan = build_cg_fused_plan(
+                system, geom, bcmask, ctau)
+            if self.fused_plan is None:
+                import warnings
+
+                warnings.warn(
+                    "QUINOA_CG_FUSED=1 but the configuration doesn't "
+                    "qualify (diffusion / time-dependent velocity); "
+                    "running the XLA path",
+                    RuntimeWarning, stacklevel=2)
+
         # geometry/lhs/bcmask are jit ARGUMENTS, not closure constants
         self._step = jax.jit(self._step_impl)
 
@@ -220,6 +243,14 @@ class DiagCGSolver:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
         else:
             dt = self.system.dt(geom, state.u) * self.cfl
+        if self.fused_plan is not None:
+            from ..ops.cg_fused import diagcg_advance_fused
+
+            unew = diagcg_advance_fused(
+                self.system, self.fused_plan, lhs, bcmask,
+                state.u, state.t, dt, geom)
+            return CGState(u=unew, t=state.t + dt, it=state.it + 1,
+                           dt=dt)
         unew = diagcg_advance(
             self.system,
             self.fct,

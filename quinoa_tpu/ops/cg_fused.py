@@ -1,0 +1,583 @@
+"""Fused DiagCG+FCT window kernels: gather + element math + assembly in
+ONE Pallas pass per FCT stage.
+
+Why: the XLA formulation of the DiagCG step is a ~6-deep chain of
+DEPENDENT gather/assembly stages, each sitting on the TPU gather-latency
+cliff (ROADMAP: 117 ms/step at 48^3 against a ~1 ms HBM roofline).  The
+round-2/3 attempts that kernelized ONLY the gather or ONLY the assembly
+lost end-to-end because every pallas_call boundary materializes the
+(4, C, E) element slabs XLA otherwise fuses away.  These kernels remove
+the boundary instead: each pass reads the nodal fields through the
+in-VMEM one-hot window (ops/node_window.py plan), runs the ELEMENT MATH
+inside the kernel (Taylor-Galerkin rhs, FCT mass diffusion, AEC, allowed
+extrema, limit coefficients — FluxCorrector.cpp:30-470 semantics), and
+accumulates straight back into the node windows — no element slab ever
+touches HBM.
+
+Three passes replace the whole step's gather chain:
+
+  K1 (from u):        rhs + mass-diffusion + AEC's P sums  -> (4C, N)
+  K2 (from u, ul):    allowed extrema Q = [qmax | -qmin]    -> (2C, N)
+  K3 (from u, Rp/Rm): limited antidiffusive sums A          -> (C, N)
+
+(The AEC needs only Un — FluxCorrector::aec's dUh term is zero for the
+lumped-mass high-order scheme — so P assembles in K1 and K3 recomputes
+the AEC from the same window rather than materializing it.)
+
+Far slots (node outside the tile window, ~8% at W=1024 after first-touch
+ordering) are emitted as a compact per-tile stream and folded in by the
+existing target-sorted far pass.  Env-gated: QUINOA_CG_FUSED=1 (plus a
+NodePlan on the geometry); currently single-shard CGTransport with
+time-independent velocity and no diffusion — the bench_cg configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .face_accum import _one_pass
+from .node_window import NodePlan, build_node_plan, _one_pass_max
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["plan", "stat"],
+    meta_fields=["C", "ctau", "Rs", "TE"],
+)
+@dataclasses.dataclass(frozen=True)
+class CGFusedPlan:
+    """NodePlan + per-element static rows for the fused kernels.
+
+    stat row layout (Rs, ntile*TE), zero-padded elements carry
+    vol_n = 1 and bc_n = 1 so their AEC is exactly zero (never NaN):
+
+      [0:12)          grad[3a+j]
+      12              J*emask/6
+      13              J*emask/120
+      [14:18)         vol_n[a]
+      [18:18+4C)      bc_n[a*C+c]
+      [B0:B0+12C)     vel_n[(a*C+c)*3+j]   (B0 = 18+4C)
+      [B1:B1+3C)      vel_c[c*3+j]         (B1 = B0+12C)
+    """
+
+    plan: NodePlan
+    stat: jnp.ndarray
+    C: int
+    ctau: float
+    Rs: int
+    TE: int
+
+
+def build_cg_fused_plan(system, geom, bcmask, ctau: float,
+                        TF: int = 512, W: int = 1024):
+    """Host-side fused plan, or None when the configuration doesn't
+    qualify (diffusion, time-dependent velocity, sharded geometry)."""
+    import os
+
+    prob = getattr(system, "problem", None)
+    if prob is None or getattr(system, "diffusivity", None) is not None:
+        return None
+    # velocity must be time-independent (it is baked into static rows)
+    xs = np.asarray(geom.coords)[:, :64]
+    try:
+        v0 = np.asarray(prob.velocity(jnp.asarray(xs), 0.0))
+        v1 = np.asarray(prob.velocity(jnp.asarray(xs), 0.7391))
+    except Exception:
+        return None
+    if not np.array_equal(v0, v1):
+        return None
+
+    TF = int(os.environ.get("QUINOA_CGF_TF", TF))
+    W = int(os.environ.get("QUINOA_CGF_W", W))
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+    inpoelT = np.asarray(geom.inpoelT)
+    plan = build_node_plan(inpoelT.T, geom.nnode, TF=TF, W=W, dtype=dtype)
+
+    C = system.ncomp
+    E = inpoelT.shape[1]
+    TE = TF // 4
+    Ep = plan.ntile * TE
+    B0 = 18 + 4 * C
+    B1 = B0 + 12 * C
+    Rs = B1 + 3 * C
+    stat = np.zeros((Rs, Ep), dtype)
+    grad = np.asarray(geom.grad, np.float64)          # (4, 3, E)
+    Jm = np.asarray(geom.J, np.float64) * np.asarray(geom.emask,
+                                                     np.float64)
+    vol = np.asarray(geom.vol, np.float64)
+    bc = np.asarray(bcmask, np.float64)               # (C, N)
+    cn = np.asarray(geom.coords_n, np.float64)        # (4, 3, E)
+    ctr = np.asarray(geom.ctr, np.float64)            # (3, E)
+    for a in range(4):
+        for j in range(3):
+            stat[3 * a + j, :E] = grad[a, j]
+    stat[12, :E] = Jm / 6.0
+    stat[13, :E] = Jm / 120.0
+    stat[14:18, :] = 1.0                              # pad vol_n = 1
+    for a in range(4):
+        stat[14 + a, :E] = vol[inpoelT[a]]
+    stat[18:B0, :] = 1.0                              # pad bc_n = 1
+    for a in range(4):
+        for c in range(C):
+            stat[18 + a * C + c, :E] = bc[c][inpoelT[a]]
+    for a in range(4):
+        vn = np.asarray(prob.velocity(jnp.asarray(cn[a]), 0.0),
+                        np.float64)                   # (C, 3, E)
+        for c in range(C):
+            for j in range(3):
+                stat[B0 + (a * C + c) * 3 + j, :E] = vn[c, j]
+    vc = np.asarray(prob.velocity(jnp.asarray(ctr), 0.0), np.float64)
+    for c in range(C):
+        for j in range(3):
+            stat[B1 + c * 3 + j, :E] = vc[c, j]
+
+    return CGFusedPlan(plan=plan, stat=jnp.asarray(stat), C=C,
+                       ctau=float(ctau), Rs=Rs, TE=TE)
+
+
+# -- kernel building blocks ---------------------------------------------------
+
+
+def _window_gather(ks, b, TF, W, ulo, uhi, fv, fpos, FTS):
+    """In-kernel nodal gather: window one-hots + far placement.
+    ulo/uhi (R, W), fv (R, FTS) -> (R, TF) slot values."""
+    dt_ = ulo.dtype
+    loc = ks - b * W
+    validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+    locr = loc[None, :]
+    hot_lo = jnp.where(iota == locr, 1.0, 0.0).astype(dt_) \
+        * validf[None, :]
+    hot_hi = jnp.where(iota == locr - W, 1.0, 0.0).astype(dt_) \
+        * validf[None, :]
+    u = (jax.lax.dot(ulo, hot_lo, precision="highest")
+         + jax.lax.dot(uhi, hot_hi, precision="highest"))
+    pv = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
+    iotf = jax.lax.broadcasted_iota(jnp.int32, (FTS, TF), 1)
+    hotf = jnp.where(fpos[:, None] == iotf, 1.0, 0.0).astype(dt_) \
+        * pv[:, None]
+    return u + jax.lax.dot(fv, hotf, precision="highest")
+
+
+def _corner_hots(TF, TE, dtype):
+    """hot[a] (TF, TE): slot s belongs to element s//4, corner s%4."""
+    ia = jax.lax.broadcasted_iota(jnp.int32, (TF, TE), 0)
+    ie = jax.lax.broadcasted_iota(jnp.int32, (TF, TE), 1)
+    return [jnp.where(ia == 4 * ie + a, 1.0, 0.0).astype(dtype)
+            for a in range(4)]
+
+
+def _corners(u, hots):
+    """(R, TF) slot values -> list of 4 (R, TE) per-corner blocks."""
+    return [jax.lax.dot(u, h, precision="highest") for h in hots]
+
+
+def _to_slots(xa, hots):
+    """4 x (R, TE) per-corner blocks -> (R, TF) slot values."""
+    out = None
+    for x, h in zip(xa, hots):
+        v = jax.lax.dot_general(x, h, (((1,), (1,)), ((), ())),
+                                precision="highest")
+        out = v if out is None else out + v
+    return out
+
+
+def _far_emit(x, fpos, FTS, TF, fill=0.0):
+    """(R, TF) slot values -> (R, FTS) compact far stream (fill at
+    pad columns)."""
+    dt_ = x.dtype
+    pv = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
+    iotf = jax.lax.broadcasted_iota(jnp.int32, (FTS, TF), 1)
+    hotf = jnp.where(fpos[:, None] == iotf, 1.0, 0.0).astype(dt_) \
+        * pv[:, None]
+    out = jax.lax.dot_general(x, hotf, (((1,), (1,)), ((), ())),
+                              precision="highest")
+    if fill != 0.0:
+        out = jnp.where((pv > 0)[None, :], out, jnp.asarray(fill, dt_))
+    return out
+
+
+def _aec_math(una, stat, C, TE, ctau):
+    """AEC per corner from un corners: (FluxCorrector::aec, dUh = 0).
+    Returns list of 4 (C, TE)."""
+    j120 = stat[13:14, :]                             # (1, TE)
+    s = una[0] + una[1] + una[2] + una[3]             # (C, TE)
+    out = []
+    for a in range(4):
+        me = ctau * j120 * (4.0 * una[a] - s)
+        vol_a = stat[14 + a:15 + a, :]
+        bc_a = stat[18 + a * C:18 + (a + 1) * C, :]   # (C, TE)
+        aec = me / vol_a
+        out.append(jnp.where(bc_a > 0, 0.0, aec))
+    return out
+
+
+# -- K1: rhs + dif + P --------------------------------------------------------
+
+
+def _make_k1(TF, TE, W, FTS, C, Rs, ctau):
+    def kernel(blk_ref, dt_ref, ks_ref, ulo_ref, uhi_ref, fv_ref,
+               fpos_ref, stat_ref, lo_ref, hi_ref, far_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        ks = ks_ref[0, :]
+        dtv = dt_ref[0, 0]
+        un = _window_gather(ks, b, TF, W, ulo_ref[...], uhi_ref[...],
+                            fv_ref[...], fpos_ref[0, :], FTS)
+        hots = _corner_hots(TF, TE, un.dtype)
+        una = _corners(un, hots)                      # 4 x (C, TE)
+        stat = stat_ref[...]
+        B0 = 18 + 4 * C
+        B1 = B0 + 12 * C
+
+        # stage 1: advective term + element intermediate at t + dt/2
+        adv = jnp.zeros((C, TE), un.dtype)
+        for a in range(4):
+            for j in range(3):
+                g = stat[3 * a + j:3 * a + j + 1, :]
+                vr = jnp.stack([stat[B0 + (a * C + c) * 3 + j, :]
+                                for c in range(C)])
+                adv = adv + g * vr * una[a]
+        ue = 0.25 * (una[0] + una[1] + una[2] + una[3]) - 0.5 * dtv * adv
+
+        # stage 2: rhs contributions with center velocity
+        d = dtv * stat[12:13, :]
+        ra, difa = [], []
+        s_un = una[0] + una[1] + una[2] + una[3]
+        j120 = stat[13:14, :]
+        for a in range(4):
+            vdotg = jnp.zeros((C, TE), un.dtype)
+            for j in range(3):
+                g = stat[3 * a + j:3 * a + j + 1, :]
+                vc = jnp.stack([stat[B1 + c * 3 + j, :]
+                                for c in range(C)])
+                vdotg = vdotg + g * vc
+            ra.append(d * vdotg * ue)
+            difa.append(-ctau * j120 * (4.0 * una[a] - s_un))
+        aeca = _aec_math(una, stat, C, TE, ctau)
+
+        xa = [jnp.concatenate(
+            [ra[a], difa[a], jnp.maximum(aeca[a], 0.0),
+             jnp.minimum(aeca[a], 0.0)], axis=0) for a in range(4)]
+        x = _to_slots(xa, hots)                       # (4C, TF)
+
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(x.dtype)
+        loc = ks - b * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        far_ref[...] = _far_emit(x, fpos_ref[0, :], FTS, TF)
+
+    return kernel
+
+
+def _call_windowed(kernel, p: NodePlan, R, inputs, in_specs,
+                   interpret, dtype):
+    """Shared pallas_call scaffolding: blk prefetch, (R, W) lo/hi
+    accumulators + (R, ntile*FTS) far stream."""
+    NBW = (p.nblk + 2) * p.W
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p.ntile,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((R, p.W), lambda t, blk: (0, blk[t])),
+                pl.BlockSpec((R, p.W), lambda t, blk: (0, blk[t] + 1)),
+                pl.BlockSpec((R, p.FTS), lambda t, blk: (0, t)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, NBW), dtype),
+            jax.ShapeDtypeStruct((R, NBW), dtype),
+            jax.ShapeDtypeStruct((R, p.ntile * p.FTS), dtype),
+        ],
+        interpret=interpret,
+    )(p.blk, *inputs)
+    return outs
+
+
+def _far_fold_add(p: NodePlan, far_out, interpret):
+    """Compact far stream (R, ntile*FTS) -> (R, N) sum contributions via
+    the target-sorted far pass."""
+    R = far_out.shape[0]
+    xf = jnp.concatenate(
+        [far_out, jnp.zeros((R, 1), far_out.dtype)], axis=1
+    )[:, p.afcol]
+    return _one_pass(xf, p.ksF, p.blkF, p.mloF, p.mhiF, p.ntileF,
+                     p.nblkF, p.TF, p.WF, p.N, interpret=interpret)
+
+
+def _pad_u(p: NodePlan, U):
+    NBW = (p.nblk + 2) * p.W
+    return jnp.pad(U, ((0, 0), (0, NBW - p.N)))
+
+
+def fused_rhs_dif_p(fp: CGFusedPlan, U, dt, interpret=None):
+    """K1: (C, N) nodal field -> (4C, N) assembled [rhs | dif | P+ | P-]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = fp.plan
+    C = fp.C
+    Up = _pad_u(p, U)
+    fv = U[:, p.gfidx]
+    dtm = jnp.asarray(dt, U.dtype).reshape(1, 1)
+    R = 4 * C
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda t, blk: (0, 0)),
+        pl.BlockSpec((1, p.TF), lambda t, blk: (0, t)),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t])),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t] + 1)),
+        pl.BlockSpec((C, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((1, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((fp.Rs, fp.TE), lambda t, blk: (0, t)),
+    ]
+    lo, hi, far = _call_windowed(
+        _make_k1(p.TF, fp.TE, p.W, p.FTS, C, fp.Rs, fp.ctau),
+        p, R, (dtm, p.ks, Up, Up, fv, p.gfpos, fp.stat), in_specs,
+        interpret, U.dtype)
+    lo = jnp.where(p.mlo > 0, lo, 0.0)
+    hi = jnp.where(p.mhi > 0, hi, 0.0)
+    near = (lo + hi)[:, :p.N]
+    return near + _far_fold_add(p, far, interpret)
+
+
+# -- K2: allowed extrema Q ----------------------------------------------------
+
+
+def _make_k2(TF, TE, W, FTS, C):
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, fvu_ref,
+               llo_ref, lhi_ref, fvl_ref, fpos_ref,
+               lo_ref, hi_ref, far_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+        dt_ = ulo_ref.dtype
+        BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.full_like(lo_ref, -BIG)
+            hi_ref[...] = jnp.full_like(hi_ref, -BIG)
+
+        ks = ks_ref[0, :]
+        fpos = fpos_ref[0, :]
+        un = _window_gather(ks, b, TF, W, ulo_ref[...], uhi_ref[...],
+                            fvu_ref[...], fpos, FTS)
+        ul = _window_gather(ks, b, TF, W, llo_ref[...], lhi_ref[...],
+                            fvl_ref[...], fpos, FTS)
+        hots = _corner_hots(TF, TE, dt_)
+        una = _corners(un, hots)
+        ula = _corners(ul, hots)
+        smax = None
+        smin = None
+        for a in range(4):
+            mx = jnp.maximum(ula[a], una[a])
+            mn = jnp.minimum(ula[a], una[a])
+            smax = mx if smax is None else jnp.maximum(smax, mx)
+            smin = mn if smin is None else jnp.minimum(smin, mn)
+        s2 = jnp.concatenate([smax, -smin], axis=0)   # (2C, TE)
+        # same per-element value at each of the 4 slots (each slot's
+        # one-hot hits exactly one corner term)
+        x = _to_slots([s2, s2, s2, s2], hots)
+
+        loc = ks - b * W
+        vf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        m_lo = (locc == iota) & (vf[:, None] > 0)
+        m_hi = ((locc - W) == iota) & (vf[:, None] > 0)
+        cand_lo = jnp.where(m_lo[None], x[:, :, None], -BIG).max(axis=1)
+        cand_hi = jnp.where(m_hi[None], x[:, :, None], -BIG).max(axis=1)
+        lo_ref[...] = jnp.maximum(lo_ref[...], cand_lo)
+        hi_ref[...] = jnp.maximum(hi_ref[...], cand_hi)
+        farv = _far_emit(x, fpos, FTS, TF)
+        pvf = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
+        far_ref[...] = jnp.where((pvf > 0)[None, :], farv, -BIG)
+
+    return kernel
+
+
+def fused_alw_q(fp: CGFusedPlan, U, Ul, interpret=None):
+    """K2: -> (2C, N) = [qmax | -qmin] (the caller negates the min)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = fp.plan
+    C = fp.C
+    dt_ = U.dtype
+    BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
+    Up = _pad_u(p, U)
+    Ulp = _pad_u(p, Ul)
+    fvu = U[:, p.gfidx]
+    fvl = Ul[:, p.gfidx]
+    R = 2 * C
+    in_specs = [
+        pl.BlockSpec((1, p.TF), lambda t, blk: (0, t)),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t])),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t] + 1)),
+        pl.BlockSpec((C, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t])),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t] + 1)),
+        pl.BlockSpec((C, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((1, p.FTS), lambda t, blk: (0, t)),
+    ]
+    lo, hi, far = _call_windowed(
+        _make_k2(p.TF, fp.TE, p.W, p.FTS, C),
+        p, R, (p.ks, Up, Up, fvu, Ulp, Ulp, fvl, p.gfpos), in_specs,
+        interpret, U.dtype)
+    lo = jnp.where(p.mlo > 0, lo, -BIG)
+    hi = jnp.where(p.mhi > 0, hi, -BIG)
+    near = jnp.maximum(lo, hi)[:, :p.N]
+    xf = jnp.concatenate(
+        [far, jnp.full((R, 1), -BIG, far.dtype)], axis=1
+    )[:, p.afcol]
+    farp = _one_pass_max(xf, p.ksF, p.blkF, p.mloF, p.mhiF, p.ntileF,
+                         p.nblkF, p.TF, p.WF, p.N, interpret)
+    out = jnp.maximum(near, farp)
+    fill = jnp.asarray(jnp.finfo(dt_).min, dt_)
+    return jnp.where(out <= -BIG / 2, fill, out)
+
+
+# -- K3: limit + apply sums ---------------------------------------------------
+
+
+def _make_k3(TF, TE, W, FTS, C, Rs, ctau):
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, fvu_ref,
+               rlo_ref, rhi_ref, fvr_ref, fpos_ref, stat_ref,
+               lo_ref, hi_ref, far_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        ks = ks_ref[0, :]
+        fpos = fpos_ref[0, :]
+        dt_ = ulo_ref.dtype
+        eps = jnp.asarray(jnp.finfo(dt_).eps, dt_)
+        big = jnp.asarray(jnp.finfo(dt_).max, dt_)
+        un = _window_gather(ks, b, TF, W, ulo_ref[...], uhi_ref[...],
+                            fvu_ref[...], fpos, FTS)
+        rpm = _window_gather(ks, b, TF, W, rlo_ref[...], rhi_ref[...],
+                             fvr_ref[...], fpos, FTS)     # (2C, TF)
+        hots = _corner_hots(TF, TE, dt_)
+        una = _corners(un, hots)
+        rpma = _corners(rpm, hots)                        # 4 x (2C, TE)
+        stat = stat_ref[...]
+        aeca = _aec_math(una, stat, C, TE, ctau)
+
+        cel = None
+        for a in range(4):
+            rp = rpma[a][:C]
+            rm = rpma[a][C:]
+            r = jnp.where(jnp.abs(aeca[a]) < eps, big,
+                          jnp.where(aeca[a] > 0.0, rp, rm))
+            cel = r if cel is None else jnp.minimum(cel, r)
+        cel = jnp.minimum(cel, 1.0)                       # (C, TE)
+
+        xa = [cel * aeca[a] for a in range(4)]
+        x = _to_slots(xa, hots)                           # (C, TF)
+
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
+        loc = ks - b * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(dt_) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        far_ref[...] = _far_emit(x, fpos, FTS, TF)
+
+    return kernel
+
+
+def fused_lim_a(fp: CGFusedPlan, U, Rp, Rm, interpret=None):
+    """K3: -> (C, N) assembled limited antidiffusive sums A."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = fp.plan
+    C = fp.C
+    Up = _pad_u(p, U)
+    rpm = jnp.concatenate([Rp, Rm], axis=0)
+    rpmp = _pad_u(p, rpm)
+    fvu = U[:, p.gfidx]
+    fvr = rpm[:, p.gfidx]
+    in_specs = [
+        pl.BlockSpec((1, p.TF), lambda t, blk: (0, t)),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t])),
+        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t] + 1)),
+        pl.BlockSpec((C, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((2 * C, p.W), lambda t, blk: (0, blk[t])),
+        pl.BlockSpec((2 * C, p.W), lambda t, blk: (0, blk[t] + 1)),
+        pl.BlockSpec((2 * C, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((1, p.FTS), lambda t, blk: (0, t)),
+        pl.BlockSpec((fp.Rs, fp.TE), lambda t, blk: (0, t)),
+    ]
+    lo, hi, far = _call_windowed(
+        _make_k3(p.TF, fp.TE, p.W, p.FTS, C, fp.Rs, fp.ctau),
+        p, C, (p.ks, Up, Up, fvu, rpmp, rpmp, fvr, p.gfpos, fp.stat),
+        in_specs, interpret, U.dtype)
+    lo = jnp.where(p.mlo > 0, lo, 0.0)
+    hi = jnp.where(p.mhi > 0, hi, 0.0)
+    near = (lo + hi)[:, :p.N]
+    return near + _far_fold_add(p, far, interpret)
+
+
+# -- fused step ---------------------------------------------------------------
+
+
+def diagcg_advance_fused(system, fp: CGFusedPlan, lhs, bcmask, u, t, dt,
+                         geom):
+    """One DiagCG+FCT update through the three fused passes; matches
+    quinoa_tpu.inciter.diagcg.diagcg_advance semantics (single shard)."""
+    C = u.shape[0]
+    rdpq = fused_rhs_dif_p(fp, u, dt)
+    r, dif = rdpq[:C], rdpq[C:2 * C]
+    P = jnp.stack([rdpq[2 * C:3 * C], rdpq[3 * C:]])
+
+    binc = system.solinc(geom.coords, t, dt).astype(u.dtype)
+    lhs_eff = jnp.where(bcmask > 0, 1.0, lhs[None, :])
+    r = jnp.where(bcmask > 0, binc, r)
+    dif = jnp.where(bcmask > 0, 0.0, dif)
+    ul = u + (r + dif) / lhs_eff
+
+    q2 = fused_alw_q(fp, u, ul)
+    Q = jnp.stack([q2[:C], -q2[C:]])
+
+    eps = jnp.asarray(jnp.finfo(u.dtype).eps, u.dtype)
+    Qp = Q[0] - ul
+    Qm = Q[1] - ul
+    Rp = jnp.where(P[0] > 0.0,
+                   jnp.minimum(1.0, Qp / jnp.where(P[0] > 0.0, P[0], 1.0)),
+                   0.0)
+    Rm = jnp.where(P[1] < 0.0,
+                   jnp.minimum(1.0, Qm / jnp.where(P[1] < 0.0, P[1], 1.0)),
+                   0.0)
+
+    A = fused_lim_a(fp, u, Rp, Rm)
+    return ul + A

@@ -45,7 +45,7 @@ from .face_accum import _pass_tables, _make_kernel, _one_pass
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ks", "blk", "mlo", "mhi", "gfidx", "gfpos",
-                 "afsrc", "ksF", "blkF", "mloF", "mhiF"],
+                 "afsrc", "ksF", "blkF", "mloF", "mhiF", "afcol"],
     meta_fields=["S", "Sp", "ntile", "TF", "W", "nblk",
                  "FTS", "NFP", "ntileF", "nblkF", "WF", "N", "E",
                  "nfar"],
@@ -62,6 +62,10 @@ class NodePlan:
     afsrc : (NFP,) i32 far SLOT ids target-sorted (S = pad, reads the
             zero column appended to the flat contribution stream)
     ksF/blkF/mloF/mhiF : sorted far accumulation pass tables
+    afcol : (NFP,) i32 same far slots in the same target-sorted
+            order, but indexing the COMPACT tile-padded far stream
+            (tile*FTS + position) that the fused CG kernels emit;
+            ntile*FTS = pad (reads an appended pad column)
     """
 
     ks: jnp.ndarray
@@ -75,6 +79,7 @@ class NodePlan:
     blkF: jnp.ndarray
     mloF: jnp.ndarray
     mhiF: jnp.ndarray
+    afcol: jnp.ndarray
     S: int
     Sp: int
     ntile: int
@@ -160,6 +165,8 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
     NFP = ntileF * TF
     afsrc = np.full(NFP, S, np.int32)                 # S = zero pad col
     afsrc[:nfar] = fsorted
+    afcol = np.full(NFP, NT, np.int32)                # NT = pad col
+    afcol[:nfar] = col[order]
     keyF = np.full(NFP, -1, np.int64)
     keyF[:nfar] = kp[fsorted]
     WF = W
@@ -189,6 +196,7 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
         ksF=jnp.asarray(ksF.reshape(1, -1)),
         blkF=jnp.asarray(blkF),
         mloF=jnp.asarray(mloF), mhiF=jnp.asarray(mhiF),
+        afcol=jnp.asarray(afcol),
         S=S, Sp=Sp, ntile=ntile, TF=TF, W=W, nblk=nblk,
         FTS=FTS, NFP=NFP, ntileF=ntF, nblkF=nblkF, WF=WF,
         N=nnode, E=E, nfar=nfar,

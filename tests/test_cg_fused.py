@@ -1,0 +1,86 @@
+"""Fused DiagCG+FCT window kernels (ops/cg_fused.py) vs the XLA path.
+
+The fused path runs the whole FCT stage chain (TG rhs + mass diffusion +
+AEC/P, allowed extrema Q, limit + apply) as three Pallas window passes
+with the element math INSIDE the kernels; these tests hold it to the XLA
+formulation at machine precision, on both a locality-ordered mesh
+(near-dominant) and a randomly relabeled one (far-stream heavy).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _solvers(mesh, bcnodes, monkeypatch, W=None):
+    from quinoa_tpu.pde.cg import CGTransport, make_cggeom
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter import DiagCGSolver
+
+    geom = make_cggeom(mesh)
+    sys_ = CGTransport(SlotCyl())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = DiagCGSolver(sys_, geom, cfl=0.8, bcnodes=bcnodes)
+    assert ref.fused_plan is None
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    if W is not None:
+        monkeypatch.setenv("QUINOA_CGF_W", str(W))
+    fus = DiagCGSolver(sys_, geom, cfl=0.8, bcnodes=bcnodes)
+    assert fus.fused_plan is not None
+    return ref, fus
+
+
+def test_fused_cg_matches_xla_near(monkeypatch):
+    """Locality-ordered mesh (the bench configuration): 5 FCT steps
+    match the XLA path to machine precision."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
+                                         hilbert_element_reorder)
+
+    mesh = box_tet_mesh(10, 10, 5, hi=(1.0, 1.0, 0.5))
+    mesh, _ = hilbert_element_reorder(mesh)
+    mesh, _ = first_touch_node_reorder(mesh)
+    ref, fus = _solvers(mesh, mesh.all_bnodes(), monkeypatch)
+    a = ref.nsteps(ref.initial_state(), 5)
+    b = fus.nsteps(fus.initial_state(), 5)
+    assert float(a.t) == float(b.t)
+    d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
+    assert d < 1e-12, d
+
+
+def test_fused_cg_matches_xla_far(monkeypatch):
+    """Randomly relabeled nodes + a tiny window force a far-stream-heavy
+    plan (>50% far slots): the compact far emit + target-sorted folds
+    must still reproduce the XLA path exactly."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.unsmesh import UnsMesh
+
+    mesh = box_tet_mesh(10, 10, 5, hi=(1.0, 1.0, 0.5))
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(mesh.nnode)
+    inv = np.argsort(perm)
+    m2 = UnsMesh(coords=mesh.coords[inv], inpoel=perm[mesh.inpoel])
+    bc = perm[np.asarray(mesh.all_bnodes())]
+    ref, fus = _solvers(m2, bc, monkeypatch, W=128)
+    assert fus.fused_plan.plan.nfar > 0.3 * fus.fused_plan.plan.S
+    a = ref.nsteps(ref.initial_state(), 5)
+    b = fus.nsteps(fus.initial_state(), 5)
+    d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
+    assert d < 1e-12, d
+
+
+def test_fused_plan_gating(monkeypatch):
+    """Configurations the kernels can't serve fall back loudly: a
+    diffusive system must not build a fused plan."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.pde.cg import CGTransport, make_cggeom
+    from quinoa_tpu.pde.problems import ShearDiff
+    from quinoa_tpu.inciter import DiagCGSolver
+
+    mesh = box_tet_mesh(4, 4, 4)
+    geom = make_cggeom(mesh)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    with pytest.warns(RuntimeWarning, match="doesn't qualify"):
+        s = DiagCGSolver(CGTransport(ShearDiff()), geom, cfl=0.8)
+    assert s.fused_plan is None

@@ -23,6 +23,9 @@ run env QUINOA_FACE_W=256 python bench.py --inner
 run env QUINOA_FACE_W=512 python bench.py --inner
 run python bench.py --npes 1
 run python bench_cg.py 48
+run env QUINOA_CG_FUSED=1 python bench_cg.py 48
+run env QUINOA_CG_FUSED=1 QUINOA_CGF_TF=128 python bench_cg.py 48
+run env QUINOA_CG_FUSED=1 QUINOA_CGF_W=2048 python bench_cg.py 48
 run python bench_alecg.py
 run python tools/check_multimat_fused.py
 run python bench.py --pdg
