@@ -204,6 +204,16 @@ class DiagCGSolver:
                     "running the XLA path",
                     RuntimeWarning, stacklevel=2)
 
+        # CGTransport's dt law reads only the (static) velocity field —
+        # the per-step sweep collapses to a constant when the velocity
+        # is time-independent (CGTransport.dt ignores U beyond dtype)
+        self._static_dt = None
+        if const_dt is None and getattr(system, "static_dt", None):
+            u0 = system.initialize(geom.coords, 0.0).astype(
+                geom.vol.dtype)
+            self._static_dt = (system.dt(geom, u0)
+                               * jnp.asarray(cfl, geom.vol.dtype))
+
         # geometry/lhs/bcmask are jit ARGUMENTS, not closure constants
         self._step = jax.jit(self._step_impl)
 
@@ -235,12 +245,16 @@ class DiagCGSolver:
     def compute_dt(self, u):
         if self.const_dt is not None:
             return jnp.asarray(self.const_dt, dtype=self.geom.vol.dtype)
+        if self._static_dt is not None:
+            return self._static_dt
         return self.system.dt(self.geom, u) * self.cfl
 
     def _step_impl(self, geom, lhs, bcmask, bc_n, vol_n,
                    state: CGState) -> CGState:
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
+        elif self._static_dt is not None:
+            dt = self._static_dt
         else:
             dt = self.system.dt(geom, state.u) * self.cfl
         if self.fused_plan is not None:
