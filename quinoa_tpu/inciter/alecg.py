@@ -165,6 +165,9 @@ class ALECGSolver:
         self.edget = edget
         self.cfl = cfl
         self.const_dt = const_dt
+        # time-independent-velocity transport: the dt sweep is a run
+        # constant (same cache as DiagCGSolver)
+        self._static_dt = None
 
         ncomp = system.ncomp
         bcmask = jnp.zeros((ncomp, geom.nnode), dtype=geom.vol.dtype)
@@ -172,6 +175,11 @@ class ALECGSolver:
             bcmask = bcmask.at[:, jnp.asarray(bcnodes, dtype=jnp.int32)].set(1.0)
         self.bcmask = bcmask
         self.lhs = lumped_mass(geom)
+        if const_dt is None and getattr(system, "static_dt", None):
+            u0 = system.initialize(geom.coords, 0.0).astype(
+                geom.vol.dtype)
+            self._static_dt = (system.dt(geom, u0)
+                               * jnp.asarray(cfl / 3.0, geom.vol.dtype))
         self._step = jax.jit(self._step_impl)
 
     # -- public API -----------------------------------------------------------
@@ -197,6 +205,8 @@ class ALECGSolver:
     def _step_impl(self, geom, edget, lhs, bcmask, state: CGState) -> CGState:
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
+        elif self._static_dt is not None:
+            dt = self._static_dt
         else:
             dt = self.system.dt(geom, state.u) * self.cfl / 3.0  # RK3 CFL
 
