@@ -83,6 +83,8 @@ VARIANTS = [
     {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1"},
     {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1",
      "QUINOA_FAR_SR": "1"},
+    {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1",
+     "QUINOA_SPLIT_FAR_GATHER": "1"},
 ]
 
 
