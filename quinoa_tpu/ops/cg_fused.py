@@ -75,17 +75,14 @@ class CGFusedPlan:
     TE: int
 
 
-def build_cg_fused_plan(system, geom, bcmask, ctau: float,
-                        TF: int = 512, W: int = 1024):
-    """Host-side fused plan, or None when the configuration doesn't
-    qualify (diffusion, time-dependent velocity, sharded geometry)."""
-    import os
-
+def _qualifies(system, coords_probe):
+    """The kernels bake the velocity into static rows: require a
+    velocity-carrying system without diffusion whose velocity ignores
+    t (probed empirically)."""
     prob = getattr(system, "problem", None)
     if prob is None or getattr(system, "diffusivity", None) is not None:
         return None
-    # velocity must be time-independent (it is baked into static rows)
-    xs = np.asarray(geom.coords)[:, :64]
+    xs = np.asarray(coords_probe)[:, :64]
     try:
         v0 = np.asarray(prob.velocity(jnp.asarray(xs), 0.0))
         v1 = np.asarray(prob.velocity(jnp.asarray(xs), 0.7391))
@@ -93,12 +90,29 @@ def build_cg_fused_plan(system, geom, bcmask, ctau: float,
         return None
     if not np.array_equal(v0, v1):
         return None
+    return prob
 
-    TF = int(os.environ.get("QUINOA_CGF_TF", TF))
-    W = int(os.environ.get("QUINOA_CGF_W", W))
+
+def _env_dims(TF, W):
+    import os
+
+    return (int(os.environ.get("QUINOA_CGF_TF", TF)),
+            int(os.environ.get("QUINOA_CGF_W", W)))
+
+
+def build_cg_fused_plan(system, geom, bcmask, ctau: float,
+                        TF: int = 512, W: int = 1024, force=None):
+    """Host-side fused plan, or None when the configuration doesn't
+    qualify (diffusion, time-dependent velocity)."""
+    prob = _qualifies(system, geom.coords)
+    if prob is None:
+        return None
+
+    TF, W = _env_dims(TF, W)
     dtype = np.dtype(np.asarray(geom.vol).dtype)
     inpoelT = np.asarray(geom.inpoelT)
-    plan = build_node_plan(inpoelT.T, geom.nnode, TF=TF, W=W, dtype=dtype)
+    plan = build_node_plan(inpoelT.T, geom.nnode, TF=TF, W=W,
+                           dtype=dtype, force=force)
 
     C = system.ncomp
     E = inpoelT.shape[1]
@@ -140,6 +154,55 @@ def build_cg_fused_plan(system, geom, bcmask, ctau: float,
 
     return CGFusedPlan(plan=plan, stat=jnp.asarray(stat), C=C,
                        ctau=float(ctau), Rs=Rs, TE=TE)
+
+
+def build_cg_fused_plan_stacked(system, sharded, ctau: float,
+                                TF: int = 512, W: int = 1024):
+    """Per-shard fused plans with FORCED-uniform static dims, stacked on
+    a leading shard axis so one shard_map program serves every device
+    (the build_accum_plan_stacked pattern).  Returns None when the
+    configuration doesn't qualify."""
+    geom = sharded.geom
+    if _qualifies(system, np.asarray(geom.coords)[0]) is None:
+        return None
+    S = sharded.nshard
+
+    def shard_geom(s):
+        import dataclasses as _dc
+
+        from ..pde.cg import CGGeom
+
+        g = geom
+        return CGGeom(
+            coords=g.coords[s], inpoelT=g.inpoelT[s], J=g.J[s],
+            grad=g.grad[s], vol=g.vol[s], emask=g.emask[s],
+            nsup=g.nsup[s], nnode=int(g.coords.shape[-1]),
+            plan=None, coords_n=g.coords_n[s], ctr=g.ctr[s],
+        )
+
+    # pass 1: natural dims per shard
+    nats = []
+    for s in range(S):
+        fp = build_cg_fused_plan(system, shard_geom(s),
+                                 sharded.bcmask[s], ctau, TF=TF, W=W)
+        if fp is None:
+            return None
+        nats.append(fp)
+    force = dict(
+        ntile=max(f.plan.ntile for f in nats),
+        nblk=max(f.plan.nblk for f in nats),
+        FTS=max(f.plan.FTS for f in nats),
+        ntileF=max(f.plan.ntileF for f in nats),
+        nblkF=max(f.plan.nblkF for f in nats),
+        WF=max(f.plan.WF for f in nats),
+    )
+    # pass 2: rebuild forced, then stack
+    fps = [build_cg_fused_plan(system, shard_geom(s), sharded.bcmask[s],
+                               ctau, TF=TF, W=W, force=force)
+           for s in range(S)]
+    if any(f is None for f in fps):
+        return None
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fps)
 
 
 # -- kernel building blocks ---------------------------------------------------
@@ -551,12 +614,20 @@ def fused_lim_a(fp: CGFusedPlan, U, Rp, Rm, interpret=None):
 # -- fused step ---------------------------------------------------------------
 
 
+def _identity(x):
+    return x
+
+
 def diagcg_advance_fused(system, fp: CGFusedPlan, lhs, bcmask, u, t, dt,
-                         geom):
+                         geom, combine_sum=_identity,
+                         combine_max=_identity):
     """One DiagCG+FCT update through the three fused passes; matches
-    quinoa_tpu.inciter.diagcg.diagcg_advance semantics (single shard)."""
+    quinoa_tpu.inciter.diagcg.diagcg_advance semantics.  The combine
+    hooks act on assembled node buffers at exactly the three points the
+    sharded driver exchanges: [rhs|dif|P+|P-] (ONE sum exchange covers
+    what the XLA path does in two), Q, and A."""
     C = u.shape[0]
-    rdpq = fused_rhs_dif_p(fp, u, dt)
+    rdpq = combine_sum(fused_rhs_dif_p(fp, u, dt))
     r, dif = rdpq[:C], rdpq[C:2 * C]
     P = jnp.stack([rdpq[2 * C:3 * C], rdpq[3 * C:]])
 
@@ -566,7 +637,7 @@ def diagcg_advance_fused(system, fp: CGFusedPlan, lhs, bcmask, u, t, dt,
     dif = jnp.where(bcmask > 0, 0.0, dif)
     ul = u + (r + dif) / lhs_eff
 
-    q2 = fused_alw_q(fp, u, ul)
+    q2 = combine_max(fused_alw_q(fp, u, ul))
     Q = jnp.stack([q2[:C], -q2[C:]])
 
     eps = jnp.asarray(jnp.finfo(u.dtype).eps, u.dtype)
@@ -579,5 +650,5 @@ def diagcg_advance_fused(system, fp: CGFusedPlan, lhs, bcmask, u, t, dt,
                    jnp.minimum(1.0, Qm / jnp.where(P[1] < 0.0, P[1], 1.0)),
                    0.0)
 
-    A = fused_lim_a(fp, u, Rp, Rm)
+    A = combine_sum(fused_lim_a(fp, u, Rp, Rm))
     return ul + A

@@ -97,13 +97,20 @@ class NodePlan:
 
 
 def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
-                    dtype=np.float32) -> NodePlan:
-    """Host-side plan from the connectivity (element-major slots)."""
+                    dtype=np.float32, force=None) -> NodePlan:
+    """Host-side plan from the connectivity (element-major slots).
+
+    force: optional dict {ntile, nblk, FTS, ntileF, nblkF, WF} forcing
+    those dimensions to AT LEAST the given values — used by the stacked
+    (per-shard) builders so every shard's plan has identical static
+    shapes and one compiled program serves all devices.  Forcing only
+    widens/pads; the routing stays exact."""
     inpoel = np.asarray(inpoel)
+    force = force or {}
     E = inpoel.shape[0]
     keys = inpoel.reshape(-1).astype(np.int64)        # s = 4e + a
     S = keys.shape[0]
-    ntile = max((S + TF - 1) // TF, 1)
+    ntile = max((S + TF - 1) // TF, 1, force.get("ntile", 1))
     Sp = ntile * TF
     kp = np.full(Sp, -1, np.int64)
     kp[:S] = keys
@@ -131,7 +138,8 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
         prev = blk[t]
     # the (nblk+2)*W scratch must cover ALL N nodes (outputs are sliced
     # to [:N]), even if the high blocks were never visited
-    nblk = max(int(blk.max()) + 1, -(-nnode // W))
+    nblk = max(int(blk.max()) + 1, -(-nnode // W),
+               force.get("nblk", 1))
 
     near = (kp >= 0) & (kp >= np.repeat(blk, TF) * W) \
         & (kp < (np.repeat(blk, TF) + 2) * W)
@@ -149,7 +157,8 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
     nfar = len(fslot)
     ftile = fslot // TF
     counts = np.bincount(ftile, minlength=ntile)
-    FTS = max(128, int(-(-(counts.max() if nfar else 1) // 128) * 128))
+    FTS = max(128, int(-(-(counts.max() if nfar else 1) // 128) * 128),
+              force.get("FTS", 128))
     NT = ntile * FTS
     col = (ftile * FTS + np.arange(nfar)
            - np.concatenate([[0], np.cumsum(counts)])[ftile])
@@ -161,7 +170,7 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
     # far accumulation: slots sorted by target node
     order = np.argsort(kp[fslot], kind="stable")
     fsorted = fslot[order]
-    ntileF = max((nfar + TF - 1) // TF, 1)
+    ntileF = max((nfar + TF - 1) // TF, 1, force.get("ntileF", 1))
     NFP = ntileF * TF
     afsrc = np.full(NFP, S, np.int32)                 # S = zero pad col
     afsrc[:nfar] = fsorted
@@ -169,7 +178,7 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
     afcol[:nfar] = col[order]
     keyF = np.full(NFP, -1, np.int64)
     keyF[:nfar] = kp[fsorted]
-    WF = W
+    WF = max(W, force.get("WF", W))
     while True:
         try:
             ksF, blkF, mloF, mhiF, ntF, nblkF = _pass_tables(
@@ -179,7 +188,7 @@ def build_node_plan(inpoel, nnode: int, TF: int = 128, W: int = 1024,
             if WF >= 65536:
                 raise
             WF *= 2
-    need = -(-nnode // WF)
+    need = max(-(-nnode // WF), force.get("nblkF", 1))
     if nblkF < need:                                   # cover all N nodes
         pad = (need - nblkF) * WF
         mloF = np.pad(mloF, ((0, 0), (0, pad)))
