@@ -168,8 +168,6 @@ def build_cg_fused_plan_stacked(system, sharded, ctau: float,
     S = sharded.nshard
 
     def shard_geom(s):
-        import dataclasses as _dc
-
         from ..pde.cg import CGGeom
 
         g = geom
@@ -180,28 +178,33 @@ def build_cg_fused_plan_stacked(system, sharded, ctau: float,
             plan=None, coords_n=g.coords_n[s], ctr=g.ctr[s],
         )
 
-    # pass 1: natural dims per shard
-    nats = []
+    # pass 1: natural dims per shard (plan only; the stat table is
+    # not needed to read six dimension scalars)
+    TFd, Wd = _env_dims(TF, W)
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+    nats = [build_node_plan(np.asarray(geom.inpoelT[s]).T,
+                            int(geom.coords.shape[-1]), TF=TFd, W=Wd,
+                            dtype=dtype) for s in range(S)]
+    force = dict(
+        ntile=max(q.ntile for q in nats),
+        nblk=max(q.nblk for q in nats),
+        FTS=max(q.FTS for q in nats),
+        ntileF=max(q.ntileF for q in nats),
+        nblkF=max(q.nblkF for q in nats),
+        WF=max(q.WF for q in nats),
+    )
+    # pass 2: rebuild forced, then stack; nfar legitimately differs
+    # per shard -- normalize the meta to -1 ('varies') so the pytree
+    # aux data matches across shards (it is informational only)
+    fps = []
     for s in range(S):
         fp = build_cg_fused_plan(system, shard_geom(s),
-                                 sharded.bcmask[s], ctau, TF=TF, W=W)
+                                 sharded.bcmask[s], ctau, TF=TF, W=W,
+                                 force=force)
         if fp is None:
             return None
-        nats.append(fp)
-    force = dict(
-        ntile=max(f.plan.ntile for f in nats),
-        nblk=max(f.plan.nblk for f in nats),
-        FTS=max(f.plan.FTS for f in nats),
-        ntileF=max(f.plan.ntileF for f in nats),
-        nblkF=max(f.plan.nblkF for f in nats),
-        WF=max(f.plan.WF for f in nats),
-    )
-    # pass 2: rebuild forced, then stack
-    fps = [build_cg_fused_plan(system, shard_geom(s), sharded.bcmask[s],
-                               ctau, TF=TF, W=W, force=force)
-           for s in range(S)]
-    if any(f is None for f in fps):
-        return None
+        fps.append(dataclasses.replace(
+            fp, plan=dataclasses.replace(fp.plan, nfar=-1)))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fps)
 
 

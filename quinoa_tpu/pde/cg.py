@@ -187,18 +187,10 @@ class CGTransport:
         self.diffusivity = (
             np.asarray(d, dtype=np.float64).reshape(-1, 3) if len(d) else None
         )
-        # dt() reads only the velocity field; when the problem's
-        # velocity ignores t the per-step dt sweep is a run constant
-        # (drivers cache it) — probed empirically at a few points
-        try:
-            import jax.numpy as _jnp
-
-            xs = _jnp.zeros((3, 4)) + _jnp.arange(4.0) * 0.13
-            self.static_dt = bool(np.array_equal(
-                np.asarray(problem.velocity(xs, 0.0)),
-                np.asarray(problem.velocity(xs, 0.7391))))
-        except Exception:
-            self.static_dt = False
+        # dt() evaluates the velocity at t=0 by construction (matching
+        # the reference's transport dt law, CGTransport.hpp:331-395), so
+        # the sweep is unconditionally a run constant — drivers cache it
+        self.static_dt = True
 
     # -- CGPDE protocol -----------------------------------------------------
 

@@ -129,3 +129,47 @@ def test_fused_cg_spmd_matches_single(monkeypatch):
             ug[:, gids[s][m]] = ub[s][:, m]
         d = np.abs(ug - np.asarray(a.u)).max()
         assert d < 1e-12, (S, d)
+
+
+def test_fused_cg_spmd_far_heavy(monkeypatch):
+    """Randomly relabeled nodes under shard_map: per-shard plans carry
+    UNEQUAL nonzero far-slot counts (the reviewer-found stacking crash)
+    and the compact far streams must still reproduce the single-device
+    XLA path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.unsmesh import UnsMesh
+    from quinoa_tpu.pde.cg import CGTransport, make_cggeom
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter import DiagCGSolver
+    from quinoa_tpu.parallel.shard import build_cg_shards
+    from quinoa_tpu.parallel.spmd import SPMDDiagCGSolver
+
+    mesh = box_tet_mesh(10, 10, 5, hi=(1.0, 1.0, 0.5))
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(mesh.nnode)
+    inv = np.argsort(perm)
+    m2 = UnsMesh(coords=mesh.coords[inv], inpoel=perm[mesh.inpoel])
+    bc = perm[np.asarray(mesh.all_bnodes())]
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = DiagCGSolver(CGTransport(SlotCyl()), make_cggeom(m2),
+                       cfl=0.8, bcnodes=bc)
+    a = ref.nsteps(ref.initial_state(), 3)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    monkeypatch.setenv("QUINOA_CGF_W", "128")
+    sh = build_cg_shards(m2, 2, 1, bcnodes=bc)
+    dmesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    sol = SPMDDiagCGSolver(CGTransport(SlotCyl()), sh, dmesh, cfl=0.8)
+    assert sol.fused_plan is not None
+    b = sol.nsteps(sol.initial_state(), 3)
+    ug = np.zeros((1, m2.nnode))
+    gids = np.asarray(sh.gids)
+    owned = np.asarray(sh.owned)
+    ub = np.asarray(b.u)
+    for s in range(2):
+        m = (owned[s] > 0) & (gids[s] >= 0)
+        ug[:, gids[s][m]] = ub[s][:, m]
+    d = np.abs(ug - np.asarray(a.u)).max()
+    assert d < 1e-12, d
