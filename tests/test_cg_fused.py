@@ -173,3 +173,31 @@ def test_fused_cg_spmd_far_heavy(monkeypatch):
         ug[:, gids[s][m]] = ub[s][:, m]
     d = np.abs(ug - np.asarray(a.u)).max()
     assert d < 1e-12, d
+
+
+def test_fused_cg_multicomponent(monkeypatch):
+    """C=2 transport (SlotCyl's multi-phase rotation): the kernels' C
+    loops (stat row indexing, 4C/2C stacked assemblies, per-component
+    limit coefficients) against the XLA path."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
+                                         hilbert_element_reorder)
+    from quinoa_tpu.pde.cg import CGTransport, make_cggeom
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter import DiagCGSolver
+
+    mesh = box_tet_mesh(8, 8, 4, hi=(1.0, 1.0, 0.5))
+    mesh, _ = hilbert_element_reorder(mesh)
+    mesh, _ = first_touch_node_reorder(mesh)
+    geom = make_cggeom(mesh)
+    sys_ = CGTransport(SlotCyl(ncomp=2))
+    assert sys_.ncomp == 2
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = DiagCGSolver(sys_, geom, cfl=0.8, bcnodes=mesh.all_bnodes())
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    fus = DiagCGSolver(sys_, geom, cfl=0.8, bcnodes=mesh.all_bnodes())
+    assert fus.fused_plan is not None and fus.fused_plan.C == 2
+    a = ref.nsteps(ref.initial_state(), 4)
+    b = fus.nsteps(fus.initial_state(), 4)
+    d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
+    assert d < 1e-12, d
