@@ -175,6 +175,23 @@ class ALECGSolver:
             bcmask = bcmask.at[:, jnp.asarray(bcnodes, dtype=jnp.int32)].set(1.0)
         self.bcmask = bcmask
         self.lhs = lumped_mass(geom)
+        # env-gated fused window rhs (ops/alecg_fused.py): one volume
+        # kernel + one edge kernel per RK stage instead of the XLA
+        # gather/assembly chain; same switch as the DiagCG fused path
+        import os as _os
+
+        self.fused_plan = None
+        if _os.environ.get("QUINOA_CG_FUSED") == "1":
+            from ..ops.alecg_fused import build_alecg_fused_plan
+
+            self.fused_plan = build_alecg_fused_plan(system, geom, edget)
+            if self.fused_plan is None:
+                import warnings
+
+                warnings.warn(
+                    "QUINOA_CG_FUSED=1 but the ALECG configuration "
+                    "doesn't qualify; running the XLA path",
+                    RuntimeWarning, stacklevel=2)
         if const_dt is None and getattr(system, "static_dt", None):
             u0 = system.initialize(geom.coords, 0.0).astype(
                 geom.vol.dtype)
@@ -213,10 +230,16 @@ class ALECGSolver:
         un = state.u
         u = state.u
         for s in range(3):
-            r = alecg_flux_rhs(self.system, geom, u) + alecg_dissipation(
-                self.system, geom, edget.edges, edget.A, edget.ensup, u,
-                exyz=edget.xyz,
-            )
+            if self.fused_plan is not None:
+                from ..ops.alecg_fused import alecg_rhs_fused
+
+                r = alecg_rhs_fused(self.fused_plan, u)
+            else:
+                r = alecg_flux_rhs(self.system, geom, u) \
+                    + alecg_dissipation(
+                        self.system, geom, edget.edges, edget.A,
+                        edget.ensup, u, exyz=edget.xyz,
+                    )
             u = RK0[s] * un + RK1[s] * (u + dt * r / lhs[None, :])
             # Dirichlet: pin to the analytic solution at the stage time
             ubc = self.system.analytic(geom.coords, state.t + dt).astype(u.dtype)

@@ -232,12 +232,13 @@ def _window_gather(ks, b, TF, W, ulo, uhi, fv, fpos, FTS):
     return u + jax.lax.dot(fv, hotf, precision="highest")
 
 
-def _corner_hots(TF, TE, dtype):
-    """hot[a] (TF, TE): slot s belongs to element s//4, corner s%4."""
+def _corner_hots(TF, TE, dtype, k: int = 4):
+    """hot[a] (TF, TE): slot s belongs to entity s//k, corner s%k
+    (k = 4 for tet elements, 2 for edges)."""
     ia = jax.lax.broadcasted_iota(jnp.int32, (TF, TE), 0)
     ie = jax.lax.broadcasted_iota(jnp.int32, (TF, TE), 1)
-    return [jnp.where(ia == 4 * ie + a, 1.0, 0.0).astype(dtype)
-            for a in range(4)]
+    return [jnp.where(ia == k * ie + a, 1.0, 0.0).astype(dtype)
+            for a in range(k)]
 
 
 def _corners(u, hots):

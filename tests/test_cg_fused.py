@@ -201,3 +201,58 @@ def test_fused_cg_multicomponent(monkeypatch):
     b = fus.nsteps(fus.initial_state(), 4)
     d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
     assert d < 1e-12, d
+
+
+def test_fused_alecg_matches_xla(monkeypatch):
+    """Fused ALECG stage rhs (volume kernel + edge-dissipation kernel,
+    static flux velocities and A*lambda weights): 4 RK3 steps match the
+    XLA edge/element path at machine precision."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
+                                         hilbert_element_reorder)
+    from quinoa_tpu.pde.cg import CGTransport
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter.alecg import make_alecg
+
+    mesh = box_tet_mesh(10, 10, 5, hi=(1.0, 1.0, 0.5))
+    mesh, _ = hilbert_element_reorder(mesh)
+    mesh, _ = first_touch_node_reorder(mesh)
+    sys_ = CGTransport(SlotCyl())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = make_alecg(sys_, mesh, cfl=0.8, bcnodes=mesh.all_bnodes())
+    a = ref.nsteps(ref.initial_state(), 4)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    fus = make_alecg(sys_, mesh, cfl=0.8, bcnodes=mesh.all_bnodes())
+    assert fus.fused_plan is not None
+    b = fus.nsteps(fus.initial_state(), 4)
+    d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
+    assert d < 1e-12, d
+
+
+def test_fused_alecg_far_heavy(monkeypatch):
+    """Random node relabeling + tiny window: the edge plan's far stream
+    (2-slot entities) must reproduce the XLA path too."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.unsmesh import UnsMesh
+    from quinoa_tpu.pde.cg import CGTransport
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter.alecg import make_alecg
+
+    mesh = box_tet_mesh(10, 10, 5, hi=(1.0, 1.0, 0.5))
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(mesh.nnode)
+    inv = np.argsort(perm)
+    m2 = UnsMesh(coords=mesh.coords[inv], inpoel=perm[mesh.inpoel])
+    bc = perm[np.asarray(mesh.all_bnodes())]
+    sys_ = CGTransport(SlotCyl())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = make_alecg(sys_, m2, cfl=0.8, bcnodes=bc)
+    a = ref.nsteps(ref.initial_state(), 3)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    monkeypatch.setenv("QUINOA_CGF_W", "128")
+    fus = make_alecg(sys_, m2, cfl=0.8, bcnodes=bc)
+    assert fus.fused_plan is not None
+    assert fus.fused_plan.dplan.nfar > 0
+    b = fus.nsteps(fus.initial_state(), 3)
+    d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
+    assert d < 1e-12, d

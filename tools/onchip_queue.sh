@@ -27,6 +27,7 @@ run env QUINOA_CG_FUSED=1 python bench_cg.py 48
 run env QUINOA_CG_FUSED=1 QUINOA_CGF_TF=128 python bench_cg.py 48
 run env QUINOA_CG_FUSED=1 QUINOA_CGF_W=2048 python bench_cg.py 48
 run python bench_alecg.py
+run env QUINOA_CG_FUSED=1 python bench_alecg.py
 run python tools/check_multimat_fused.py
 run python bench.py --pdg
 run python bench.py --dgp2
