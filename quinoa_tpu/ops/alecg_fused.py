@@ -232,3 +232,66 @@ def alecg_rhs_fused(fp: ALECGFusedPlan, u, interpret=None):
                           fp.dplan.FTS, C),
         fp.dplan, fp.dstat, 1, fp.TEd, u, interpret)
     return vol + dis
+
+
+def build_alecg_fused_plan_stacked(system, sharded, TF: int = 512,
+                                   W: int = 1024):
+    """Per-shard fused ALECG plans with forced-uniform dims, stacked on
+    a leading shard axis (the cg_fused stacked pattern).  Pad edges
+    carry A = 0 so their slots (keyed at local node 0) contribute
+    exactly zero to the sum assembly."""
+    cg = sharded.cg
+    geom = cg.geom
+    if _qualifies(system, np.asarray(geom.coords)[0]) is None:
+        return None
+    if geom.coords_n is None:
+        return None
+    S = cg.nshard
+    TFd, Wd = _env_dims(TF, W)
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+    Nl = int(geom.coords.shape[-1])
+
+    nats_e = [build_node_plan(np.asarray(geom.inpoelT[s]).T, Nl,
+                              TF=TFd, W=Wd, dtype=dtype)
+              for s in range(S)]
+    nats_d = [build_node_plan(np.asarray(sharded.edgesT[s]).T, Nl,
+                              TF=TFd, W=Wd, dtype=dtype)
+              for s in range(S)]
+
+    def _force(nats):
+        return dict(
+            ntile=max(q.ntile for q in nats),
+            nblk=max(q.nblk for q in nats),
+            FTS=max(q.FTS for q in nats),
+            ntileF=max(q.ntileF for q in nats),
+            nblkF=max(q.nblkF for q in nats),
+            WF=max(q.WF for q in nats),
+        )
+
+    force_e, force_d = _force(nats_e), _force(nats_d)
+
+    from ..pde.cg import CGGeom
+
+    fps = []
+    for s in range(S):
+        g = CGGeom(
+            coords=geom.coords[s], inpoelT=geom.inpoelT[s],
+            J=geom.J[s], grad=geom.grad[s], vol=geom.vol[s],
+            emask=geom.emask[s], nsup=geom.nsup[s], nnode=Nl,
+            plan=None, coords_n=geom.coords_n[s], ctr=geom.ctr[s],
+        )
+
+        class _ET:
+            edges = sharded.edgesT[s]
+            A = sharded.eA[s]
+            xyz = sharded.exyz[s]
+
+        fp = build_alecg_fused_plan(system, g, _ET, TF=TF, W=W,
+                                    force_e=force_e, force_d=force_d)
+        if fp is None:
+            return None
+        fps.append(dataclasses.replace(
+            fp,
+            eplan=dataclasses.replace(fp.eplan, nfar=-1),
+            dplan=dataclasses.replace(fp.dplan, nfar=-1)))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fps)

@@ -141,16 +141,42 @@ class SPMDALECGSolver:
         self.cfl = cfl
         self.const_dt = const_dt
 
+        # env-gated fused per-shard rhs kernels (ops/alecg_fused.py)
+        import os as _os
+
+        self.fused_plan = None
+        if _os.environ.get("QUINOA_CG_FUSED") == "1":
+            from ..ops.alecg_fused import build_alecg_fused_plan_stacked
+
+            self.fused_plan = build_alecg_fused_plan_stacked(
+                system, sharded)
+            if self.fused_plan is None:
+                import warnings
+
+                warnings.warn(
+                    "QUINOA_CG_FUSED=1 but the ALECG configuration "
+                    "doesn't qualify; running the XLA path",
+                    RuntimeWarning, stacklevel=2)
+
         # scalars ride the shard axis as (S,) pieces (see spmd.py:
         # replicated scalar chaining costs ~100 ms/scalar/step on axon)
         spec_state = CGState(u=P(AXIS), t=P(AXIS), it=P(AXIS),
                              dt=P(AXIS))
-        step = jax.shard_map(
-            self._step_local,
-            mesh=self.mesh,
-            in_specs=(P(AXIS), spec_state),
-            out_specs=spec_state,
-        )
+        if self.fused_plan is not None:
+            step = jax.shard_map(
+                self._step_local_fused,
+                mesh=self.mesh,
+                in_specs=(P(AXIS), P(AXIS), spec_state),
+                out_specs=spec_state,
+                check_vma=False,
+            )
+        else:
+            step = jax.shard_map(
+                self._step_local,
+                mesh=self.mesh,
+                in_specs=(P(AXIS), spec_state),
+                out_specs=spec_state,
+            )
         self._step = jax.jit(step)
 
         diag = jax.shard_map(
@@ -199,6 +225,36 @@ class SPMDALECGSolver:
         return CGState(u=u[None], t=(state.t[0] + dt)[None],
                        it=(state.it[0] + 1)[None], dt=dt[None])
 
+    def _step_local_fused(self, sharded, fplan, state):
+        """Per-shard fused volume+edge kernels; one sum combine per
+        RK stage, identical semantics to _step_local."""
+        from ..ops.alecg_fused import alecg_rhs_fused
+
+        sh: ShardedALECG = _local(sharded)
+        fp = _local(fplan)
+        geom = sh.cg.geom
+        u = state.u[0]
+        if sh.cg.nhalo is not None:
+            halo = PpermuteHalo(sh.cg.nhalo, self.sharded.cg.nshard)
+        else:
+            halo = HaloCombiner(sh.cg.bnd_slot, sh.cg.rev_slot,
+                                self.sharded.cg.nb)
+        if self.const_dt is not None:
+            dt = jnp.asarray(self.const_dt, dtype=u.dtype)
+        else:
+            dt = jax.lax.pmin(
+                self.system.dt(geom, u) * self.cfl / 3.0, AXIS
+            )
+        un = u
+        for s in range(3):
+            r = halo.sum(alecg_rhs_fused(fp, u))
+            u = RK0[s] * un + RK1[s] * (u + dt * r / geom.vol[None, :])
+            ubc = self.system.analytic(geom.coords,
+                                       state.t[0] + dt).astype(u.dtype)
+            u = jnp.where(sh.cg.bcmask > 0, ubc, u)
+        return CGState(u=u[None], t=(state.t[0] + dt)[None],
+                       it=(state.it[0] + 1)[None], dt=dt[None])
+
     def _diag_local(self, sharded, state):
         sh: ShardedALECG = _local(sharded)
         u = state.u[0]
@@ -232,6 +288,8 @@ class SPMDALECGSolver:
         )
 
     def step(self, state: CGState) -> CGState:
+        if self.fused_plan is not None:
+            return self._step(self.sharded, self.fused_plan, state)
         return self._step(self.sharded, state)
 
     def nsteps(self, state, n):

@@ -256,3 +256,44 @@ def test_fused_alecg_far_heavy(monkeypatch):
     b = fus.nsteps(fus.initial_state(), 3)
     d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
     assert d < 1e-12, d
+
+
+def test_fused_alecg_spmd_matches_single(monkeypatch):
+    """Stacked fused ALECG plans under shard_map (element + edge window
+    kernels per shard, one sum combine per RK stage): 3 steps at 2
+    shards match the single-device XLA path at machine precision."""
+    import jax
+    from jax.sharding import Mesh
+
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
+                                         hilbert_element_reorder)
+    from quinoa_tpu.pde.cg import CGTransport
+    from quinoa_tpu.pde.problems import SlotCyl
+    from quinoa_tpu.inciter.alecg import make_alecg
+    from quinoa_tpu.parallel.alecg_spmd import (build_alecg_shards,
+                                                SPMDALECGSolver)
+
+    mesh = box_tet_mesh(10, 10, 5, hi=(1.0, 1.0, 0.5))
+    mesh, _ = hilbert_element_reorder(mesh)
+    mesh, _ = first_touch_node_reorder(mesh)
+    sys_ = CGTransport(SlotCyl())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = make_alecg(sys_, mesh, cfl=0.8, bcnodes=mesh.all_bnodes())
+    a = ref.nsteps(ref.initial_state(), 3)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    sh = build_alecg_shards(mesh, 2, 1,
+                            bcnodes=np.asarray(mesh.all_bnodes()))
+    dmesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    sol = SPMDALECGSolver(sys_, sh, dmesh, cfl=0.8)
+    assert sol.fused_plan is not None
+    b = sol.nsteps(sol.initial_state(), 3)
+    ug = np.zeros((1, mesh.nnode))
+    gids = np.asarray(sh.cg.gids)
+    owned = np.asarray(sh.cg.owned)
+    ub = np.asarray(b.u)
+    for s in range(2):
+        m = (owned[s] > 0) & (gids[s] >= 0)
+        ug[:, gids[s][m]] = ub[s][:, m]
+    d = np.abs(ug - np.asarray(a.u)).max()
+    assert d < 1e-12, d
