@@ -49,7 +49,7 @@ from .node_window import NodePlan, build_node_plan, _one_pass_max
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["plan", "stat"],
-    meta_fields=["C", "ctau", "Rs", "TE"],
+    meta_fields=["C", "ctau", "Rs", "TE", "kind"],
 )
 @dataclasses.dataclass(frozen=True)
 class CGFusedPlan:
@@ -73,6 +73,7 @@ class CGFusedPlan:
     ctau: float
     Rs: int
     TE: int
+    kind: str = "transport"
 
 
 def _qualifies(system, coords_probe):
@@ -103,7 +104,14 @@ def _env_dims(TF, W):
 def build_cg_fused_plan(system, geom, bcmask, ctau: float,
                         TF: int = 512, W: int = 1024, force=None):
     """Host-side fused plan, or None when the configuration doesn't
-    qualify (diffusion, time-dependent velocity)."""
+    qualify.  Two K1 flavors: static-velocity transport (velocity rows
+    baked into stat) and compflow Euler (EoS + flux traced in-kernel
+    from the corner states; element-node coordinates baked in for the
+    manufactured source)."""
+    if (getattr(system, "ncomp", 0) == 5 and hasattr(system, "eos")
+            and geom.coords_n is not None):
+        return _build_compflow_plan(system, geom, bcmask, ctau, TF, W,
+                                    force)
     prob = _qualifies(system, geom.coords)
     if prob is None:
         return None
@@ -206,6 +214,142 @@ def build_cg_fused_plan_stacked(system, sharded, ctau: float,
         fps.append(dataclasses.replace(
             fp, plan=dataclasses.replace(fp.plan, nfar=-1)))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fps)
+
+
+def _build_compflow_plan(system, geom, bcmask, ctau, TF, W, force):
+    TF, W = _env_dims(TF, W)
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+    inpoelT = np.asarray(geom.inpoelT)
+    plan = build_node_plan(inpoelT.T, geom.nnode, TF=TF, W=W,
+                           dtype=dtype, force=force)
+    C = 5
+    E = inpoelT.shape[1]
+    TE = TF // 4
+    Ep = plan.ntile * TE
+    # rows: grad 12 | j6 | j120 | vol_n 4 | bc_n 4C | cn 12 | ctr 3
+    # | emask 1 (pads blend to a safe rho=1 state: the EoS divides by
+    # rho, and a 0/0 NaN poisons even zero-weighted matmul columns)
+    B0 = 18 + 4 * C
+    Rs = B0 + 16
+    stat = np.zeros((Rs, Ep), dtype)
+    grad = np.asarray(geom.grad, np.float64)
+    Jm = np.asarray(geom.J, np.float64) * np.asarray(geom.emask,
+                                                     np.float64)
+    vol = np.asarray(geom.vol, np.float64)
+    bc = np.asarray(bcmask, np.float64)
+    cn = np.asarray(geom.coords_n, np.float64)        # (4, 3, E)
+    ctr = np.asarray(geom.ctr, np.float64)            # (3, E)
+    for a in range(4):
+        for j in range(3):
+            stat[3 * a + j, :E] = grad[a, j]
+    stat[12, :E] = Jm / 6.0
+    stat[13, :E] = Jm / 120.0
+    stat[14:18, :] = 1.0
+    for a in range(4):
+        stat[14 + a, :E] = vol[inpoelT[a]]
+    stat[18:B0, :] = 1.0
+    for a in range(4):
+        for c in range(C):
+            stat[18 + a * C + c, :E] = bc[c][inpoelT[a]]
+    for a in range(4):
+        for j in range(3):
+            stat[B0 + a * 3 + j, :E] = cn[a, j]
+    for j in range(3):
+        stat[B0 + 12 + j, :E] = ctr[j]
+    stat[B0 + 15, :E] = np.asarray(geom.emask, np.float64)
+    return CGFusedPlan(plan=plan, stat=jnp.asarray(stat), C=C,
+                       ctau=float(ctau), Rs=Rs, TE=TE, kind="compflow")
+
+
+def _make_k1_compflow(TF, TE, W, FTS, C, Rs, ctau, system):
+    from ..pde.problems.compflow import euler_flux_dir
+
+    eos = system.eos
+    prob = system.problem
+    manufactured = bool(getattr(prob, "manufactured", False))
+
+    def kernel(blk_ref, dt_ref, t_ref, ks_ref, ulo_ref, uhi_ref,
+               fv_ref, fpos_ref, stat_ref, lo_ref, hi_ref, far_ref):
+        t_ = pl.program_id(0)
+        b = blk_ref[t_]
+        fresh = (t_ == 0) | (b != blk_ref[jnp.maximum(t_ - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        ks = ks_ref[0, :]
+        dtv = dt_ref[0, 0]
+        tv = t_ref[0, 0]
+        un = _window_gather(ks, b, TF, W, ulo_ref[...], uhi_ref[...],
+                            fv_ref[...], fpos_ref[0, :], FTS)
+        hots = _corner_hots(TF, TE, un.dtype)
+        una = _corners(un, hots)
+        stat = stat_ref[...]
+        B0 = 18 + 4 * C
+        # pad elements blend to rho=1, zero momenta/energy
+        m = stat[B0 + 15:B0 + 16, :]
+        e0 = jnp.zeros((C, TE), un.dtype).at[0, :].set(1.0)
+        una = [ua * m + (1.0 - m) * e0 for ua in una]
+
+        # stage 1: divergence of the Euler flux at the corner states
+        divF = jnp.zeros((C, TE), un.dtype)
+        for a in range(4):
+            p_a = eos.pressure_cons_cm(una[a])
+            for j in range(3):
+                g = stat[3 * a + j:3 * a + j + 1, :]
+                divF = divF + g * euler_flux_dir(una[a], p_a, j)
+        ue = 0.25 * (una[0] + una[1] + una[2] + una[3]) \
+            - 0.5 * dtv * divF
+        if manufactured:
+            s = jnp.zeros((C, TE), un.dtype)
+            for a in range(4):
+                cn_a = stat[B0 + a * 3:B0 + (a + 1) * 3, :]
+                s = s + prob.src(cn_a, tv)
+            ue = ue + 0.5 * dtv * s / 4.0
+
+        # stage 2: fluxes on the intermediate state, to nodes
+        p_e = eos.pressure_cons_cm(ue)
+        F = [euler_flux_dir(ue, p_e, j) for j in range(3)]
+        d = dtv * stat[12:13, :]
+        j120 = stat[13:14, :]
+        s_un = una[0] + una[1] + una[2] + una[3]
+        sc = None
+        if manufactured:
+            ctr_r = stat[B0 + 12:B0 + 15, :]
+            sc = prob.src(ctr_r, tv + 0.5 * dtv)
+        ra, difa = [], []
+        for a in range(4):
+            vflux = jnp.zeros((C, TE), un.dtype)
+            for j in range(3):
+                g = stat[3 * a + j:3 * a + j + 1, :]
+                vflux = vflux + g * F[j]
+            r_a = d * vflux
+            if sc is not None:
+                r_a = r_a + (d / 4.0) * sc
+            ra.append(r_a)
+            difa.append(-ctau * j120 * (4.0 * una[a] - s_un))
+        aeca = _aec_math(una, stat, C, TE, ctau)
+
+        xa = [jnp.concatenate(
+            [ra[a], difa[a], jnp.maximum(aeca[a], 0.0),
+             jnp.minimum(aeca[a], 0.0)], axis=0) for a in range(4)]
+        x = _to_slots(xa, hots)
+
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(x.dtype)
+        loc = ks - b * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        far_ref[...] = _far_emit(x, fpos_ref[0, :], FTS, TF)
+
+    return kernel
 
 
 # -- kernel building blocks ---------------------------------------------------
@@ -400,8 +544,11 @@ def _pad_u(p: NodePlan, U):
     return jnp.pad(U, ((0, 0), (0, NBW - p.N)))
 
 
-def fused_rhs_dif_p(fp: CGFusedPlan, U, dt, interpret=None):
-    """K1: (C, N) nodal field -> (4C, N) assembled [rhs | dif | P+ | P-]."""
+def fused_rhs_dif_p(fp: CGFusedPlan, U, dt, interpret=None,
+                    system=None, t=0.0):
+    """K1: (C, N) nodal field -> (4C, N) assembled [rhs | dif | P+ | P-].
+    kind == "compflow" traces the Euler flux/EoS (and the manufactured
+    source at the baked-in element coordinates) inside the kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     p = fp.plan
@@ -410,19 +557,27 @@ def fused_rhs_dif_p(fp: CGFusedPlan, U, dt, interpret=None):
     fv = U[:, p.gfidx]
     dtm = jnp.asarray(dt, U.dtype).reshape(1, 1)
     R = 4 * C
-    in_specs = [
-        pl.BlockSpec((1, 1), lambda t, blk: (0, 0)),
-        pl.BlockSpec((1, p.TF), lambda t, blk: (0, t)),
-        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t])),
-        pl.BlockSpec((C, p.W), lambda t, blk: (0, blk[t] + 1)),
-        pl.BlockSpec((C, p.FTS), lambda t, blk: (0, t)),
-        pl.BlockSpec((1, p.FTS), lambda t, blk: (0, t)),
-        pl.BlockSpec((fp.Rs, fp.TE), lambda t, blk: (0, t)),
+    base_specs = [
+        pl.BlockSpec((1, p.TF), lambda t_, blk: (0, t_)),
+        pl.BlockSpec((C, p.W), lambda t_, blk: (0, blk[t_])),
+        pl.BlockSpec((C, p.W), lambda t_, blk: (0, blk[t_] + 1)),
+        pl.BlockSpec((C, p.FTS), lambda t_, blk: (0, t_)),
+        pl.BlockSpec((1, p.FTS), lambda t_, blk: (0, t_)),
+        pl.BlockSpec((fp.Rs, fp.TE), lambda t_, blk: (0, t_)),
     ]
-    lo, hi, far = _call_windowed(
-        _make_k1(p.TF, fp.TE, p.W, p.FTS, C, fp.Rs, fp.ctau),
-        p, R, (dtm, p.ks, Up, Up, fv, p.gfpos, fp.stat), in_specs,
-        interpret, U.dtype)
+    scalar_spec = pl.BlockSpec((1, 1), lambda t_, blk: (0, 0))
+    if fp.kind == "compflow":
+        tm = jnp.asarray(t, U.dtype).reshape(1, 1)
+        lo, hi, far = _call_windowed(
+            _make_k1_compflow(p.TF, fp.TE, p.W, p.FTS, C, fp.Rs,
+                              fp.ctau, system),
+            p, R, (dtm, tm, p.ks, Up, Up, fv, p.gfpos, fp.stat),
+            [scalar_spec, scalar_spec] + base_specs, interpret, U.dtype)
+    else:
+        lo, hi, far = _call_windowed(
+            _make_k1(p.TF, fp.TE, p.W, p.FTS, C, fp.Rs, fp.ctau),
+            p, R, (dtm, p.ks, Up, Up, fv, p.gfpos, fp.stat),
+            [scalar_spec] + base_specs, interpret, U.dtype)
     lo = jnp.where(p.mlo > 0, lo, 0.0)
     hi = jnp.where(p.mhi > 0, hi, 0.0)
     near = (lo + hi)[:, :p.N]
@@ -631,7 +786,7 @@ def diagcg_advance_fused(system, fp: CGFusedPlan, lhs, bcmask, u, t, dt,
     sharded driver exchanges: [rhs|dif|P+|P-] (ONE sum exchange covers
     what the XLA path does in two), Q, and A."""
     C = u.shape[0]
-    rdpq = combine_sum(fused_rhs_dif_p(fp, u, dt))
+    rdpq = combine_sum(fused_rhs_dif_p(fp, u, dt, system=system, t=t))
     r, dif = rdpq[:C], rdpq[C:2 * C]
     P = jnp.stack([rdpq[2 * C:3 * C], rdpq[3 * C:]])
 

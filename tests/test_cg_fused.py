@@ -297,3 +297,33 @@ def test_fused_alecg_spmd_matches_single(monkeypatch):
         ug[:, gids[s][m]] = ub[s][:, m]
     d = np.abs(ug - np.asarray(a.u)).max()
     assert d < 1e-12, d
+
+
+def test_fused_cg_compflow_matches_xla(monkeypatch):
+    """Compflow K1 (Euler flux + EoS + manufactured source traced
+    IN-kernel at the baked-in element coordinates) on the reference's
+    VorticalFlow DiagCG config: 5 steps vs the XLA path at machine
+    precision."""
+    from quinoa_tpu.control.config import load_inciter, build_inciter
+    from quinoa_tpu.io.exodus import read_exodus
+
+    base = ("/root/reference/tests/regression/inciter/compflow/Euler/"
+            "VorticalFlow/")
+    gh = ("/root/reference/tests/regression/inciter/transport/"
+          "GaussHump/")
+    cfg = load_inciter(open(base + "vortical_flow_diagcg.q").read())
+    mesh = read_exodus(gh + "unitcube_1k.exo")
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref, _ = build_inciter(cfg, mesh)
+    s = ref.initial_state()
+    for _ in range(5):
+        s = ref.step(s)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    fus, _ = build_inciter(cfg, mesh)
+    assert fus.fused_plan is not None
+    assert fus.fused_plan.kind == "compflow"
+    s2 = fus.initial_state()
+    for _ in range(5):
+        s2 = fus.step(s2)
+    d = np.abs(np.asarray(s.u) - np.asarray(s2.u)).max()
+    assert d / np.abs(np.asarray(s.u)).max() < 1e-12, d
