@@ -229,6 +229,8 @@ class ALECGSolver:
 
         un = state.u
         u = state.u
+        # SSP-RK3 stage times for the manufactured-source evaluation
+        ts = (state.t, state.t + dt, state.t + 0.5 * dt)
         for s in range(3):
             if self.fused_plan is not None:
                 from ..ops.alecg_fused import alecg_rhs_fused
@@ -240,6 +242,11 @@ class ALECGSolver:
                         self.system, geom, edget.edges, edget.A,
                         edget.ensup, u, exyz=edget.xyz,
                     )
+            if getattr(self.system.problem, "manufactured", False):
+                # nodal-quadrature manufactured source: node i receives
+                # V_i s(x_i, t_stage) (lumped-mass consistent)
+                r = r + geom.vol[None, :] * self.system.problem.src(
+                    geom.coords, ts[s]).astype(u.dtype)
             u = RK0[s] * un + RK1[s] * (u + dt * r / lhs[None, :])
             # Dirichlet: pin to the analytic solution at the stage time
             ubc = self.system.analytic(geom.coords, state.t + dt).astype(u.dtype)

@@ -208,12 +208,19 @@ class SPMDALECGSolver:
             )
 
         un = u
+        ts = (state.t[0], state.t[0] + dt, state.t[0] + 0.5 * dt)
         for s in range(3):
             r = alecg_flux_rhs(self.system, geom, u) + alecg_dissipation(
                 self.system, geom, sh.edgesT, sh.eA, sh.ensup, u,
                 exyz=sh.exyz,
             )
             r = halo.sum(r)
+            if getattr(self.system.problem, "manufactured", False):
+                # nodal manufactured source (single-device parity);
+                # added AFTER the combine — it is a complete nodal
+                # value, not a partial sum
+                r = r + geom.vol[None, :] * self.system.problem.src(
+                    geom.coords, ts[s]).astype(u.dtype)
             # lumped mass == fully-summed nodal volume (ALECG lhsmerge)
             u = RK0[s] * un + RK1[s] * (u + dt * r / geom.vol[None, :])
             ubc = self.system.analytic(geom.coords,
@@ -246,8 +253,12 @@ class SPMDALECGSolver:
                 self.system.dt(geom, u) * self.cfl / 3.0, AXIS
             )
         un = u
+        ts = (state.t[0], state.t[0] + dt, state.t[0] + 0.5 * dt)
         for s in range(3):
             r = halo.sum(alecg_rhs_fused(fp, u))
+            if getattr(self.system.problem, "manufactured", False):
+                r = r + geom.vol[None, :] * self.system.problem.src(
+                    geom.coords, ts[s]).astype(u.dtype)
             u = RK0[s] * un + RK1[s] * (u + dt * r / geom.vol[None, :])
             ubc = self.system.analytic(geom.coords,
                                        state.t[0] + dt).astype(u.dtype)

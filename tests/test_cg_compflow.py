@@ -125,9 +125,9 @@ def test_sedov_ignition_finite():
 
 
 def test_alecg_vortical_flow():
-    """ALECG (full RK3 scheme for the reference's scaffold): stays on the
-    manufactured VorticalFlow solution... note ALECG has no source terms
-    hooked yet, so test on a short horizon with Dirichlet everywhere."""
+    """ALECG (full RK3 scheme for the reference's scaffold) with the
+    nodal-quadrature manufactured source: stays on the VorticalFlow
+    solution to <1% component-relative error over 10 steps."""
     from quinoa_tpu.inciter.alecg import make_alecg
 
     mesh = box_tet_mesh(6, 6, 6, lo=(-0.5, -0.5, -0.5), hi=(0.5, 0.5, 0.5))
@@ -140,8 +140,7 @@ def test_alecg_vortical_flow():
     row = Diagnostics(system, solver.geom).compute(s)
     scale = max(row.l2sol)
     for c in range(5):
-        # no manufactured source in ALECG yet: allow modest drift
-        assert row.l2err[c] / max(row.l2sol[c], 0.01 * scale) < 0.15, (c,)
+        assert row.l2err[c] / max(row.l2sol[c], 0.01 * scale) < 0.01, (c,)
 
 
 def test_alecg_sod_stable():
