@@ -235,7 +235,8 @@ class ALECGSolver:
             if self.fused_plan is not None:
                 from ..ops.alecg_fused import alecg_rhs_fused
 
-                r = alecg_rhs_fused(self.fused_plan, u)
+                r = alecg_rhs_fused(self.fused_plan, u,
+                                    system=self.system)
             else:
                 r = alecg_flux_rhs(self.system, geom, u) \
                     + alecg_dissipation(

@@ -38,7 +38,7 @@ from .cg_fused import (_qualifies, _env_dims, _window_gather,
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["eplan", "dplan", "estat", "dstat"],
-    meta_fields=["C", "Rse", "TE", "TEd"],
+    meta_fields=["C", "Rse", "TE", "TEd", "kind"],
 )
 @dataclasses.dataclass(frozen=True)
 class ALECGFusedPlan:
@@ -57,12 +57,17 @@ class ALECGFusedPlan:
     Rse: int
     TE: int
     TEd: int
+    kind: str = "transport"
 
 
 def build_alecg_fused_plan(system, geom, edget, TF: int = 512,
                            W: int = 1024, force_e=None, force_d=None):
     """Host-side plan, or None when the configuration doesn't qualify
     (non-transport flux, time-dependent velocity, diffusion)."""
+    if (getattr(system, "ncomp", 0) == 5 and hasattr(system, "eos")
+            and geom.coords_n is not None):
+        return _build_compflow_alecg_plan(system, geom, edget, TF, W,
+                                          force_e, force_d)
     prob = _qualifies(system, geom.coords)
     if prob is None or geom.coords_n is None:
         return None
@@ -114,6 +119,149 @@ def build_alecg_fused_plan(system, geom, edget, TF: int = 512,
                           estat=jnp.asarray(estat),
                           dstat=jnp.asarray(dstat),
                           C=C, Rse=Rse, TE=TE, TEd=TEd)
+
+
+def _build_compflow_alecg_plan(system, geom, edget, TF, W,
+                                force_e, force_d):
+    """Compflow flavor: the Euler flux and edge charspeed trace
+    in-kernel from the corner states; estat = [grad 12 | w=J*emask/24 |
+    emask] and dstat = [A | valid] (pads blend to a safe rho=1 state —
+    the EoS divides by rho)."""
+    TF, W = _env_dims(TF, W)
+    dtype = np.dtype(np.asarray(geom.vol).dtype)
+    inpoelT = np.asarray(geom.inpoelT)
+    E = inpoelT.shape[1]
+    eplan = build_node_plan(inpoelT.T, geom.nnode, TF=TF, W=W,
+                            dtype=dtype, force=force_e)
+    edges = np.asarray(edget.edges)
+    nE = edges.shape[1]
+    dplan = build_node_plan(edges.T, geom.nnode, TF=TF, W=W,
+                            dtype=dtype, force=force_d)
+    C = 5
+    TE = TF // 4
+    TEd = TF // 2
+    Rse = 14
+    estat = np.zeros((Rse, eplan.ntile * TE), dtype)
+    grad = np.asarray(geom.grad, np.float64)
+    Jm = np.asarray(geom.J, np.float64) * np.asarray(geom.emask,
+                                                     np.float64)
+    for b in range(4):
+        for j in range(3):
+            estat[3 * b + j, :E] = grad[b, j]
+    estat[12, :E] = Jm / 24.0
+    estat[13, :E] = np.asarray(geom.emask, np.float64)
+    dstat = np.zeros((2, dplan.ntile * TEd), dtype)
+    dstat[0, :nE] = np.asarray(edget.A, np.float64)
+    dstat[1, :nE] = 1.0
+    return ALECGFusedPlan(eplan=eplan, dplan=dplan,
+                          estat=jnp.asarray(estat),
+                          dstat=jnp.asarray(dstat),
+                          C=C, Rse=Rse, TE=TE, TEd=TEd,
+                          kind="compflow")
+
+
+def _safe_state(blocks, m, C, TE, dtype):
+    """Blend invalid entities to rho=1, zero momenta/energy."""
+    e0 = jnp.zeros((C, TE), dtype).at[0, :].set(1.0)
+    return [u * m + (1.0 - m) * e0 for u in blocks]
+
+
+def _make_vol_kernel_cf(TF, TE, W, FTS, C, system):
+    from ..pde.problems.compflow import euler_flux_dir
+
+    eos = system.eos
+
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, fv_ref, fpos_ref,
+               stat_ref, lo_ref, hi_ref, far_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        ks = ks_ref[0, :]
+        fpos = fpos_ref[0, :]
+        un = _window_gather(ks, b, TF, W, ulo_ref[...], uhi_ref[...],
+                            fv_ref[...], fpos, FTS)
+        hots = _corner_hots(TF, TE, un.dtype)
+        una = _corners(un, hots)
+        stat = stat_ref[...]
+        m = stat[13:14, :]
+        una = _safe_state(una, m, C, TE, un.dtype)
+        divF = jnp.zeros((C, TE), un.dtype)
+        for bb in range(4):
+            p_b = eos.pressure_cons_cm(una[bb])
+            for j in range(3):
+                g = stat[3 * bb + j:3 * bb + j + 1, :]
+                divF = divF + g * euler_flux_dir(una[bb], p_b, j)
+        cv = -stat[12:13, :] * divF
+        x = _to_slots([cv, cv, cv, cv], hots)
+
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(x.dtype)
+        loc = ks - b * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        far_ref[...] = _far_emit(x, fpos, FTS, TF)
+
+    return kernel
+
+
+def _make_edge_kernel_cf(TF, TEd, W, FTS, C, system):
+    eos = system.eos
+
+    def charspeed(u):
+        rho = u[0:1]
+        p = jnp.maximum(eos.pressure_cons_cm(u), 0.0)
+        c = eos.soundspeed(u[0], p)
+        v = jnp.sqrt(u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / u[0]
+        return v + c
+
+    def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, fv_ref, fpos_ref,
+               stat_ref, lo_ref, hi_ref, far_ref):
+        t = pl.program_id(0)
+        b = blk_ref[t]
+        fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        ks = ks_ref[0, :]
+        fpos = fpos_ref[0, :]
+        un = _window_gather(ks, b, TF, W, ulo_ref[...], uhi_ref[...],
+                            fv_ref[...], fpos, FTS)
+        hots = _corner_hots(TF, TEd, un.dtype, k=2)
+        ua, ub = _corners(un, hots)
+        stat = stat_ref[...]
+        m = stat[1:2, :]
+        ua, ub = _safe_state([ua, ub], m, C, TEd, un.dtype)
+        lam = jnp.maximum(charspeed(ua), charspeed(ub))
+        d = stat[0:1, :] * lam * (ub - ua)
+        x = _to_slots([d, -d], hots)
+
+        validf = jnp.where(ks >= 0, 1.0, 0.0).astype(x.dtype)
+        loc = ks - b * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
+        locc = loc[:, None]
+        lo_hot = jnp.where(locc == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
+            * validf[:, None]
+        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
+        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        far_ref[...] = _far_emit(x, fpos, FTS, TF)
+
+    return kernel
 
 
 def _make_vol_kernel(TF, TE, W, FTS, C):
@@ -218,11 +366,23 @@ def _sum_pass(kernel, p: NodePlan, stat, srows, TEx, U, interpret):
     return near + _far_fold_add(p, far, interpret)
 
 
-def alecg_rhs_fused(fp: ALECGFusedPlan, u, interpret=None):
-    """Stage rhs (C, N): volume pass + edge-dissipation pass."""
+def alecg_rhs_fused(fp: ALECGFusedPlan, u, interpret=None,
+                    system=None):
+    """Stage rhs (C, N): volume pass + edge-dissipation pass; the
+    compflow kind traces the Euler flux and charspeed in-kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     C = fp.C
+    if fp.kind == "compflow":
+        vol = _sum_pass(
+            _make_vol_kernel_cf(fp.eplan.TF, fp.TE, fp.eplan.W,
+                                fp.eplan.FTS, C, system),
+            fp.eplan, fp.estat, fp.Rse, fp.TE, u, interpret)
+        dis = _sum_pass(
+            _make_edge_kernel_cf(fp.dplan.TF, fp.TEd, fp.dplan.W,
+                                 fp.dplan.FTS, C, system),
+            fp.dplan, fp.dstat, 2, fp.TEd, u, interpret)
+        return vol + dis
     vol = _sum_pass(
         _make_vol_kernel(fp.eplan.TF, fp.TE, fp.eplan.W, fp.eplan.FTS,
                          C),

@@ -255,7 +255,7 @@ class SPMDALECGSolver:
         un = u
         ts = (state.t[0], state.t[0] + dt, state.t[0] + 0.5 * dt)
         for s in range(3):
-            r = halo.sum(alecg_rhs_fused(fp, u))
+            r = halo.sum(alecg_rhs_fused(fp, u, system=self.system))
             if getattr(self.system.problem, "manufactured", False):
                 r = r + geom.vol[None, :] * self.system.problem.src(
                     geom.coords, ts[s]).astype(u.dtype)

@@ -327,3 +327,31 @@ def test_fused_cg_compflow_matches_xla(monkeypatch):
         s2 = fus.step(s2)
     d = np.abs(np.asarray(s.u) - np.asarray(s2.u)).max()
     assert d / np.abs(np.asarray(s.u)).max() < 1e-12, d
+
+
+def test_fused_alecg_compflow_matches_xla(monkeypatch):
+    """Compflow ALECG kernels (Euler flux + edge charspeed traced
+    in-kernel, rho-safe pad blending): 3 RK3 steps on VorticalFlow vs
+    the XLA path at machine precision."""
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
+                                         hilbert_element_reorder)
+    from quinoa_tpu.pde.cg_compflow import CGCompFlow
+    from quinoa_tpu.pde.problems import VorticalFlow
+    from quinoa_tpu.inciter.alecg import make_alecg
+
+    mesh = box_tet_mesh(8, 8, 8, lo=(-0.5, -0.5, -0.5),
+                        hi=(0.5, 0.5, 0.5))
+    mesh, _ = hilbert_element_reorder(mesh)
+    mesh, _ = first_touch_node_reorder(mesh)
+    sys_ = CGCompFlow(VorticalFlow())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = make_alecg(sys_, mesh, cfl=0.6, bcnodes=mesh.all_bnodes())
+    a = ref.nsteps(ref.initial_state(), 3)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    fus = make_alecg(sys_, mesh, cfl=0.6, bcnodes=mesh.all_bnodes())
+    assert fus.fused_plan is not None
+    assert fus.fused_plan.kind == "compflow"
+    b = fus.nsteps(fus.initial_state(), 3)
+    d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
+    assert d / np.abs(np.asarray(a.u)).max() < 1e-12, d
