@@ -229,8 +229,11 @@ class ALECGSolver:
 
         un = state.u
         u = state.u
-        # SSP-RK3 stage times for the manufactured-source evaluation
+        # SSP-RK3 stage times: sources evaluate at the INPUT state's
+        # time (t, t+dt, t+dt/2); each stage's OUTPUT represents
+        # (t+dt, t+dt/2, t+dt) — the Dirichlet pin uses the latter
         ts = (state.t, state.t + dt, state.t + 0.5 * dt)
+        to = (state.t + dt, state.t + 0.5 * dt, state.t + dt)
         for s in range(3):
             if self.fused_plan is not None:
                 from ..ops.alecg_fused import alecg_rhs_fused
@@ -250,7 +253,7 @@ class ALECGSolver:
                     geom.coords, ts[s]).astype(u.dtype)
             u = RK0[s] * un + RK1[s] * (u + dt * r / lhs[None, :])
             # Dirichlet: pin to the analytic solution at the stage time
-            ubc = self.system.analytic(geom.coords, state.t + dt).astype(u.dtype)
+            ubc = self.system.analytic(geom.coords, to[s]).astype(u.dtype)
             u = jnp.where(bcmask > 0, ubc, u)
 
         return CGState(u=u, t=state.t + dt, it=state.it + 1, dt=dt)

@@ -32,7 +32,8 @@ from .face_accum import _one_pass
 from .node_window import NodePlan, build_node_plan
 from .cg_fused import (_qualifies, _env_dims, _window_gather,
                        _corner_hots, _corners, _to_slots, _far_emit,
-                       _far_fold_add, _pad_u, _call_windowed)
+                       _far_fold_add, _pad_u, _call_windowed,
+                       _safe_state)
 
 
 @partial(
@@ -64,8 +65,7 @@ def build_alecg_fused_plan(system, geom, edget, TF: int = 512,
                            W: int = 1024, force_e=None, force_d=None):
     """Host-side plan, or None when the configuration doesn't qualify
     (non-transport flux, time-dependent velocity, diffusion)."""
-    if (getattr(system, "ncomp", 0) == 5 and hasattr(system, "eos")
-            and geom.coords_n is not None):
+    if getattr(system, "ncomp", 0) == 5 and hasattr(system, "eos"):
         return _build_compflow_alecg_plan(system, geom, edget, TF, W,
                                           force_e, force_d)
     prob = _qualifies(system, geom.coords)
@@ -160,12 +160,6 @@ def _build_compflow_alecg_plan(system, geom, edget, TF, W,
                           kind="compflow")
 
 
-def _safe_state(blocks, m, C, TE, dtype):
-    """Blend invalid entities to rho=1, zero momenta/energy."""
-    e0 = jnp.zeros((C, TE), dtype).at[0, :].set(1.0)
-    return [u * m + (1.0 - m) * e0 for u in blocks]
-
-
 def _make_vol_kernel_cf(TF, TE, W, FTS, C, system):
     from ..pde.problems.compflow import euler_flux_dir
 
@@ -216,14 +210,10 @@ def _make_vol_kernel_cf(TF, TE, W, FTS, C, system):
 
 
 def _make_edge_kernel_cf(TF, TEd, W, FTS, C, system):
-    eos = system.eos
-
     def charspeed(u):
-        rho = u[0:1]
-        p = jnp.maximum(eos.pressure_cons_cm(u), 0.0)
-        c = eos.soundspeed(u[0], p)
-        v = jnp.sqrt(u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / u[0]
-        return v + c
+        # the system's own law (|v|+c with the p>=0 clamp) traces
+        # in-kernel; xyz is unused by the compflow charspeed
+        return system.charspeed(u, None)
 
     def kernel(blk_ref, ks_ref, ulo_ref, uhi_ref, fv_ref, fpos_ref,
                stat_ref, lo_ref, hi_ref, far_ref):
@@ -402,10 +392,13 @@ def build_alecg_fused_plan_stacked(system, sharded, TF: int = 512,
     exactly zero to the sum assembly."""
     cg = sharded.cg
     geom = cg.geom
-    if _qualifies(system, np.asarray(geom.coords)[0]) is None:
-        return None
-    if geom.coords_n is None:
-        return None
+    is_compflow = (getattr(system, "ncomp", 0) == 5
+                   and hasattr(system, "eos"))
+    if not is_compflow:
+        if _qualifies(system, np.asarray(geom.coords)[0]) is None:
+            return None
+        if geom.coords_n is None:
+            return None
     S = cg.nshard
     TFd, Wd = _env_dims(TF, W)
     dtype = np.dtype(np.asarray(geom.vol).dtype)

@@ -130,25 +130,9 @@ def build_cg_fused_plan(system, geom, bcmask, ctau: float,
     B1 = B0 + 12 * C
     Rs = B1 + 3 * C
     stat = np.zeros((Rs, Ep), dtype)
-    grad = np.asarray(geom.grad, np.float64)          # (4, 3, E)
-    Jm = np.asarray(geom.J, np.float64) * np.asarray(geom.emask,
-                                                     np.float64)
-    vol = np.asarray(geom.vol, np.float64)
-    bc = np.asarray(bcmask, np.float64)               # (C, N)
+    _fill_base_rows(stat, geom, bcmask, C, E, inpoelT)
     cn = np.asarray(geom.coords_n, np.float64)        # (4, 3, E)
     ctr = np.asarray(geom.ctr, np.float64)            # (3, E)
-    for a in range(4):
-        for j in range(3):
-            stat[3 * a + j, :E] = grad[a, j]
-    stat[12, :E] = Jm / 6.0
-    stat[13, :E] = Jm / 120.0
-    stat[14:18, :] = 1.0                              # pad vol_n = 1
-    for a in range(4):
-        stat[14 + a, :E] = vol[inpoelT[a]]
-    stat[18:B0, :] = 1.0                              # pad bc_n = 1
-    for a in range(4):
-        for c in range(C):
-            stat[18 + a * C + c, :E] = bc[c][inpoelT[a]]
     for a in range(4):
         vn = np.asarray(prob.velocity(jnp.asarray(cn[a]), 0.0),
                         np.float64)                   # (C, 3, E)
@@ -171,7 +155,10 @@ def build_cg_fused_plan_stacked(system, sharded, ctau: float,
     (the build_accum_plan_stacked pattern).  Returns None when the
     configuration doesn't qualify."""
     geom = sharded.geom
-    if _qualifies(system, np.asarray(geom.coords)[0]) is None:
+    is_compflow = (getattr(system, "ncomp", 0) == 5
+                   and hasattr(system, "eos"))
+    if not is_compflow and \
+            _qualifies(system, np.asarray(geom.coords)[0]) is None:
         return None
     S = sharded.nshard
 
@@ -232,25 +219,9 @@ def _build_compflow_plan(system, geom, bcmask, ctau, TF, W, force):
     B0 = 18 + 4 * C
     Rs = B0 + 16
     stat = np.zeros((Rs, Ep), dtype)
-    grad = np.asarray(geom.grad, np.float64)
-    Jm = np.asarray(geom.J, np.float64) * np.asarray(geom.emask,
-                                                     np.float64)
-    vol = np.asarray(geom.vol, np.float64)
-    bc = np.asarray(bcmask, np.float64)
+    _fill_base_rows(stat, geom, bcmask, C, E, inpoelT)
     cn = np.asarray(geom.coords_n, np.float64)        # (4, 3, E)
     ctr = np.asarray(geom.ctr, np.float64)            # (3, E)
-    for a in range(4):
-        for j in range(3):
-            stat[3 * a + j, :E] = grad[a, j]
-    stat[12, :E] = Jm / 6.0
-    stat[13, :E] = Jm / 120.0
-    stat[14:18, :] = 1.0
-    for a in range(4):
-        stat[14 + a, :E] = vol[inpoelT[a]]
-    stat[18:B0, :] = 1.0
-    for a in range(4):
-        for c in range(C):
-            stat[18 + a * C + c, :E] = bc[c][inpoelT[a]]
     for a in range(4):
         for j in range(3):
             stat[B0 + a * 3 + j, :E] = cn[a, j]
@@ -288,10 +259,8 @@ def _make_k1_compflow(TF, TE, W, FTS, C, Rs, ctau, system):
         una = _corners(un, hots)
         stat = stat_ref[...]
         B0 = 18 + 4 * C
-        # pad elements blend to rho=1, zero momenta/energy
         m = stat[B0 + 15:B0 + 16, :]
-        e0 = jnp.zeros((C, TE), un.dtype).at[0, :].set(1.0)
-        una = [ua * m + (1.0 - m) * e0 for ua in una]
+        una = _safe_state(una, m, C, TE, un.dtype)
 
         # stage 1: divergence of the Euler flux at the corner states
         divF = jnp.zeros((C, TE), un.dtype)
@@ -413,6 +382,39 @@ def _far_emit(x, fpos, FTS, TF, fill=0.0):
     if fill != 0.0:
         out = jnp.where((pv > 0)[None, :], out, jnp.asarray(fill, dt_))
     return out
+
+
+def _safe_state(blocks, m, C, TE, dtype):
+    """Blend invalid (pad) entities to rho=1, zero momenta/energy: the
+    compflow EoS divides by rho and a 0/0 NaN poisons even
+    zero-weighted matmul columns."""
+    e0 = jnp.zeros((C, TE), dtype).at[0, :].set(1.0)
+    return [u * m + (1.0 - m) * e0 for u in blocks]
+
+
+def _fill_base_rows(stat, geom, bcmask, C, E, inpoelT):
+    """Populate the layout-bearing base rows shared by every CG K1/K3
+    flavor: [0:12) grad | 12 J*emask/6 | 13 J*emask/120 | [14:18) vol_n
+    | [18:18+4C) bc_n.  _aec_math and _make_k3 read these offsets (pad
+    elements carry vol_n = bc_n = 1 so their AEC is exactly zero)."""
+    grad = np.asarray(geom.grad, np.float64)
+    Jm = np.asarray(geom.J, np.float64) * np.asarray(geom.emask,
+                                                     np.float64)
+    vol = np.asarray(geom.vol, np.float64)
+    bc = np.asarray(bcmask, np.float64)
+    B0 = 18 + 4 * C
+    for a in range(4):
+        for j in range(3):
+            stat[3 * a + j, :E] = grad[a, j]
+    stat[12, :E] = Jm / 6.0
+    stat[13, :E] = Jm / 120.0
+    stat[14:18, :] = 1.0
+    for a in range(4):
+        stat[14 + a, :E] = vol[inpoelT[a]]
+    stat[18:B0, :] = 1.0
+    for a in range(4):
+        for c in range(C):
+            stat[18 + a * C + c, :E] = bc[c][inpoelT[a]]
 
 
 def _aec_math(una, stat, C, TE, ctau):
@@ -545,7 +547,7 @@ def _pad_u(p: NodePlan, U):
 
 
 def fused_rhs_dif_p(fp: CGFusedPlan, U, dt, interpret=None,
-                    system=None, t=0.0):
+                    system=None, t=None):
     """K1: (C, N) nodal field -> (4C, N) assembled [rhs | dif | P+ | P-].
     kind == "compflow" traces the Euler flux/EoS (and the manufactured
     source at the baked-in element coordinates) inside the kernel."""
@@ -567,6 +569,10 @@ def fused_rhs_dif_p(fp: CGFusedPlan, U, dt, interpret=None,
     ]
     scalar_spec = pl.BlockSpec((1, 1), lambda t_, blk: (0, 0))
     if fp.kind == "compflow":
+        if t is None:
+            raise ValueError(
+                "compflow fused K1 needs the current time t (the "
+                "manufactured source is evaluated in-kernel)")
         tm = jnp.asarray(t, U.dtype).reshape(1, 1)
         lo, hi, far = _call_windowed(
             _make_k1_compflow(p.TF, fp.TE, p.W, p.FTS, C, fp.Rs,

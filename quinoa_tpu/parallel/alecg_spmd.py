@@ -209,6 +209,7 @@ class SPMDALECGSolver:
 
         un = u
         ts = (state.t[0], state.t[0] + dt, state.t[0] + 0.5 * dt)
+        to = (state.t[0] + dt, state.t[0] + 0.5 * dt, state.t[0] + dt)
         for s in range(3):
             r = alecg_flux_rhs(self.system, geom, u) + alecg_dissipation(
                 self.system, geom, sh.edgesT, sh.eA, sh.ensup, u,
@@ -224,9 +225,7 @@ class SPMDALECGSolver:
             # lumped mass == fully-summed nodal volume (ALECG lhsmerge)
             u = RK0[s] * un + RK1[s] * (u + dt * r / geom.vol[None, :])
             ubc = self.system.analytic(geom.coords,
-                                       state.t[0] + dt).astype(
-                u.dtype
-            )
+                                       to[s]).astype(u.dtype)
             u = jnp.where(sh.cg.bcmask > 0, ubc, u)
 
         return CGState(u=u[None], t=(state.t[0] + dt)[None],
@@ -254,6 +253,7 @@ class SPMDALECGSolver:
             )
         un = u
         ts = (state.t[0], state.t[0] + dt, state.t[0] + 0.5 * dt)
+        to = (state.t[0] + dt, state.t[0] + 0.5 * dt, state.t[0] + dt)
         for s in range(3):
             r = halo.sum(alecg_rhs_fused(fp, u, system=self.system))
             if getattr(self.system.problem, "manufactured", False):
@@ -261,7 +261,7 @@ class SPMDALECGSolver:
                     geom.coords, ts[s]).astype(u.dtype)
             u = RK0[s] * un + RK1[s] * (u + dt * r / geom.vol[None, :])
             ubc = self.system.analytic(geom.coords,
-                                       state.t[0] + dt).astype(u.dtype)
+                                       to[s]).astype(u.dtype)
             u = jnp.where(sh.cg.bcmask > 0, ubc, u)
         return CGState(u=u[None], t=(state.t[0] + dt)[None],
                        it=(state.it[0] + 1)[None], dt=dt[None])

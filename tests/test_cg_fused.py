@@ -355,3 +355,82 @@ def test_fused_alecg_compflow_matches_xla(monkeypatch):
     b = fus.nsteps(fus.initial_state(), 3)
     d = np.abs(np.asarray(a.u) - np.asarray(b.u)).max()
     assert d / np.abs(np.asarray(a.u)).max() < 1e-12, d
+
+
+def test_fused_cg_compflow_spmd_matches_single(monkeypatch):
+    """Sharded compflow fused CG (the stacked builders must dispatch the
+    compflow flavor BEFORE the velocity-probe gate): 3 steps at 2 shards
+    on VorticalFlow DiagCG vs the single-device XLA path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.pde.cg import make_cggeom
+    from quinoa_tpu.pde.cg_compflow import CGCompFlow
+    from quinoa_tpu.pde.problems import VorticalFlow
+    from quinoa_tpu.inciter import DiagCGSolver
+    from quinoa_tpu.parallel.shard import build_cg_shards
+    from quinoa_tpu.parallel.spmd import SPMDDiagCGSolver
+
+    mesh = box_tet_mesh(8, 8, 8, lo=(-0.5, -0.5, -0.5),
+                        hi=(0.5, 0.5, 0.5))
+    sys_ = CGCompFlow(VorticalFlow())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = DiagCGSolver(sys_, make_cggeom(mesh), cfl=0.3,
+                       bcnodes=mesh.all_bnodes())
+    a = ref.nsteps(ref.initial_state(), 3)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    sh = build_cg_shards(mesh, 2, 5,
+                         bcnodes=np.asarray(mesh.all_bnodes()))
+    dmesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    sol = SPMDDiagCGSolver(sys_, sh, dmesh, cfl=0.3)
+    assert sol.fused_plan is not None
+    assert sol.fused_plan.kind == "compflow"
+    b = sol.nsteps(sol.initial_state(), 3)
+    ug = np.zeros((5, mesh.nnode))
+    gids = np.asarray(sh.gids)
+    owned = np.asarray(sh.owned)
+    ub = np.asarray(b.u)
+    for s in range(2):
+        m = (owned[s] > 0) & (gids[s] >= 0)
+        ug[:, gids[s][m]] = ub[s][:, m]
+    d = np.abs(ug - np.asarray(a.u)).max()
+    assert d / np.abs(np.asarray(a.u)).max() < 1e-12, d
+
+
+def test_fused_alecg_compflow_spmd_matches_single(monkeypatch):
+    """Sharded compflow fused ALECG: 3 steps at 2 shards on VorticalFlow
+    vs the single-device XLA path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from quinoa_tpu.mesh import box_tet_mesh
+    from quinoa_tpu.pde.cg_compflow import CGCompFlow
+    from quinoa_tpu.pde.problems import VorticalFlow
+    from quinoa_tpu.inciter.alecg import make_alecg
+    from quinoa_tpu.parallel.alecg_spmd import (build_alecg_shards,
+                                                SPMDALECGSolver)
+
+    mesh = box_tet_mesh(8, 8, 8, lo=(-0.5, -0.5, -0.5),
+                        hi=(0.5, 0.5, 0.5))
+    sys_ = CGCompFlow(VorticalFlow())
+    monkeypatch.delenv("QUINOA_CG_FUSED", raising=False)
+    ref = make_alecg(sys_, mesh, cfl=0.6, bcnodes=mesh.all_bnodes())
+    a = ref.nsteps(ref.initial_state(), 3)
+    monkeypatch.setenv("QUINOA_CG_FUSED", "1")
+    sh = build_alecg_shards(mesh, 2, 5,
+                            bcnodes=np.asarray(mesh.all_bnodes()))
+    dmesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    sol = SPMDALECGSolver(sys_, sh, dmesh, cfl=0.6)
+    assert sol.fused_plan is not None
+    assert sol.fused_plan.kind == "compflow"
+    b = sol.nsteps(sol.initial_state(), 3)
+    ug = np.zeros((5, mesh.nnode))
+    gids = np.asarray(sh.cg.gids)
+    owned = np.asarray(sh.cg.owned)
+    ub = np.asarray(b.u)
+    for s in range(2):
+        m = (owned[s] > 0) & (gids[s] >= 0)
+        ug[:, gids[s][m]] = ub[s][:, m]
+    d = np.abs(ug - np.asarray(a.u)).max()
+    assert d / np.abs(np.asarray(a.u)).max() < 1e-12, d
