@@ -20,13 +20,17 @@ from ..mesh.geometry import nodal_volumes, node_gradients
 
 
 def edge_errors(
-    mesh, u: np.ndarray, comp: int = 0, method: str = "jump"
+    mesh, u: np.ndarray, comp: int = 0, method: str = "jump",
+    edges: np.ndarray | None = None
 ) -> np.ndarray:
     """Error indicator in [0,1] for every unique mesh edge.
 
-    u : (C, N) nodal solution.
+    u : (C, N) nodal solution.  Pass `edges` (gen_inpoed output) to
+    skip recomputing the unique-edge sort — it dominates the tagging
+    wall-clock at remesh scale.
     """
-    edges = gen_inpoed(mesh.inpoel)
+    if edges is None:
+        edges = gen_inpoed(mesh.inpoel)
     a, b = edges[:, 0], edges[:, 1]
     ua, ub = u[comp, a], u[comp, b]
     if method == "jump":
@@ -49,7 +53,7 @@ def tag_edges_by_error(
 ) -> np.ndarray:
     """Edges whose indicator exceeds tol (Refiner::errorRefine analog)."""
     edges = gen_inpoed(mesh.inpoel)
-    err = edge_errors(mesh, u, comp, method)
+    err = edge_errors(mesh, u, comp, method, edges=edges)
     return edges[err > tol].astype(np.int64)
 
 

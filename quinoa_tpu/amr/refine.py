@@ -113,8 +113,10 @@ def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
 
 def _orient(children: np.ndarray, coords: np.ndarray) -> np.ndarray:
     """Fix inverted child tets by swapping their last two nodes."""
+    from ..mesh.geometry import _cross3
+
     a, b, c, d = (coords[children[:, i]] for i in range(4))
-    j = np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)
+    j = np.einsum("ij,ij->i", _cross3(b - a, c - a), d - a)
     flip = j < 0
     out = children.copy()
     out[flip, 2], out[flip, 3] = children[flip, 3], children[flip, 2]

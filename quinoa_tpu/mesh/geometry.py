@@ -16,6 +16,17 @@ from typing import Tuple
 import numpy as np
 
 
+def _cross3(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Row-wise 3-D cross product; same component formulas as np.cross
+    but ~4x faster on (E, 3) float64 (no generic axis/broadcast
+    machinery), and the remesh wall-clock is a tracked metric."""
+    out = np.empty_like(u)
+    out[:, 0] = u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1]
+    out[:, 1] = u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2]
+    out[:, 2] = u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
+    return out
+
+
 def tet_geometry(coords: np.ndarray, inpoel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Element Jacobians and shape-function gradients.
 
@@ -33,23 +44,31 @@ def tet_geometry(coords: np.ndarray, inpoel: np.ndarray) -> Tuple[np.ndarray, np
     ba = coords[inpoel[:, 1]] - A
     ca = coords[inpoel[:, 2]] - A
     da = coords[inpoel[:, 3]] - A
-    J = np.einsum("ij,ij->i", np.cross(ba, ca), da)
+    baca = _cross3(ba, ca)
+    J = np.einsum("ij,ij->i", baca, da)
 
-    g1 = np.cross(ca, da) / J[:, None]
-    g2 = np.cross(da, ba) / J[:, None]
-    g3 = np.cross(ba, ca) / J[:, None]
-    g0 = -(g1 + g2 + g3)
-    grad = np.stack([g0, g1, g2, g3], axis=1)
+    Jc = J[:, None]
+    grad = np.empty((len(J), 4, 3))
+    grad[:, 1] = _cross3(ca, da) / Jc
+    grad[:, 2] = _cross3(da, ba) / Jc
+    grad[:, 3] = baca / Jc
+    grad[:, 0] = -(grad[:, 1] + grad[:, 2] + grad[:, 3])
     return J, grad
 
 
-def nodal_volumes(coords: np.ndarray, inpoel: np.ndarray, nnode: int) -> np.ndarray:
+def nodal_volumes(coords: np.ndarray, inpoel: np.ndarray, nnode: int,
+                  J: np.ndarray | None = None) -> np.ndarray:
     """Volume associated to each node: quarter of surrounding element volumes.
 
     Reference: Discretization::vol (src/Inciter/Discretization.cpp), where the
     nodal volume v_p = sum_e J_e/24 over elements containing p.
     """
-    J, _ = tet_geometry(coords, inpoel)
+    if J is None:
+        A = coords[inpoel[:, 0]]
+        ba = coords[inpoel[:, 1]] - A
+        ca = coords[inpoel[:, 2]] - A
+        da = coords[inpoel[:, 3]] - A
+        J = np.einsum("ij,ij->i", _cross3(ba, ca), da)
     contrib = np.repeat(J / 24.0, 4)
     return np.bincount(inpoel.ravel(), weights=contrib, minlength=nnode)
 

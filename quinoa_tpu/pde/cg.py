@@ -139,7 +139,7 @@ def make_cggeom(mesh, dtype=None, window: bool = False) -> CGGeom:
     J, grad = tet_geometry(mesh.coords, mesh.inpoel)
     if not (J > 0).all():
         raise ValueError("mesh has non-positive element Jacobians")
-    vol = nodal_volumes(mesh.coords, mesh.inpoel, mesh.nnode)
+    vol = nodal_volumes(mesh.coords, mesh.inpoel, mesh.nnode, J=J)
     nsup, _ = build_nsup(mesh.inpoel, mesh.nnode)
     plan = None
     if window:
