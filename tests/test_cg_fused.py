@@ -12,6 +12,10 @@ import os
 import numpy as np
 import pytest
 
+# full-solver parity runs (the same class as test_reference_parity);
+# the env-gated fused paths are exercised here and in the on-chip queue
+pytestmark = pytest.mark.slow
+
 
 def _solvers(mesh, bcnodes, monkeypatch, W=None):
     from quinoa_tpu.pde.cg import CGTransport, make_cggeom
