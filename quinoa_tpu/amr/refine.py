@@ -115,8 +115,10 @@ def _orient(children: np.ndarray, coords: np.ndarray) -> np.ndarray:
     """Fix inverted child tets by swapping their last two nodes."""
     from ..mesh.geometry import _cross3
 
-    a, b, c, d = (coords[children[:, i]] for i in range(4))
-    j = np.einsum("ij,ij->i", _cross3(b - a, c - a), d - a)
+    xyz = coords[children]                      # ONE (Nc, 4, 3) gather
+    a = xyz[:, 0]
+    j = np.einsum("ij,ij->i",
+                  _cross3(xyz[:, 1] - a, xyz[:, 2] - a), xyz[:, 3] - a)
     flip = j < 0
     out = children.copy()
     out[flip, 2], out[flip, 3] = children[flip, 3], children[flip, 2]
