@@ -224,39 +224,71 @@ def refine_mesh(
     newinpoel = _orient(raw, coords)
 
     # boundary triangles: subdivide with the same midpoints
+    # (vectorized batch-per-pattern, emitting rows at per-tri offsets so
+    # the output order matches the former per-tri loop exactly)
     newbface: Dict[int, np.ndarray] = {}
     for ss, tris in mesh.bface.items():
-        out = []
-        for tri in tris.astype(np.int64):
-            a, b, c = (int(x) for x in tri)
-            tags3 = [
-                mid_id.get(int(_edge_key(np.int64(a), np.int64(b)))),
-                mid_id.get(int(_edge_key(np.int64(b), np.int64(c)))),
-                mid_id.get(int(_edge_key(np.int64(c), np.int64(a)))),
-            ]
-            nt = sum(x is not None for x in tags3)
-            if nt == 0:
-                out.append([a, b, c])
-            elif nt == 3:
-                mab, mbc, mca = tags3
-                out += [[a, mab, mca], [b, mbc, mab], [c, mca, mbc],
-                        [mab, mbc, mca]]
-            elif nt == 1:
-                k = tags3.index(next(x for x in tags3 if x is not None))
-                m = tags3[k]
-                v = [a, b, c]
-                p, q = v[k], v[(k + 1) % 3]
-                r = v[(k + 2) % 3]
-                out += [[p, m, r], [m, q, r]]
-            else:  # 2 tagged edges: split into 3
-                k = tags3.index(None)
-                v = [a, b, c]
-                # untagged edge is (v[k], v[k+1]); tagged: others
-                p, q, r = v[k], v[(k + 1) % 3], v[(k + 2) % 3]
-                mqr = mid(q, r)
-                mrp = mid(r, p)
-                out += [[p, q, mqr], [p, mqr, mrp], [mrp, mqr, r]]
-        newbface[ss] = np.asarray(out, dtype=np.int32)
+        t = tris.astype(np.int64)
+        if not len(t):
+            newbface[ss] = np.zeros((0, 3), np.int32)
+            continue
+        k3 = np.stack([
+            _edge_key(t[:, 0], t[:, 1]),
+            _edge_key(t[:, 1], t[:, 2]),
+            _edge_key(t[:, 2], t[:, 0]),
+        ], axis=1)                                   # (T, 3)
+        posb = np.searchsorted(keys, k3)
+        posbc = np.clip(posb, 0, len(keys) - 1)
+        hasb = keys[posbc] == k3
+        m3 = np.where(hasb, mesh.nnode + posbc, -1)
+        ntb = hasb.sum(axis=1)
+        counts = 1 + ntb                              # 1/2/3/4 rows
+        offb = np.zeros(len(t) + 1, np.int64)
+        np.cumsum(counts, out=offb[1:])
+        out = np.empty((offb[-1], 3), np.int64)
+
+        idx = np.nonzero(ntb == 0)[0]
+        if len(idx):
+            out[offb[idx]] = t[idx]
+
+        # nt == 1: tagged edge k -> (p, m, r), (m, q, r)
+        for k in range(3):
+            idx = np.nonzero((ntb == 1) & hasb[:, k])[0]
+            if not len(idx):
+                continue
+            pn = t[idx, k]
+            qn = t[idx, (k + 1) % 3]
+            rn = t[idx, (k + 2) % 3]
+            m = m3[idx, k]
+            base = offb[idx]
+            out[base] = np.stack([pn, m, rn], axis=1)
+            out[base + 1] = np.stack([m, qn, rn], axis=1)
+
+        # nt == 2: untagged edge k -> (p,q,mqr), (p,mqr,mrp), (mrp,mqr,r)
+        for k in range(3):
+            idx = np.nonzero((ntb == 2) & ~hasb[:, k])[0]
+            if not len(idx):
+                continue
+            pn = t[idx, k]
+            qn = t[idx, (k + 1) % 3]
+            rn = t[idx, (k + 2) % 3]
+            mqr = m3[idx, (k + 1) % 3]               # edge (q, r)
+            mrp = m3[idx, (k + 2) % 3]               # edge (r, p)
+            base = offb[idx]
+            out[base] = np.stack([pn, qn, mqr], axis=1)
+            out[base + 1] = np.stack([pn, mqr, mrp], axis=1)
+            out[base + 2] = np.stack([mrp, mqr, rn], axis=1)
+
+        idx = np.nonzero(ntb == 3)[0]
+        if len(idx):
+            an, bn, cn = t[idx, 0], t[idx, 1], t[idx, 2]
+            mab, mbc, mca = m3[idx, 0], m3[idx, 1], m3[idx, 2]
+            base = offb[idx]
+            out[base] = np.stack([an, mab, mca], axis=1)
+            out[base + 1] = np.stack([bn, mbc, mab], axis=1)
+            out[base + 2] = np.stack([cn, mca, mbc], axis=1)
+            out[base + 3] = np.stack([mab, mbc, mca], axis=1)
+        newbface[ss] = out.astype(np.int32)
 
     newmesh = UnsMesh(coords=coords, inpoel=newinpoel.astype(np.int32))
     newmesh.bface = newbface
