@@ -40,10 +40,11 @@ def tet_geometry(coords: np.ndarray, inpoel: np.ndarray) -> Tuple[np.ndarray, np
         grad[e,1] = (ca x da)/J, grad[e,2] = (da x ba)/J,
         grad[e,3] = (ba x ca)/J, grad[e,0] = -sum(others).
     """
-    A = coords[inpoel[:, 0]]
-    ba = coords[inpoel[:, 1]] - A
-    ca = coords[inpoel[:, 2]] - A
-    da = coords[inpoel[:, 3]] - A
+    xyz = coords[inpoel]                     # ONE (E, 4, 3) gather
+    A = xyz[:, 0]
+    ba = xyz[:, 1] - A
+    ca = xyz[:, 2] - A
+    da = xyz[:, 3] - A
     baca = _cross3(ba, ca)
     J = np.einsum("ij,ij->i", baca, da)
 

@@ -100,7 +100,9 @@ def coords_cache_np(coords, inpoelT):
     coords = np.asarray(coords)
     inpoelT = np.asarray(inpoelT)
     if coords.ndim == 2:
-        cn = np.stack([coords[:, inpoelT[a]] for a in range(4)])
+        # one (4, E, 3) gather + transpose instead of four gathers
+        cn = np.ascontiguousarray(
+            coords.T[inpoelT].transpose(0, 2, 1))
         return cn, cn.mean(axis=0)
     pairs = [coords_cache_np(coords[s], inpoelT[s])
              for s in range(coords.shape[0])]
