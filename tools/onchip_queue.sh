@@ -30,5 +30,6 @@ run python bench_alecg.py
 run env QUINOA_CG_FUSED=1 python bench_alecg.py
 run python tools/check_multimat_fused.py
 run python bench.py --pdg
+run python bench_walker.py
 run python bench.py --dgp2
 echo "=== done — $(date -u +%H:%M:%S)" | tee -a "$LOG"
