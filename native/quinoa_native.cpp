@@ -102,6 +102,113 @@ void qn_build_nsup(int64_t nent, int64_t width, int64_t nnode,
   }
 }
 
+// Fused tetrahedral geometry: Jacobians + P1 shape-function gradients in
+// one pass (the analog of tk::crossdiv element loops,
+// src/Base/Vector.hpp:21-37 / src/PDE/CompFlow/CGCompFlow.hpp:191-348).
+// Single traversal in f64 — NumPy needs ~10 full-array passes for the
+// same math and is ~25x slower on the AMR-rebuild hot path.
+// Same operation order as mesh/geometry.py:tet_geometry (a*b-c*d crosses,
+// then divide by J) so results agree to the default-FP-contraction ulp.
+void qn_tet_geometry(int64_t nelem, const double* coords,
+                     const int32_t* inpoel, double* J, double* grad) {
+  for (int64_t e = 0; e < nelem; ++e) {
+    const int32_t* n = inpoel + e * 4;
+    const double* A = coords + static_cast<int64_t>(n[0]) * 3;
+    const double* B = coords + static_cast<int64_t>(n[1]) * 3;
+    const double* C = coords + static_cast<int64_t>(n[2]) * 3;
+    const double* D = coords + static_cast<int64_t>(n[3]) * 3;
+    double ba[3], ca[3], da[3];
+    for (int d = 0; d < 3; ++d) {
+      ba[d] = B[d] - A[d];
+      ca[d] = C[d] - A[d];
+      da[d] = D[d] - A[d];
+    }
+    auto cross = [](const double* u, const double* v, double* o) {
+      o[0] = u[1] * v[2] - u[2] * v[1];
+      o[1] = u[2] * v[0] - u[0] * v[2];
+      o[2] = u[0] * v[1] - u[1] * v[0];
+    };
+    double baca[3], cada[3], daba[3];
+    cross(ba, ca, baca);
+    cross(ca, da, cada);
+    cross(da, ba, daba);
+    double j = baca[0] * da[0] + baca[1] * da[1] + baca[2] * da[2];
+    J[e] = j;
+    double* g = grad + e * 12;
+    for (int d = 0; d < 3; ++d) {
+      g[3 + d] = cada[d] / j;   // grad[e,1]
+      g[6 + d] = daba[d] / j;   // grad[e,2]
+      g[9 + d] = baca[d] / j;   // grad[e,3]
+      g[d] = -(g[3 + d] + g[6 + d] + g[9 + d]);
+    }
+  }
+}
+
+// Unique undirected edges of a tet mesh: sorted (lo,hi) pairs in
+// lexicographic order (genInpoed, src/Mesh/DerivedData.hpp).  Writes at
+// most nelem*6 pairs into `edges` (caller allocates) and returns the
+// unique count.  One u64-key sort instead of NumPy's void-view
+// np.unique(axis=0), ~50x faster at AMR-rebuild sizes.
+int64_t qn_unique_edges(int64_t nelem, const int32_t* inpoel,
+                        int32_t* edges) {
+  static const int E[6][2] = {{0, 1}, {1, 2}, {2, 0},
+                              {0, 3}, {1, 3}, {2, 3}};
+  std::vector<uint64_t> keys(static_cast<size_t>(nelem) * 6);
+  for (int64_t e = 0; e < nelem; ++e) {
+    const int32_t* n = inpoel + e * 4;
+    for (int k = 0; k < 6; ++k) {
+      uint32_t a = static_cast<uint32_t>(n[E[k][0]]);
+      uint32_t b = static_cast<uint32_t>(n[E[k][1]]);
+      if (a > b) std::swap(a, b);
+      keys[e * 6 + k] = (static_cast<uint64_t>(a) << 32) | b;
+    }
+  }
+  std::sort(keys.begin(), keys.end());
+  int64_t m = 0;
+  for (size_t i = 0; i < keys.size(); ++i) {
+    if (i == 0 || keys[i] != keys[i - 1]) {
+      edges[m * 2] = static_cast<int32_t>(keys[i] >> 32);
+      edges[m * 2 + 1] = static_cast<int32_t>(keys[i] & 0xFFFFFFFFu);
+      ++m;
+    }
+  }
+  return m;
+}
+
+// Element-node coordinate cache: coords (N,3) + inpoel (E,4) ->
+// cn (4,3,E) and element centers ctr (3,E), written in target layout in
+// one pass (coords_cache_np otherwise pays a (4,E,3) gather + transpose
+// + contiguous copy, the largest remaining AMR-rebuild cost).
+void qn_coords_cache(int64_t nelem, const double* coords,
+                     const int32_t* inpoel, double* cn, double* ctr) {
+  for (int64_t e = 0; e < nelem; ++e) {
+    const int32_t* n = inpoel + e * 4;
+    double p[4][3];
+    for (int a = 0; a < 4; ++a) {
+      const double* c = coords + static_cast<int64_t>(n[a]) * 3;
+      for (int d = 0; d < 3; ++d) {
+        p[a][d] = c[d];
+        cn[(static_cast<int64_t>(a) * 3 + d) * nelem + e] = c[d];
+      }
+    }
+    for (int d = 0; d < 3; ++d)  // pairwise, matching np.mean(axis=0)
+      ctr[static_cast<int64_t>(d) * nelem + e] =
+          ((p[0][d] + p[1][d]) + (p[2][d] + p[3][d])) * 0.25;
+  }
+}
+
+// Nodal dual volumes: v_p = sum_e J_e/24 over elements containing p
+// (Discretization::vol, src/Inciter/Discretization.cpp).
+void qn_nodal_volumes(int64_t nelem, int64_t nnode, const double* J,
+                      const int32_t* inpoel, double* vol) {
+  std::fill(vol, vol + nnode, 0.0);
+  for (int64_t e = 0; e < nelem; ++e) {
+    const double w = J[e] / 24.0;
+    const int32_t* n = inpoel + e * 4;
+    for (int a = 0; a < 4; ++a) vol[n[a]] += w;
+  }
+}
+
 // Morton codes over quantized 3-D points (21 bits per axis).
 void qn_morton_codes(int64_t n, const double* pts, uint64_t* codes) {
   double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};

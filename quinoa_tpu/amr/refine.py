@@ -48,6 +48,17 @@ _FACE_MASKS = np.array(
     [int(_EDGE_MASKS[f].sum()) for f in _FACE_EDGES], dtype=np.int64
 )
 
+# Child-orientation parity per template variant.  Child nodes are fixed
+# barycentric combinations of the parent's, so J_child = c * J_parent
+# with c a template constant: the flip decision is a per-slot constant
+# XOR'd with the parent's orientation sign — no per-child geometry.
+# Constants verified against the geometric Jacobian on random tets
+# (tests/test_amr.py::test_child_orientation_parity).  All slots of a
+# variant share one parity: 1:2 about local edge 4 inverts, 1:4 about
+# local faces 1/2/3 inverts, 1:1/1:8 and the rest preserve.
+_FLIP_12 = np.array([0, 0, 0, 0, 1, 0], dtype=bool)
+_FLIP_14 = np.array([0, 1, 1, 1], dtype=bool)
+
 
 @dataclasses.dataclass
 class RefineMap:
@@ -83,28 +94,47 @@ def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
     face_ok = np.zeros(64, dtype=bool)
     face_ok[_FACE_MASKS] = True
 
-    while True:
-        # membership via one searchsorted against the sorted tag set
-        # (np.isin re-sorts both sides every fixed-point iteration)
+    # edge-key -> incident-element index, built once: after the first
+    # full sweep only elements touching newly tagged edges can change
+    # status, so the fixed point iterates on a shrinking frontier
+    # instead of re-scanning all (E,6) keys every round.
+    flat_order = np.argsort(keys, axis=None, kind="stable")
+    flat_sorted = keys.ravel()[flat_order]
+    elem_of = flat_order // 6
+
+    def _status(sub):
+        """ok-mask over element subset `sub` vs the current tag set."""
+        k = keys[sub]
         if len(tag_arr):
-            pos = np.searchsorted(tag_arr, keys)
-            posc = np.clip(pos, 0, len(tag_arr) - 1)
-            isin = tag_arr[posc] == keys
+            posc = np.clip(np.searchsorted(tag_arr, k), 0,
+                           len(tag_arr) - 1)
+            isin = tag_arr[posc] == k
         else:
-            isin = np.zeros_like(keys, dtype=bool)
+            isin = np.zeros_like(k, dtype=bool)
         mask = (isin * _EDGE_MASKS).sum(axis=1)
         cnt = isin.sum(axis=1)
-        ok = (
+        return (
             (cnt == 0)
             | (cnt == 1)
             | ((cnt == 3) & face_ok[mask])
             | (cnt == 6)
         )
-        bad = ~ok
-        if not bad.any():
+
+    frontier = np.arange(inpoel.shape[0])
+    while len(frontier):
+        bad = frontier[~_status(frontier)]
+        if not len(bad):
             break
-        # upgrade offending elements to full 1:8
-        tag_arr = np.union1d(tag_arr, keys[bad].ravel())
+        new_keys = np.setdiff1d(keys[bad].ravel(), tag_arr)
+        tag_arr = np.union1d(tag_arr, new_keys)
+        # next frontier: every element incident to a newly tagged edge
+        lo = np.searchsorted(flat_sorted, new_keys, side="left")
+        hi = np.searchsorted(flat_sorted, new_keys, side="right")
+        spans = hi - lo
+        touch = elem_of[np.repeat(lo, spans)
+                        + (np.arange(spans.sum())
+                           - np.repeat(np.cumsum(spans) - spans, spans))]
+        frontier = np.unique(touch)
 
     if not len(tag_arr):
         return np.zeros((0, 2), dtype=np.int64)
@@ -143,12 +173,8 @@ def refine_mesh(
     order = np.argsort(keys)
     tagged = tagged[order]
     keys = keys[order]
-    mid_id = {int(k): mesh.nnode + i for i, k in enumerate(keys)}
     midcoords = 0.5 * (mesh.coords[tagged[:, 0]] + mesh.coords[tagged[:, 1]])
     coords = np.concatenate([mesh.coords, midcoords], axis=0)
-
-    def mid(a, b):
-        return mid_id[int(_edge_key(np.int64(a), np.int64(b)))]
 
     # ---- vectorized template subdivision (bit-identical to the former
     # per-element loop, measured 20x faster at 200k-parent remeshes):
@@ -172,6 +198,7 @@ def refine_mesh(
     np.cumsum(nchild, out=off[1:])
     raw = np.empty((off[-1], 4), np.int64)
     parents = np.repeat(np.arange(E), nchild)
+    flipc = np.zeros(off[-1], dtype=bool)  # template orientation parity
 
     idx = np.nonzero(cnt == 0)[0]
     if len(idx):
@@ -189,6 +216,8 @@ def refine_mesh(
         base = off[idx]
         raw[base] = np.stack([m, b, o0, o1], axis=1)
         raw[base + 1] = np.stack([a, m, o0, o1], axis=1)
+        if _FLIP_12[le]:
+            flipc[base] = flipc[base + 1] = True
 
     for lf in range(4):  # 1:4 split about local face lf
         idx = np.nonzero((cnt == 3) & (maskbits == _FACE_MASKS[lf]))[0]
@@ -206,6 +235,9 @@ def refine_mesh(
         raw[base + 1] = np.stack([fb, mbc, mab, d], axis=1)
         raw[base + 2] = np.stack([fc, mca, mbc, d], axis=1)
         raw[base + 3] = np.stack([mab, mbc, mca, d], axis=1)
+        if _FLIP_14[lf]:
+            for k in range(4):
+                flipc[base + k] = True
 
     idx = np.nonzero(cnt == 6)[0]
     if len(idx):  # 1:8 regular subdivision: corner tets + octahedron
@@ -221,7 +253,21 @@ def refine_mesh(
         ]):
             raw[base + k] = np.stack(r, axis=1)
 
-    newinpoel = _orient(raw, coords)
+    # orientation by template parity: J_child is a fixed multiple of
+    # J_parent per variant slot (_FLIP_12/_FLIP_14), so only the PARENT
+    # Jacobian signs need geometry — ~8x less work than orienting every
+    # child (the former _orient), and bit-identical output.
+    from ..mesh.geometry import _cross3
+    pxyz = mesh.coords[inpoel]                   # one (E, 4, 3) gather
+    pa = pxyz[:, 0]
+    pj = np.einsum("ij,ij->i",
+                   _cross3(pxyz[:, 1] - pa, pxyz[:, 2] - pa),
+                   pxyz[:, 3] - pa)
+    flip = flipc ^ (pj < 0)[parents]
+    newinpoel = raw  # fresh array; swap in place (RHS copies first)
+    if flip.any():
+        newinpoel[flip, 2], newinpoel[flip, 3] = \
+            raw[flip, 3], raw[flip, 2]
 
     # boundary triangles: subdivide with the same midpoints
     # (vectorized batch-per-pattern, emitting rows at per-tri offsets so

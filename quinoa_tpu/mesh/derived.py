@@ -45,6 +45,10 @@ def gen_esup(inpoel: np.ndarray, nnode: int) -> CSR:
 
 def _unique_undirected_edges(inpoel: np.ndarray) -> np.ndarray:
     """All unique undirected edges as sorted (lo, hi) pairs, lexsorted."""
+    from ..native import unique_edges
+    nat = unique_edges(inpoel)
+    if nat is not None:  # one u64-key sort in C++; same lex order
+        return nat
     e = inpoel[:, _TET_EDGES].reshape(-1, 2)
     e = np.sort(e, axis=1)
     return np.unique(e, axis=0)

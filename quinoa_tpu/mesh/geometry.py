@@ -40,6 +40,10 @@ def tet_geometry(coords: np.ndarray, inpoel: np.ndarray) -> Tuple[np.ndarray, np
         grad[e,1] = (ca x da)/J, grad[e,2] = (da x ba)/J,
         grad[e,3] = (ba x ca)/J, grad[e,0] = -sum(others).
     """
+    from ..native import tet_geometry as _native_tetgeo
+    nat = _native_tetgeo(coords, inpoel)
+    if nat is not None:  # fused single-pass C++ kernel, ~25x on 1 vCPU
+        return nat
     xyz = coords[inpoel]                     # ONE (E, 4, 3) gather
     A = xyz[:, 0]
     ba = xyz[:, 1] - A
@@ -70,6 +74,10 @@ def nodal_volumes(coords: np.ndarray, inpoel: np.ndarray, nnode: int,
         ca = coords[inpoel[:, 2]] - A
         da = coords[inpoel[:, 3]] - A
         J = np.einsum("ij,ij->i", _cross3(ba, ca), da)
+    from ..native import nodal_volumes as _native_nv
+    nat = _native_nv(J, inpoel, nnode)
+    if nat is not None:
+        return nat
     contrib = np.repeat(J / 24.0, 4)
     return np.bincount(inpoel.ravel(), weights=contrib, minlength=nnode)
 

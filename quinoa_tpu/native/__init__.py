@@ -63,6 +63,32 @@ def lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
     ]
+    L.qn_tet_geometry.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    L.qn_unique_edges.restype = ctypes.c_int64
+    L.qn_unique_edges.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    L.qn_coords_cache.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    L.qn_nodal_volumes.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
     _LIB = L
     return _LIB
 
@@ -87,6 +113,54 @@ def build_nsup(incid: np.ndarray, nnode: int):
     out = np.empty((D, nnode), dtype=np.int32)
     L.qn_build_nsup(E, A, nnode, inc, D, out)
     return out, D
+
+
+def tet_geometry(coords: np.ndarray, inpoel: np.ndarray):
+    L = lib()
+    if L is None:
+        return None
+    c = np.ascontiguousarray(coords, dtype=np.float64)
+    inp = np.ascontiguousarray(inpoel, dtype=np.int32)
+    E = inp.shape[0]
+    J = np.empty(E, dtype=np.float64)
+    grad = np.empty((E, 4, 3), dtype=np.float64)
+    L.qn_tet_geometry(E, c, inp, J, grad.reshape(-1))
+    return J, grad
+
+
+def unique_edges(inpoel: np.ndarray) -> Optional[np.ndarray]:
+    L = lib()
+    if L is None:
+        return None
+    inp = np.ascontiguousarray(inpoel, dtype=np.int32)
+    E = inp.shape[0]
+    out = np.empty((E * 6, 2), dtype=np.int32)
+    m = int(L.qn_unique_edges(E, inp, out.reshape(-1)))
+    return out[:m].copy()
+
+
+def coords_cache(coords: np.ndarray, inpoel: np.ndarray):
+    L = lib()
+    if L is None:
+        return None
+    c = np.ascontiguousarray(coords, dtype=np.float64)
+    inp = np.ascontiguousarray(inpoel, dtype=np.int32)
+    E = inp.shape[0]
+    cn = np.empty((4, 3, E), dtype=np.float64)
+    ctr = np.empty((3, E), dtype=np.float64)
+    L.qn_coords_cache(E, c, inp, cn.reshape(-1), ctr.reshape(-1))
+    return cn, ctr
+
+
+def nodal_volumes(J: np.ndarray, inpoel: np.ndarray, nnode: int):
+    L = lib()
+    if L is None:
+        return None
+    j = np.ascontiguousarray(J, dtype=np.float64)
+    inp = np.ascontiguousarray(inpoel, dtype=np.int32)
+    vol = np.empty(nnode, dtype=np.float64)
+    L.qn_nodal_volumes(inp.shape[0], nnode, j, inp, vol)
+    return vol
 
 
 def morton_codes(pts: np.ndarray) -> Optional[np.ndarray]:

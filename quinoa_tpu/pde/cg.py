@@ -100,6 +100,10 @@ def coords_cache_np(coords, inpoelT):
     coords = np.asarray(coords)
     inpoelT = np.asarray(inpoelT)
     if coords.ndim == 2:
+        from ..native import coords_cache as _native_cc
+        nat = _native_cc(coords.T, inpoelT.T)
+        if nat is not None:  # direct (4,3,E)-layout fill, no transpose copy
+            return nat
         # one (4, E, 3) gather + transpose instead of four gathers
         cn = np.ascontiguousarray(
             coords.T[inpoelT].transpose(0, 2, 1))

@@ -336,3 +336,31 @@ def test_t0ref_edgelist(tmp_path, monkeypatch):
           amr  t0ref true  initial edgelist  edgelist 0 1 2 end  end
         end
         """)
+
+
+def test_child_orientation_parity():
+    """The template orientation constants (_FLIP_12/_FLIP_14): refined
+    children match the geometric per-child Jacobian orientation exactly,
+    on jittered meshes and with an inverted-parent mesh (the parity is
+    XOR'd with the parent's sign)."""
+    from quinoa_tpu.amr.refine import _orient, refine_mesh
+    from quinoa_tpu.amr import tag_edges_by_error
+    from quinoa_tpu.mesh.unsmesh import UnsMesh
+
+    rng = np.random.default_rng(7)
+    mesh = box_tet_mesh(5, 4, 4)
+    mesh.coords = mesh.coords + rng.normal(0, 0.015, mesh.coords.shape)
+    tags = tag_edges_by_error(
+        mesh, rng.random((1, mesh.nnode)), method="jump", tol=0.5)
+    fine, _ = refine_mesh(mesh, tags)
+    geo = _orient(fine.inpoel.astype(np.int64), fine.coords)
+    assert np.array_equal(geo, fine.inpoel.astype(np.int64))
+
+    # inverted parents: swap two nodes of every tet -> all-negative J
+    inv = UnsMesh(coords=mesh.coords,
+                  inpoel=mesh.inpoel[:, [0, 1, 3, 2]].copy())
+    inv.bface = {}
+    inv.bnode = {}
+    fine2, _ = refine_mesh(inv, tags)
+    geo2 = _orient(fine2.inpoel.astype(np.int64), fine2.coords)
+    assert np.array_equal(geo2, fine2.inpoel.astype(np.int64))

@@ -65,3 +65,57 @@ def test_morton_matches(mesh):
     nat = native.morton_codes(c)
     ref = _morton_codes(c)
     assert np.array_equal(nat, ref.astype(np.uint64))
+
+
+def test_native_tet_geometry_matches_numpy(mesh):
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    c = mesh.coords + rng.normal(0, 0.01, mesh.coords.shape)
+    inp = mesh.inpoel
+    J, g = native.tet_geometry(c, inp)
+    # inline NumPy reference (geometry.py's fallback formulas)
+    xyz = c[inp]
+    A = xyz[:, 0]
+    ba, ca, da = xyz[:, 1] - A, xyz[:, 2] - A, xyz[:, 3] - A
+
+    def cr(u, v):
+        return np.stack([u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1],
+                         u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
+                         u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]], 1)
+
+    baca = cr(ba, ca)
+    Jr = np.einsum("ij,ij->i", baca, da)
+    np.testing.assert_allclose(J, Jr, rtol=1e-14)
+    gr = np.empty((len(Jr), 4, 3))
+    gr[:, 1] = cr(ca, da) / Jr[:, None]
+    gr[:, 2] = cr(da, ba) / Jr[:, None]
+    gr[:, 3] = baca / Jr[:, None]
+    gr[:, 0] = -(gr[:, 1] + gr[:, 2] + gr[:, 3])
+    np.testing.assert_allclose(g, gr, rtol=1e-12, atol=1e-14)
+
+
+def test_native_unique_edges_matches_numpy(mesh):
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    from quinoa_tpu.mesh.derived import _TET_EDGES
+    e = np.sort(mesh.inpoel[:, _TET_EDGES].reshape(-1, 2), axis=1)
+    ref = np.unique(e, axis=0)
+    nat = native.unique_edges(mesh.inpoel)
+    assert np.array_equal(ref, nat)
+
+
+def test_native_coords_cache_and_volumes(mesh):
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    c, inp = mesh.coords, mesh.inpoel
+    cn, ctr = native.coords_cache(c, inp)
+    cn_ref = np.ascontiguousarray(c[inp].transpose(1, 2, 0))
+    np.testing.assert_array_equal(cn, cn_ref)
+    np.testing.assert_allclose(ctr, cn_ref.mean(axis=0), rtol=1e-15)
+    from quinoa_tpu.mesh.geometry import tet_geometry
+    J, _ = tet_geometry(c, inp)
+    vol = native.nodal_volumes(J, inp, mesh.nnode)
+    ref = np.bincount(inp.ravel(), weights=np.repeat(J / 24.0, 4),
+                      minlength=mesh.nnode)
+    np.testing.assert_allclose(vol, ref, rtol=1e-13)
