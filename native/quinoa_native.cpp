@@ -209,6 +209,101 @@ void qn_nodal_volumes(int64_t nelem, int64_t nnode, const double* J,
   }
 }
 
+// Faces-of-element table with L/R side flags: the sequential slot-fill
+// over el-sorted faces (build_dggeom's contract: slots in face order,
+// L entry first when a face is both sides of the same element pair).
+// A 1.4M-iteration Python loop otherwise.
+void qn_build_fose(int64_t nface, int64_t nelem, const int64_t* el,
+                   const int64_t* er, int32_t* fose, double* fsideR) {
+  std::vector<int8_t> slot(nelem, 0);
+  std::fill(fose, fose + 4 * nelem, 0);
+  std::fill(fsideR, fsideR + 4 * nelem, 0.0);
+  for (int64_t f = 0; f < nface; ++f) {
+    int64_t e = el[f];
+    fose[static_cast<int64_t>(slot[e]) * nelem + e] =
+        static_cast<int32_t>(f);
+    slot[e]++;
+    if (er[f] != e) {
+      int64_t e2 = er[f];
+      fose[static_cast<int64_t>(slot[e2]) * nelem + e2] =
+          static_cast<int32_t>(f);
+      fsideR[static_cast<int64_t>(slot[e2]) * nelem + e2] = 1.0;
+      slot[e2]++;
+    }
+  }
+}
+
+// Per-shard variant: only OWNED elements (< nown) get slots, and ghost
+// R sides of boundary-coded faces are skipped (build_dg_shards'
+// contract for stacked shard tables).
+// Returns the number of owned elements that did NOT fill exactly 4
+// slots (0 on a conforming shard; the caller asserts).
+int64_t qn_build_fose_masked(int64_t nface, int64_t nelem, int64_t nown,
+                             const int64_t* el, const int64_t* er,
+                             const int32_t* bctype, int32_t* fose,
+                             double* fsideR) {
+  std::vector<int8_t> slot(nelem, 0);
+  for (int64_t f = 0; f < nface; ++f) {
+    int64_t e = el[f];
+    if (e < nown) {
+      fose[static_cast<int64_t>(slot[e]) * nelem + e] =
+          static_cast<int32_t>(f);
+      fsideR[static_cast<int64_t>(slot[e]) * nelem + e] = 0.0;
+      slot[e]++;
+    }
+    int64_t e2 = er[f];
+    if (e2 < nown && e2 != e && bctype[f] == 0) {
+      fose[static_cast<int64_t>(slot[e2]) * nelem + e2] =
+          static_cast<int32_t>(f);
+      fsideR[static_cast<int64_t>(slot[e2]) * nelem + e2] = 1.0;
+      slot[e2]++;
+    }
+  }
+  int64_t bad = 0;
+  for (int64_t e = 0; e < nown; ++e)
+    if (slot[e] != 4) ++bad;
+  return bad;
+}
+
+// Reference coordinates of face Gauss points in the left/right element:
+// xi = jacInv[e] . (gp - n0[e]) with gp = sum_i shp[g,i] * coords[face
+// node i] — fused, replacing two gathered (F,G,3) einsums.
+void qn_face_xi(int64_t nface, int64_t ng, const double* coords,
+                const int32_t* inpofa, const double* shp,
+                const double* jacInv, const double* n0,
+                const int64_t* el, const int64_t* er,
+                double* xi_l, double* xi_r) {
+  for (int64_t f = 0; f < nface; ++f) {
+    const int32_t* fa = inpofa + f * 3;
+    const double* p0 = coords + static_cast<int64_t>(fa[0]) * 3;
+    const double* p1 = coords + static_cast<int64_t>(fa[1]) * 3;
+    const double* p2 = coords + static_cast<int64_t>(fa[2]) * 3;
+    const double* Jl = jacInv + el[f] * 9;
+    const double* Jr = jacInv + er[f] * 9;
+    const double* al = n0 + el[f] * 3;
+    const double* ar = n0 + er[f] * 3;
+    for (int64_t g = 0; g < ng; ++g) {
+      const double* s = shp + g * 3;
+      double gp[3];
+      for (int d = 0; d < 3; ++d)
+        gp[d] = s[0] * p0[d] + s[1] * p1[d] + s[2] * p2[d];
+      double dl[3], dr[3];
+      for (int d = 0; d < 3; ++d) {
+        dl[d] = gp[d] - al[d];
+        dr[d] = gp[d] - ar[d];
+      }
+      double* ol = xi_l + (f * ng + g) * 3;
+      double* orr = xi_r + (f * ng + g) * 3;
+      for (int i = 0; i < 3; ++i) {
+        ol[i] = Jl[i * 3] * dl[0] + Jl[i * 3 + 1] * dl[1] +
+                Jl[i * 3 + 2] * dl[2];
+        orr[i] = Jr[i * 3] * dr[0] + Jr[i * 3 + 1] * dr[1] +
+                 Jr[i * 3 + 2] * dr[2];
+      }
+    }
+  }
+}
+
 // Morton codes over quantized 3-D points (21 bits per axis).
 void qn_morton_codes(int64_t n, const double* pts, uint64_t* codes) {
   double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};

@@ -89,6 +89,34 @@ def lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
     ]
+    L.qn_build_fose.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    L.qn_build_fose_masked.restype = ctypes.c_int64
+    L.qn_build_fose_masked.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    L.qn_face_xi.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
     _LIB = L
     return _LIB
 
@@ -161,6 +189,55 @@ def nodal_volumes(J: np.ndarray, inpoel: np.ndarray, nnode: int):
     vol = np.empty(nnode, dtype=np.float64)
     L.qn_nodal_volumes(inp.shape[0], nnode, j, inp, vol)
     return vol
+
+
+def build_fose(el: np.ndarray, er: np.ndarray, nelem: int):
+    L = lib()
+    if L is None:
+        return None
+    e1 = np.ascontiguousarray(el, dtype=np.int64)
+    e2 = np.ascontiguousarray(er, dtype=np.int64)
+    fose = np.empty((4, nelem), dtype=np.int32)
+    fsideR = np.empty((4, nelem), dtype=np.float64)
+    L.qn_build_fose(len(e1), nelem, e1, e2,
+                    fose.reshape(-1), fsideR.reshape(-1))
+    return fose, fsideR
+
+
+def build_fose_masked(el, er, bctype, nelem: int, nown: int,
+                      fose: np.ndarray, fsideR: np.ndarray) -> Optional[int]:
+    """Fill the caller's pre-initialized (4, nelem) fose/fsideR slice in
+    place; returns the count of owned elements without exactly 4 slots
+    (None when the native library is unavailable)."""
+    L = lib()
+    if L is None:
+        return None
+    e1 = np.ascontiguousarray(el, dtype=np.int64)
+    e2 = np.ascontiguousarray(er, dtype=np.int64)
+    bt = np.ascontiguousarray(bctype, dtype=np.int32)
+    assert fose.flags.c_contiguous and fsideR.flags.c_contiguous
+    return int(L.qn_build_fose_masked(len(e1), nelem, nown, e1, e2, bt,
+                                      fose.reshape(-1),
+                                      fsideR.reshape(-1)))
+
+
+def face_xi(coords, inpofa, shp, jacInv, n0, el, er):
+    L = lib()
+    if L is None:
+        return None
+    c = np.ascontiguousarray(coords, dtype=np.float64)
+    fa = np.ascontiguousarray(inpofa, dtype=np.int32)
+    s = np.ascontiguousarray(shp, dtype=np.float64)
+    Ji = np.ascontiguousarray(jacInv, dtype=np.float64)
+    a0 = np.ascontiguousarray(n0, dtype=np.float64)
+    e1 = np.ascontiguousarray(el, dtype=np.int64)
+    e2 = np.ascontiguousarray(er, dtype=np.int64)
+    F, G = fa.shape[0], s.shape[0]
+    xi_l = np.empty((F, G, 3), dtype=np.float64)
+    xi_r = np.empty((F, G, 3), dtype=np.float64)
+    L.qn_face_xi(F, G, c, fa, s, Ji.reshape(-1), a0, e1, e2,
+                 xi_l.reshape(-1), xi_r.reshape(-1))
+    return xi_l, xi_r
 
 
 def morton_codes(pts: np.ndarray) -> Optional[np.ndarray]:

@@ -228,17 +228,25 @@ def build_dg_shards(
         s_fmask[s, :nf] = 1.0
 
         # fose for owned elements only
-        slot = np.zeros(nl, dtype=np.int64)
-        for fi in range(nf):
-            for e_loc, side in ((lel[fi], 0.0), (ler[fi], 1.0)):
-                if e_loc < nown and (side == 0.0 or ler[fi] != lel[fi]):
-                    if side == 1.0 and gnp["bctype"][fs[fi]] != 0:
-                        continue
-                    s_fose[s, slot[e_loc], e_loc] = fi
-                    s_fsideR[s, slot[e_loc], e_loc] = side
-                    slot[e_loc] += 1
-        if not (slot[:nown] == 4).all():
-            raise AssertionError("owned element missing face slots")
+        from ..native import build_fose_masked
+        bad = build_fose_masked(lel, ler, gnp["bctype"][fs], El, nown,
+                                s_fose[s], s_fsideR[s])
+        if bad is not None:
+            if bad:
+                raise AssertionError("owned element missing face slots")
+        else:
+            slot = np.zeros(nl, dtype=np.int64)
+            for fi in range(nf):
+                for e_loc, side in ((lel[fi], 0.0), (ler[fi], 1.0)):
+                    if e_loc < nown and (side == 0.0
+                                         or ler[fi] != lel[fi]):
+                        if side == 1.0 and gnp["bctype"][fs[fi]] != 0:
+                            continue
+                        s_fose[s, slot[e_loc], e_loc] = fi
+                        s_fsideR[s, slot[e_loc], e_loc] = side
+                        slot[e_loc] += 1
+            if not (slot[:nown] == 4).all():
+                raise AssertionError("owned element missing face slots")
 
         # limiter neighbors (local ids; -1 where absent)
         nb = esuel[loc]

@@ -199,12 +199,18 @@ def build_dggeom(
     ngf = ng_face(ndof)
     tp, _ = gauss_tri(ngf)
     shp = np.stack([1.0 - tp[:, 0] - tp[:, 1], tp[:, 0], tp[:, 1]], axis=1)
-    gp = np.einsum("gi,fid->fgd", shp, coords[inpofa])  # (F,G,3)
-
     el = esuf[:, 0].astype(np.int64)
     er = np.where(esuf[:, 1] < 0, el, esuf[:, 1]).astype(np.int64)
-    xi_l = np.einsum("fij,fgj->fgi", jacInv[el], gp - n0[el][:, None, :])
-    xi_r = np.einsum("fij,fgj->fgi", jacInv[er], gp - n0[er][:, None, :])
+    from ..native import face_xi as _native_face_xi
+    nat = _native_face_xi(coords, inpofa, shp, jacInv, n0, el, er)
+    if nat is not None:  # fused C++ pass over gathered 3x3 matvecs
+        xi_l, xi_r = nat
+    else:
+        gp = np.einsum("gi,fid->fgd", shp, coords[inpofa])  # (F,G,3)
+        xi_l = np.einsum("fij,fgj->fgi", jacInv[el],
+                         gp - n0[el][:, None, :])
+        xi_r = np.einsum("fij,fgj->fgi", jacInv[er],
+                         gp - n0[er][:, None, :])
 
     bctype = np.zeros(F, dtype=np.int32)
     bctype[:nbfac] = BC_EXTRAPOLATE
@@ -227,20 +233,25 @@ def build_dggeom(
     bctype = bctype[forder]
 
     # faces-of-element table with L/R side flags
-    fose = np.zeros((4, E), dtype=np.int32)
-    fsideR = np.zeros((4, E))
-    slot = np.zeros(E, dtype=np.int64)
-    for f in range(F):
-        e = el[f]
-        fose[slot[e], e] = f
-        slot[e] += 1
-        if er[f] != el[f]:
-            e2 = er[f]
-            fose[slot[e2], e2] = f
-            fsideR[slot[e2], e2] = 1.0
-            slot[e2] += 1
-    if not (slot == 4).all():
-        raise AssertionError("every tet must own exactly 4 face slots")
+    from ..native import build_fose as _native_fose
+    natf = _native_fose(el, er, E)
+    if natf is not None:
+        fose, fsideR = natf
+    else:
+        fose = np.zeros((4, E), dtype=np.int32)
+        fsideR = np.zeros((4, E))
+        slot = np.zeros(E, dtype=np.int64)
+        for f in range(F):
+            e = el[f]
+            fose[slot[e], e] = f
+            slot[e] += 1
+            if er[f] != el[f]:
+                e2 = er[f]
+                fose[slot[e2], e2] = f
+                fsideR[slot[e2], e2] = 1.0
+                slot[e2] += 1
+        if not (slot == 4).all():
+            raise AssertionError("every tet must own exactly 4 face slots")
 
     esuel = gen_esuel(inpoel, mesh.nnode)
 
