@@ -304,6 +304,53 @@ void qn_face_xi(int64_t nface, int64_t ng, const double* coords,
   }
 }
 
+// Hilbert-curve indices of 3-D points (Skilling's transpose algorithm;
+// identical quantization and bit order to mesh/reorder.py:
+// hilbert_codes, which needs ~100 full-array NumPy passes).
+void qn_hilbert_codes(int64_t n, const double* pts, int32_t bits,
+                      uint64_t* codes) {
+  double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = 0; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], pts[i * 3 + d]);
+      hi[d] = std::max(hi[d], pts[i * 3 + d]);
+    }
+  double span[3];
+  for (int d = 0; d < 3; ++d) {
+    span[d] = hi[d] - lo[d];
+    if (span[d] == 0.0) span[d] = 1.0;
+  }
+  const double s = static_cast<double>((1u << bits) - 1);
+  const uint32_t M = 1u << (bits - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t X[3];
+    for (int d = 0; d < 3; ++d)
+      X[d] = static_cast<uint32_t>((pts[i * 3 + d] - lo[d]) / span[d] * s);
+    for (uint32_t Q = M; Q > 1; Q >>= 1) {  // inverse undo excess work
+      uint32_t P = Q - 1;
+      for (int d = 0; d < 3; ++d) {
+        if (X[d] & Q) {
+          X[0] ^= P;
+        } else {
+          uint32_t t = (X[0] ^ X[d]) & P;
+          X[0] ^= t;
+          X[d] ^= t;
+        }
+      }
+    }
+    for (int d = 1; d < 3; ++d) X[d] ^= X[d - 1];  // Gray encode
+    uint32_t t = 0;
+    for (uint32_t Q = M; Q > 1; Q >>= 1)
+      if (X[2] & Q) t ^= Q - 1;
+    for (int d = 0; d < 3; ++d) X[d] ^= t;
+    uint64_t h = 0;  // interleave transpose bits, X[0] carries the MSB
+    for (int b = bits - 1; b >= 0; --b)
+      for (int d = 0; d < 3; ++d)
+        h = (h << 1) | ((X[d] >> b) & 1u);
+    codes[i] = h;
+  }
+}
+
 // Morton codes over quantized 3-D points (21 bits per axis).
 void qn_morton_codes(int64_t n, const double* pts, uint64_t* codes) {
   double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};

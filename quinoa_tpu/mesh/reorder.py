@@ -39,6 +39,10 @@ def hilbert_codes(pts: np.ndarray, bits: int = 16) -> np.ndarray:
     ranks vs 84% for Morton) — the element ordering behind the fused
     Pallas face windows (the Sorter/Reorder locality analog,
     src/Inciter/Sorter.cpp)."""
+    from ..native import hilbert_codes as _native_hc
+    nat = _native_hc(pts, bits)
+    if nat is not None:  # identical codes, one C++ pass
+        return nat
     lo = pts.min(axis=0)
     span = pts.max(axis=0) - lo
     span[span == 0] = 1.0

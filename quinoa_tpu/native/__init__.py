@@ -58,6 +58,12 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+    L.qn_hilbert_codes.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+    ]
     L.qn_morton_codes.argtypes = [
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -238,6 +244,16 @@ def face_xi(coords, inpofa, shp, jacInv, n0, el, er):
     L.qn_face_xi(F, G, c, fa, s, Ji.reshape(-1), a0, e1, e2,
                  xi_l.reshape(-1), xi_r.reshape(-1))
     return xi_l, xi_r
+
+
+def hilbert_codes(pts: np.ndarray, bits: int = 16) -> Optional[np.ndarray]:
+    L = lib()
+    if L is None:
+        return None
+    p = np.ascontiguousarray(pts, dtype=np.float64)
+    out = np.empty(p.shape[0], dtype=np.uint64)
+    L.qn_hilbert_codes(p.shape[0], p, bits, out)
+    return out
 
 
 def morton_codes(pts: np.ndarray) -> Optional[np.ndarray]:

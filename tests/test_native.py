@@ -119,3 +119,20 @@ def test_native_coords_cache_and_volumes(mesh):
     ref = np.bincount(inp.ravel(), weights=np.repeat(J / 24.0, 4),
                       minlength=mesh.nnode)
     np.testing.assert_allclose(vol, ref, rtol=1e-13)
+
+
+def test_native_hilbert_codes_matches_numpy(mesh):
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    import quinoa_tpu.native as qn
+    from quinoa_tpu.mesh import reorder
+
+    pts = element_centroids(mesh.coords, mesh.inpoel)
+    nat = reorder.hilbert_codes(pts)
+    saveL, saveT = qn._LIB, qn._TRIED
+    qn._LIB, qn._TRIED = None, True
+    try:
+        ref = reorder.hilbert_codes(pts)
+    finally:
+        qn._LIB, qn._TRIED = saveL, saveT
+    assert np.array_equal(nat, ref)
