@@ -681,13 +681,16 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
     else:
         if CK > 16 and _os.environ.get("QUINOA_SPLIT_FAR_GATHER") == "1":
             # XLA's TPU gather cost TRIPLES above 16 rows; split the
-            # CK-row right-state gather into two <=16-row halves (A/B
-            # experiment: flip the env var and re-run bench.py)
+            # CK-row right-state gather into component groups of
+            # <=16 rows each (2 halves for P1 compflow, 5 singles for
+            # P2 compflow).  A/B experiment: flip the env var and
+            # re-run bench.py
             Uv = U.reshape(C, K, -1)
-            h = (C + 1) // 2
+            ngrp = -(-C // max(1, 16 // K))
+            bounds = np.linspace(0, C, ngrp + 1).round().astype(int)
             UvRf = jnp.concatenate([
-                Uv[:h, :, fp.erF].reshape(h * K, FpF),
-                Uv[h:, :, fp.erF].reshape((C - h) * K, FpF),
+                Uv[a:b, :, fp.erF].reshape((b - a) * K, FpF)
+                for a, b in zip(bounds[:-1], bounds[1:])
             ], axis=0)
         else:
             UvRf = U.reshape(C, K, -1)[:, :, fp.erF].reshape(CK, FpF)

@@ -379,3 +379,47 @@ def test_nbr_bounds_matches_esuelt():
     lim_b = superbee_p1(geom, U, None, C, bounds=(umin, umax))
     lim_g = superbee_p1(geom, U, None, C)
     np.testing.assert_array_equal(np.asarray(lim_b), np.asarray(lim_g))
+
+
+@pytest.mark.parametrize("ndof", [
+    4,
+    pytest.param(10, marks=pytest.mark.slow),  # P2: CK=50 -> 5 chunks
+])
+def test_fused_nearfar_split_far_gather_variant(monkeypatch, ndof):
+    """QUINOA_SPLIT_FAR_GATHER=1 splits the CK-row far right-state
+    gather into <=16-row component groups (2 for P1 compflow, 5 for
+    P2); the reassembled rows are the same tensor, so the rhs must
+    match the default path exactly."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.pde.dg import dg_rhs
+    from quinoa_tpu.pde.dg_compflow import DGCompFlow
+    from quinoa_tpu.pde.problems import SedovBlastwave
+
+    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    plan = build_accum_plan(geom, TF=128, W=128)
+    assert plan.fused.Ff > 0
+
+    rng = np.random.default_rng(13)
+    E, K = geom.nelem, ndof
+    U0 = np.zeros((5 * K, E))
+    U0[0] = 1.0 + 0.05 * rng.random(E)
+    U0[4 * K] = 2.5 + 0.05 * rng.random(E)
+    for ck in range(5 * K):
+        if ck % K:
+            U0[ck] = 0.01 * rng.random(E)
+    U = jnp.asarray(U0)
+
+    def rhs(g, p, u):
+        return dg_rhs(system, g, u, None, 0.0, accum_plan=p,
+                      face_gp=False)
+
+    r_def = jax.jit(rhs)(geom, plan, U)
+    monkeypatch.setenv("QUINOA_SPLIT_FAR_GATHER", "1")
+    r_sp = jax.jit(rhs)(geom, plan, U)
+    np.testing.assert_allclose(np.asarray(r_sp), np.asarray(r_def),
+                               rtol=0, atol=1e-12)

@@ -32,4 +32,5 @@ run python tools/check_multimat_fused.py
 run python bench.py --pdg
 run python bench_walker.py
 run python bench.py --dgp2
+run env QUINOA_SPLIT_FAR_GATHER=1 python bench.py --dgp2
 echo "=== done — $(date -u +%H:%M:%S)" | tee -a "$LOG"
