@@ -106,6 +106,8 @@ def _run_inner(env, timeout_s):
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         return json.loads(line)
+    except OSError:
+        return "spawn-failed"
     except Exception:
         return None
 
@@ -129,10 +131,20 @@ def orchestrate(deadline_s: float = 1500.0):
 
     signal.signal(signal.SIGTERM, _emit)
     best = _run_inner({}, 560)
-    if best is None:
+    if best == "spawn-failed":
         # subprocess plumbing unavailable: measure in-process (prints)
         main()
         return
+    if best is None:
+        # one retry covers a cold-compile overrun; if the backend is
+        # DOWN (axon tunnel outages hang device init with no error),
+        # fail FAST with a diagnostic instead of hanging in-process
+        # past the driver's patience
+        best = _run_inner({}, 560)
+    if best is None or best == "spawn-failed":
+        print("bench.py: default measurement failed twice (backend "
+              "down or compile > 560s); no result", file=sys.stderr)
+        sys.exit(1)
     best["flags"] = "default"
     state["best"] = best
     for env in VARIANTS:
