@@ -55,7 +55,16 @@ class Walker:
         self.dt = dt
         self.t0 = t0
         self.dtype = dtype or jnp.zeros(0).dtype
-        self.key = jax.random.key(seed)
+        # QUINOA_PRNG_IMPL overrides the stream family (e.g. `rbg`, the
+        # TPU-hardware generator — far fewer ALU ops/draw than
+        # threefry2x32; statistically validated by the rngtest
+        # batteries).  Default: jax's default (threefry), matching the
+        # reference's Random123 streams.
+        import os
+
+        impl = os.environ.get("QUINOA_PRNG_IMPL")
+        self.key = (jax.random.key(seed, impl=impl) if impl
+                    else jax.random.key(seed))
         self.ordinary = list(ordinary)
         self.central = list(central)
         self.mesh = mesh

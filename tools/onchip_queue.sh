@@ -31,6 +31,7 @@ run env QUINOA_CG_FUSED=1 python bench_alecg.py
 run python tools/check_multimat_fused.py
 run python bench.py --pdg
 run python bench_walker.py
+run env QUINOA_PRNG_IMPL=rbg python bench_walker.py
 run python bench.py --dgp2
 run env QUINOA_SPLIT_FAR_GATHER=1 python bench.py --dgp2
 echo "=== done — $(date -u +%H:%M:%S)" | tee -a "$LOG"
