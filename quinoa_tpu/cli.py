@@ -12,6 +12,39 @@ import sys
 import time
 
 
+class _Preempt:
+    """Graceful preemption drain: SIGTERM/SIGINT set a flag; the step
+    loop finishes the current iteration, writes a restart checkpoint
+    and the final outputs, and exits cleanly.  The TPU-production
+    analog of the reference's Charm++ checkpoint machinery under
+    preemptible VMs (its `-r rsfreq` restart contract,
+    src/Main/Inciter.cpp) — a preempted run resumes with `--restart`."""
+
+    def __init__(self):
+        self.flag = False
+        self._old = {}
+
+    def __enter__(self):
+        import signal
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._old[sig] = signal.signal(sig, self._handler)
+            except ValueError:  # non-main thread: no handlers, no drain
+                pass
+        return self
+
+    def _handler(self, signum, frame):
+        self.flag = True
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, h in self._old.items():
+            signal.signal(sig, h)
+        return False
+
+
 def _cmd_inciter(argv):
     ap = argparse.ArgumentParser(prog="quinoa_tpu inciter")
     ap.add_argument("-c", "--control", required=True, help=".q control file")
@@ -137,7 +170,7 @@ def _cmd_inciter(argv):
     t0 = time.perf_counter()
     it = int(state.it)  # nonzero when restarted from a checkpoint
     from .base.profiler import jax_trace as _jt
-    with _jt(args.trace_dir):
+    with _jt(args.trace_dir), _Preempt() as pre:
         while it < cfg.nstep and float(state.t) < cfg.term:
             tprev = float(state.t)
             with prof.phase("timestep"):
@@ -189,12 +222,16 @@ def _cmd_inciter(argv):
                                   pieces=args.pieces,
                                   eorder=getattr(args, "_eorder", None))
                 _particles_write(pt, float(state.t))
-            if args.rsfreq and it % args.rsfreq == 0:
+            if (args.rsfreq and it % args.rsfreq == 0) or pre.flag:
                 from .inciter.checkpoint import save_checkpoint
 
                 with prof.phase("checkpoint"):
                     save_checkpoint(args.checkpoint_dir, state,
                                     {"it": it, "t": float(state.t)})
+            if pre.flag:
+                print(f"  preempted at it={it}: checkpoint written to "
+                      f"{args.checkpoint_dir}; resume with --restart")
+                break
     dw.close()
     if pt is not None:
         pt["writer"].close()
@@ -489,7 +526,7 @@ def _run_inciter_spmd(args, cfg, mesh):
     it = int(_hs(state.it))
     from .base.profiler import jax_trace as _jt
 
-    with _jt(getattr(args, "trace_dir", None)):
+    with _jt(getattr(args, "trace_dir", None)), _Preempt() as pre:
         while it < cfg.nstep and float(_hs(state.t)) < cfg.term:
             with prof.phase("timestep"):
                 state = solver.step(state)
@@ -528,12 +565,16 @@ def _run_inciter_spmd(args, cfg, mesh):
             if it % cfg.field_interval == 0:
                 _write_fields_spmd(args, it, cfg, solver, state, mesh,
                                    gather_u, cg_scheme)
-            if args.rsfreq and it % args.rsfreq == 0:
+            if (args.rsfreq and it % args.rsfreq == 0) or pre.flag:
                 from .inciter.checkpoint import save_checkpoint_sharded
 
                 save_checkpoint_sharded(args.checkpoint_dir, state,
                                         {"it": it, "t": float(_hs(state.t)),
                                          "npes": args.npes})
+            if pre.flag:
+                print(f"  preempted at it={it}: checkpoint written to "
+                      f"{args.checkpoint_dir}; resume with --restart")
+                break
     dw.close()
     if args.verbose:
         wall = time.perf_counter() - t0

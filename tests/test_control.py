@@ -248,3 +248,82 @@ def test_keyword_help():
     missing = [b for b in BLOCK_PARENTS
                if b not in KEYWORDS and not b.startswith("ic")]
     assert not missing, missing
+
+
+@pytest.mark.slow
+def test_cli_preemption_drain(tmp_path):
+    """SIGTERM mid-run drains gracefully: the current step finishes, a
+    checkpoint is written, the process exits 0 — and --restart resumes
+    from the preempted step and runs to completion (preemptible-VM
+    behavior; the reference's Charm++ rsfreq restart contract)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import numpy as np
+
+    deck = tmp_path / "d.q"
+    deck.write_text("""
+    inciter
+      nstep 400
+      dt 1.0e-4
+      scheme dg
+      transport
+        physics advection problem gauss_hump ncomp 1 depvar c
+        bc_extrapolate sideset 1 end end
+        bc_inlet sideset 2 end end
+        bc_outlet sideset 3 end end
+      end
+      diagnostics interval 1 error l2 end
+    end
+    """)
+    mesh = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+            "dtref/unitcube_01_112_ss3.exo")
+    code = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            "import sys; from quinoa_tpu.cli import main; "
+            "sys.exit(main(sys.argv[1:]))")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    p = subprocess.Popen(
+        [sys.executable, "-c", code, "inciter", "-c", str(deck),
+         "-i", mesh, "--diag", "diag_pre", "--checkpoint-dir", "ck"],
+        cwd=tmp_path, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    diag = tmp_path / "diag_pre"
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if diag.exists() and sum(1 for l in open(diag)
+                                 if not l.startswith("#")) >= 2:
+            break
+        if p.poll() is not None:
+            raise AssertionError(f"run ended early:\n{p.stdout.read()}")
+        time.sleep(0.02)
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out
+    assert "preempted at it=" in out
+
+    def rows(path):
+        return np.array([[float(x) for x in l.split()]
+                         for l in open(path) if not l.startswith("#")])
+
+    pre = rows(diag)
+    k = int(pre[-1, 0])
+    assert 0 < k < 400  # genuinely interrupted mid-run
+    # resume in-process (conftest already forces CPU)
+    from quinoa_tpu.cli import main
+
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(["inciter", "-c", str(deck), "-i", mesh,
+                     "--diag", "diag_rest", "--restart", "ck"]) == 0
+    finally:
+        os.chdir(old)
+    rest = rows(tmp_path / "diag_rest")
+    assert int(rest[0, 0]) == k + 1 and int(rest[-1, 0]) == 400
+    assert np.all(np.diff(rest[:, 0]) == 1)
