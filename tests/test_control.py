@@ -327,3 +327,74 @@ def test_cli_preemption_drain(tmp_path):
     rest = rows(tmp_path / "diag_rest")
     assert int(rest[0, 0]) == k + 1 and int(rest[-1, 0]) == 400
     assert np.all(np.diff(rest[:, 0]) == 1)
+
+
+@pytest.mark.slow
+def test_cli_preemption_drain_spmd(tmp_path):
+    """The --npes SPMD driver drains on SIGTERM the same way: sharded
+    checkpoint + clean exit + --restart resume."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    deck = tmp_path / "d.q"
+    deck.write_text("""
+    inciter
+      nstep 300
+      dt 1.0e-4
+      scheme dg
+      transport
+        physics advection problem gauss_hump ncomp 1 depvar c
+        bc_extrapolate sideset 1 end end
+        bc_inlet sideset 2 end end
+        bc_outlet sideset 3 end end
+      end
+      diagnostics interval 1 error l2 end
+    end
+    """)
+    mesh = ("/root/reference/tests/regression/inciter/mesh_refinement/"
+            "dtref/unitcube_01_112_ss3.exo")
+    code = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            "import sys; from quinoa_tpu.cli import main; "
+            "sys.exit(main(sys.argv[1:]))")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    p = subprocess.Popen(
+        [sys.executable, "-c", code, "inciter", "-c", str(deck),
+         "-i", mesh, "--npes", "2", "--diag", "diag_pre",
+         "--checkpoint-dir", "ck"],
+        cwd=tmp_path, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    diag = tmp_path / "diag_pre"
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if diag.exists() and sum(1 for l in open(diag)
+                                 if not l.startswith("#")) >= 2:
+            break
+        if p.poll() is not None:
+            raise AssertionError(f"run ended early:\n{p.stdout.read()}")
+        time.sleep(0.02)
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out
+    assert "preempted at it=" in out
+    k = int(out.split("preempted at it=")[1].split(":")[0])
+    assert 0 < k < 300
+
+    rest_code = subprocess.run(
+        [sys.executable, "-c", code, "inciter", "-c", str(deck),
+         "-i", mesh, "--npes", "2", "--diag", "diag_rest",
+         "--restart", "ck"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=560,
+    )
+    assert rest_code.returncode == 0, rest_code.stdout + rest_code.stderr
+    import numpy as np
+    rest = np.array([[float(x) for x in l.split()]
+                     for l in open(tmp_path / "diag_rest")
+                     if not l.startswith("#")])
+    assert int(rest[0, 0]) == k + 1 and int(rest[-1, 0]) == 300
