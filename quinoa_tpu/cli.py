@@ -59,6 +59,10 @@ def _cmd_inciter(argv):
     ap.add_argument("--pieces", type=int, default=0,
                     help="write field output as N per-partition exodus "
                          "pieces (MeshWriter chare-group analog)")
+    ap.add_argument("--sync-io", action="store_true",
+                    help="write field output synchronously (default: a "
+                         "worker thread overlaps file I/O with stepping, "
+                         "the async MeshWriter analog)")
     ap.add_argument("--npes", type=int, default=1,
                     help="shard the run over N devices (domain "
                          "decomposition over a jax.sharding.Mesh; the "
@@ -170,6 +174,8 @@ def _cmd_inciter(argv):
     t0 = time.perf_counter()
     it = int(state.it)  # nonzero when restarted from a checkpoint
     from .base.profiler import jax_trace as _jt
+    from .io.iothread import AsyncWriter
+    aw = AsyncWriter(enabled=not args.sync_io)
     with _jt(args.trace_dir), _Preempt() as pre:
         while it < cfg.nstep and float(state.t) < cfg.term:
             tprev = float(state.t)
@@ -218,9 +224,14 @@ def _cmd_inciter(argv):
                 print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
             if it % cfg.field_interval == 0:
                 with prof.phase("field output"):
-                    _write_fields(args.output, it, cfg, solver, state, mesh,
-                                  pieces=args.pieces,
-                                  eorder=getattr(args, "_eorder", None))
+                    # enqueue on the I/O worker: state/mesh are immutable
+                    # snapshots, so stepping continues under the write
+                    aw.submit(lambda it=it, solver=solver, state=state,
+                              mesh=mesh,
+                              eo=getattr(args, "_eorder", None):
+                              _write_fields(args.output, it, cfg, solver,
+                                            state, mesh,
+                                            pieces=args.pieces, eorder=eo))
                 _particles_write(pt, float(state.t))
             if (args.rsfreq and it % args.rsfreq == 0) or pre.flag:
                 from .inciter.checkpoint import save_checkpoint
@@ -238,9 +249,10 @@ def _cmd_inciter(argv):
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
-    _write_fields(args.output, it, cfg, solver, state, mesh,
-                  pieces=args.pieces,
-                  eorder=getattr(args, "_eorder", None))
+    aw.submit(lambda: _write_fields(args.output, it, cfg, solver, state,
+                                    mesh, pieces=args.pieces,
+                                    eorder=getattr(args, "_eorder", None)))
+    aw.close()
     if args.profile:
         print(prof.table())
     return 0
@@ -525,7 +537,9 @@ def _run_inciter_spmd(args, cfg, mesh):
     t0 = time.perf_counter()
     it = int(_hs(state.it))
     from .base.profiler import jax_trace as _jt
+    from .io.iothread import AsyncWriter
 
+    aw = AsyncWriter(enabled=not getattr(args, "sync_io", False))
     with _jt(getattr(args, "trace_dir", None)), _Preempt() as pre:
         while it < cfg.nstep and float(_hs(state.t)) < cfg.term:
             with prof.phase("timestep"):
@@ -563,8 +577,12 @@ def _run_inciter_spmd(args, cfg, mesh):
             if args.verbose and it % cfg.ttyi == 0:
                 print(f"  it={it} t={float(_hs(state.t)):.6e} dt={float(_hs(state.dt)):.6e}")
             if it % cfg.field_interval == 0:
-                _write_fields_spmd(args, it, cfg, solver, state, mesh,
-                                   gather_u, cg_scheme)
+                aw.submit(lambda it=it, solver=solver, state=state,
+                          mesh=mesh, gu=gather_u,
+                          eo=getattr(args, "_eorder", None):
+                          _write_fields_spmd(args, it, cfg, solver, state,
+                                             mesh, gu, cg_scheme,
+                                             eorder=eo))
             if (args.rsfreq and it % args.rsfreq == 0) or pre.flag:
                 from .inciter.checkpoint import save_checkpoint_sharded
 
@@ -579,15 +597,18 @@ def _run_inciter_spmd(args, cfg, mesh):
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(_hs(state.t)):.6e}, {wall:.2f}s")
-    _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
-                       cg_scheme)
+    aw.submit(lambda: _write_fields_spmd(args, it, cfg, solver, state,
+                                         mesh, gather_u, cg_scheme,
+                                         eorder=getattr(args, "_eorder",
+                                                        None)))
+    aw.close()
     if getattr(args, "profile", False):
         print(prof.table())
     return 0
 
 
 def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
-                       cg_scheme):
+                       cg_scheme, eorder=None):
     import numpy as np
 
     from .inciter.fieldout import plot_fields
@@ -600,7 +621,7 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
     # overdecomposition, cpd*npes (one file per CHARE, the reference's
     # MeshWriter.hpp:33-100 contract); anything else gathers.
     if _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
-                               cg_scheme):
+                               cg_scheme, eorder=eorder):
         return
 
     u = gather_u(state)
@@ -619,8 +640,7 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
         cen = mesh.coords[mesh.inpoel].mean(axis=1).T
         elem_fields = plot_fields(cfg.pde, solver.system, avg, cen,
                                   float(_hs(state.t)))
-    mesh, elem_fields = _orig_order(mesh, elem_fields,
-                                    getattr(args, "_eorder", None))
+    mesh, elem_fields = _orig_order(mesh, elem_fields, eorder)
     if args.pieces > 1:
         from .parallel.partition import partition_elements
 
@@ -636,7 +656,7 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
 
 
 def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
-                            cg_scheme):
+                            cg_scheme, eorder=None):
     """One ExodusII piece per device (--pieces == npes) or per chare
     (--pieces == cpd*npes under -u), valued from the owning device's
     buffer.
@@ -725,8 +745,7 @@ def _write_pieces_per_shard(args, it, cfg, solver, state, mesh,
             cen = mesh.coords[mesh.inpoel[emap]].mean(axis=1).T
             ef = plot_fields(cfg.pde, solver.system, avg, cen, t)
             nf = None
-        eord = getattr(args, "_eorder", None)
-        emap_out = emap if eord is None else eord[emap]
+        emap_out = emap if eorder is None else eorder[emap]
         write_exodus(piece_path(args.output, it, args.pieces, p), lm,
                      node_fields=nf, elem_fields=ef, time=t,
                      node_num_map=nmap, elem_num_map=emap_out)
