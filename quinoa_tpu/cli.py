@@ -63,6 +63,9 @@ def _cmd_inciter(argv):
                     help="write field output synchronously (default: a "
                          "worker thread overlaps file I/O with stepping, "
                          "the async MeshWriter analog)")
+    ap.add_argument("-b", "--benchmark", action="store_true",
+                    help="benchmark mode: no field output "
+                         "(MeshWriter.cpp:101); diagnostics still write")
     ap.add_argument("--npes", type=int, default=1,
                     help="shard the run over N devices (domain "
                          "decomposition over a jax.sharding.Mesh; the "
@@ -222,7 +225,7 @@ def _cmd_inciter(argv):
                         print(f"  dtref @it={it}: -> {mesh.nelem} tets")
             if args.verbose and it % cfg.ttyi == 0:
                 print(f"  it={it} t={float(state.t):.6e} dt={float(state.dt):.6e}")
-            if it % cfg.field_interval == 0:
+            if it % cfg.field_interval == 0 and not args.benchmark:
                 with prof.phase("field output"):
                     # enqueue on the I/O worker: state/mesh are immutable
                     # snapshots, so stepping continues under the write
@@ -249,9 +252,11 @@ def _cmd_inciter(argv):
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(state.t):.6e}, {wall:.2f}s")
-    aw.submit(lambda: _write_fields(args.output, it, cfg, solver, state,
-                                    mesh, pieces=args.pieces,
-                                    eorder=getattr(args, "_eorder", None)))
+    if not args.benchmark:
+        aw.submit(lambda: _write_fields(args.output, it, cfg, solver,
+                                        state, mesh, pieces=args.pieces,
+                                        eorder=getattr(args, "_eorder",
+                                                       None)))
     aw.close()
     if args.profile:
         print(prof.table())
@@ -576,7 +581,8 @@ def _run_inciter_spmd(args, cfg, mesh):
                               f"(resharded over {args.npes})")
             if args.verbose and it % cfg.ttyi == 0:
                 print(f"  it={it} t={float(_hs(state.t)):.6e} dt={float(_hs(state.dt)):.6e}")
-            if it % cfg.field_interval == 0:
+            if it % cfg.field_interval == 0 \
+                    and not getattr(args, "benchmark", False):
                 aw.submit(lambda it=it, solver=solver, state=state,
                           mesh=mesh, gu=gather_u,
                           eo=getattr(args, "_eorder", None):
@@ -597,10 +603,12 @@ def _run_inciter_spmd(args, cfg, mesh):
     if args.verbose:
         wall = time.perf_counter() - t0
         print(f"  done: {it} steps, t={float(_hs(state.t)):.6e}, {wall:.2f}s")
-    aw.submit(lambda: _write_fields_spmd(args, it, cfg, solver, state,
-                                         mesh, gather_u, cg_scheme,
-                                         eorder=getattr(args, "_eorder",
-                                                        None)))
+    if not getattr(args, "benchmark", False):
+        aw.submit(lambda: _write_fields_spmd(args, it, cfg, solver, state,
+                                             mesh, gather_u, cg_scheme,
+                                             eorder=getattr(args,
+                                                            "_eorder",
+                                                            None)))
     aw.close()
     if getattr(args, "profile", False):
         print(prof.table())

@@ -398,3 +398,26 @@ def test_cli_preemption_drain_spmd(tmp_path):
                      for l in open(tmp_path / "diag_rest")
                      if not l.startswith("#")])
     assert int(rest[0, 0]) == k + 1 and int(rest[-1, 0]) == 300
+
+
+def test_cli_benchmark_mode(tmp_path, monkeypatch):
+    """-b suppresses field output but keeps diagnostics (the reference's
+    benchmark switch, MeshWriter.cpp:101)."""
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import write_exodus
+
+    mesh = box_tet_mesh(4, 4, 2, hi=(1.0, 1.0, 0.5))
+    write_exodus(str(tmp_path / "box.exo"), mesh)
+    (tmp_path / "run.q").write_text("""
+    inciter
+      nstep 2  dt 0.001
+      transport depvar c physics advection problem slot_cyl end
+      diagnostics interval 1 end
+    end
+    """)
+    monkeypatch.chdir(tmp_path)
+    assert main(["inciter", "-c", "run.q", "-i", "box.exo",
+                 "--diag", "diag", "-o", "out", "-b"]) == 0
+    assert not list(tmp_path.glob("out*"))
+    assert sum(1 for l in open(tmp_path / "diag")
+               if not l.startswith("#")) == 2
