@@ -1081,6 +1081,19 @@ def main(argv=None):
             and not argv[i + 1].startswith("-") else None
         print(format_keyword_help(kw))
         return 0
+    # version/license switches, accepted by every executable (the
+    # reference's CmdLine grammar `version`/`license` rules)
+    if "--version" in argv:
+        from . import __version__
+
+        print(f"quinoa_tpu {__version__} (TPU-native rebuild of "
+              "Quinoa; jax/XLA/Pallas compute path)")
+        return 0
+    if "--license" in argv:
+        print("quinoa_tpu: an independent TPU-native implementation of "
+              "the Quinoa feature set.\nReference upstream "
+              "(github.com/quinoacomputing/quinoa) is BSD-3-Clause.")
+        return 0
     if not argv or argv[0] not in _COMMANDS:
         print(
             "usage: python -m quinoa_tpu {inciter|walker|meshconv|rngtest} [options]",
