@@ -66,6 +66,11 @@ def _cmd_inciter(argv):
     ap.add_argument("-b", "--benchmark", action="store_true",
                     help="benchmark mode: no field output "
                          "(MeshWriter.cpp:101); diagnostics still write")
+    ap.add_argument("-l", "--lbfreq", type=int, default=0,
+                    help="dynamic load balancing every N steps: under "
+                         "p-adaptive DG with --npes, repartition by "
+                         "active dofs along the SFC (the Charm++ "
+                         "migration / Zoltan weighted-HSFC analog)")
     ap.add_argument("--npes", type=int, default=1,
                     help="shard the run over N devices (domain "
                          "decomposition over a jax.sharding.Mesh; the "
@@ -579,6 +584,46 @@ def _run_inciter_spmd(args, cfg, mesh):
                     if args.verbose:
                         print(f"  dtref @it={it}: -> {mesh.nelem} tets "
                               f"(resharded over {args.npes})")
+            if getattr(args, "lbfreq", 0) and it % args.lbfreq == 0 \
+                    and it < cfg.nstep and getattr(solver, "pref", False) \
+                    and getattr(args, "virtualization", 0.0) == 0.0 \
+                    and not getattr(args, "slices", 0):
+                # dynamic LB: repartition by active dofs (ndofel) along
+                # the SFC and migrate the state — the Charm++ LB /
+                # Zoltan weighted-HSFC analog for p-adaptive runs whose
+                # P1 region has drifted off the static partition
+                with prof.phase("load balancing"):
+                    from .parallel.partition import partition_elements
+
+                    nd = _gather_ndofel(solver, state)
+                    epart = partition_elements(
+                        mesh.coords, mesh.inpoel, args.npes,
+                        weights=nd.astype(np.float64))
+                    prev = getattr(args, "_lb_epart", None)
+                    if prev is None or not np.array_equal(prev, epart):
+                        args._lb_epart = epart
+                        u2 = gather_u(state)
+                        solver = build_inciter_spmd(
+                            cfg, mesh, args.npes, hierarchy=hierarchy,
+                            epart=epart)
+                        st = solver.initial_state(t0=float(_hs(state.t)))
+                        unew = jax.device_put(
+                            scatter_u(solver, u2).astype(st.u.dtype),
+                            st.u.sharding)
+                        ids = np.maximum(
+                            np.asarray(solver.sharded.eglobal), 0)
+                        ndnew = jax.device_put(
+                            jnp.asarray(np.stack([nd[ids[s]] for s in
+                                                  range(ids.shape[0])])
+                                        .astype(np.int32)),
+                            st.ndofel.sharding)
+                        state = _dc.replace(st, u=unew, ndofel=ndnew,
+                                            it=state.it, dt=state.dt)
+                        if args.verbose:
+                            cnt = np.bincount(epart, weights=nd,
+                                              minlength=args.npes)
+                            print(f"  lb @it={it}: active-dof balance "
+                                  f"{cnt.min():.0f}..{cnt.max():.0f}")
             if args.verbose and it % cfg.ttyi == 0:
                 print(f"  it={it} t={float(_hs(state.t)):.6e} dt={float(_hs(state.dt)):.6e}")
             if it % cfg.field_interval == 0 \
@@ -613,6 +658,20 @@ def _run_inciter_spmd(args, cfg, mesh):
     if getattr(args, "profile", False):
         print(prof.table())
     return 0
+
+
+def _gather_ndofel(solver, state):
+    """Global (E,) active-dof counts from the owned shard copies."""
+    import numpy as np
+
+    nd = np.asarray(state.ndofel)
+    eg = np.asarray(solver.sharded.eglobal)
+    owned = np.asarray(solver.sharded.owned) > 0
+    out = np.zeros(solver.sharded.nelem_global, dtype=np.int32)
+    for s in range(solver.sharded.nshard):
+        m = owned[s]
+        out[eg[s][m]] = nd[s][m]
+    return out
 
 
 def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,

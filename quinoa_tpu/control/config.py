@@ -385,7 +385,8 @@ def build_inciter(cfg: InciterConfig, mesh):
 
 
 def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
-                       virtualization: float = 0.0, hierarchy=None):
+                       virtualization: float = 0.0, hierarchy=None,
+                       epart=None):
     """Construct the DISTRIBUTED solver named by the deck over npes shards.
 
     The production counterpart of the reference's always-parallel
@@ -401,6 +402,11 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
     from ..pde import problems as prob_mod
     from ..pde.eos import StiffenedGas
 
+    if epart is not None and (cfg.scheme not in _SCHEME_NDOF
+                              or cfg.pde == "multimat"
+                              or virtualization > 0.0):
+        raise ValueError("an explicit element partition (load "
+                         "balancing) requires a DG scheme without -u")
     if dmesh is None:
         devices = jax.devices()
         if len(devices) < npes:
@@ -598,6 +604,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             sharded = build_dg_shards(
                 mesh, npes, ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
                 algorithm=cfg.partitioner, hierarchy=hierarchy,
+                epart=epart,
             )
         solver = SPMDDGSolver(
             system, sharded, dmesh, cfl=cfl, const_dt=cfg.dt,

@@ -118,6 +118,7 @@ def build_dg_shards(
     algorithm: str = "sfc",
     dtype=None,
     hierarchy=None,
+    epart: Optional[np.ndarray] = None,
 ) -> ShardedDG:
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -132,8 +133,15 @@ def build_dg_shards(
     E = mesh.nelem
     esuel = gen_esuel(mesh.inpoel, mesh.nnode)  # (E,4)
 
-    epart = partition_for(mesh.coords, mesh.inpoel, nshard, algorithm,
-                          hierarchy=hierarchy)
+    if epart is None:
+        epart = partition_for(mesh.coords, mesh.inpoel, nshard, algorithm,
+                              hierarchy=hierarchy)
+    else:
+        # explicit partition (dynamic load balancing rebuilds with a
+        # weighted split; the Charm++ migration analog)
+        epart = np.asarray(epart, dtype=np.int32)
+        if epart.shape != (E,):
+            raise ValueError("epart must be (nelem,)")
 
     owned_l, local_l, ghosts_l = [], [], []
     for s in range(nshard):

@@ -45,9 +45,13 @@ def _morton_codes(pts: np.ndarray, bits: int = 21) -> np.ndarray:
     )
 
 
-def morton_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
-    """Equal-count SFC partition: sort by Morton code, chunk contiguously.
+def morton_partition(centroids: np.ndarray, nparts: int,
+                     weights: np.ndarray | None = None) -> np.ndarray:
+    """SFC partition: sort by Morton code, chunk contiguously.
 
+    Equal COUNT without weights; equal WEIGHT (cut at weighted
+    quantiles of the curve) with them — the dynamic-load-balancing
+    splitter (Zoltan HSFC accepts the same per-object weights).
     Uses the native Morton-code kernel when available."""
     from ..native import morton_codes as _native
 
@@ -57,9 +61,19 @@ def morton_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
         codes = _morton_codes(centroids)
     order = np.argsort(codes, kind="stable")
     part = np.empty(n, dtype=np.int32)
-    # equal-count split (differ by at most 1)
-    bounds = (np.arange(1, nparts) * n) // nparts
-    part[order] = np.searchsorted(bounds, np.arange(n), side="right")
+    if weights is None:
+        # equal-count split (differ by at most 1)
+        bounds = (np.arange(1, nparts) * n) // nparts
+        part[order] = np.searchsorted(bounds, np.arange(n), side="right")
+    else:
+        w = np.asarray(weights, dtype=np.float64)[order]
+        cw = np.cumsum(w)
+        total = cw[-1] if len(cw) else 0.0
+        cuts = total * np.arange(1, nparts) / nparts
+        # element i (SFC order) goes to the part whose weight window
+        # holds the MIDPOINT of its own weight span
+        mid = cw - 0.5 * w
+        part[order] = np.searchsorted(cuts, mid, side="left")
     return part
 
 
@@ -230,13 +244,22 @@ _ALGOS = {
 
 
 def partition_elements(
-    coords: np.ndarray, inpoel: np.ndarray, nparts: int, algorithm: str = "sfc"
+    coords: np.ndarray, inpoel: np.ndarray, nparts: int,
+    algorithm: str = "sfc", weights: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Partition elements by centroid into `nparts` shards."""
+    """Partition elements by centroid into `nparts` shards.
+
+    With per-element `weights` (dynamic load balancing: e.g. active
+    dofs under p-adaptivity) the split is the weighted SFC cut
+    regardless of `algorithm` — mirroring the reference's Zoltan
+    migration, which rebalances by object weight along its HSFC."""
     if nparts < 1:
         raise ValueError("nparts must be >= 1")
     if nparts == 1:
         return np.zeros(inpoel.shape[0], dtype=np.int32)
+    if weights is not None:
+        return morton_partition(element_centroids(coords, inpoel),
+                                nparts, weights=weights)
     try:
         algo = _ALGOS[algorithm]
     except KeyError:

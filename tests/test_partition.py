@@ -78,3 +78,23 @@ def test_unknown_algorithm():
     m = box_tet_mesh(2, 2, 2)
     with pytest.raises(ValueError):
         partition_elements(m.coords, m.inpoel, 2, "nope")
+
+
+def test_weighted_sfc_partition_balances():
+    """Weighted SFC split: per-part weight within one max-element-weight
+    of the ideal share even when weights are strongly skewed (the
+    dynamic-LB splitter behind --lbfreq)."""
+    import numpy as np
+
+    from quinoa_tpu.parallel.partition import morton_partition
+
+    rng = np.random.default_rng(5)
+    pts = rng.random((4000, 3))
+    w = np.where(pts[:, 0] < 0.5, 4.0, 1.0)  # left half 4x heavier
+    part = morton_partition(pts, 4, weights=w)
+    per = np.bincount(part, weights=w, minlength=4)
+    ideal = w.sum() / 4
+    assert np.abs(per - ideal).max() <= w.max() + 1e-9
+    # the unweighted split is materially imbalanced on the same input
+    per0 = np.bincount(morton_partition(pts, 4), weights=w, minlength=4)
+    assert np.abs(per0 - ideal).max() > 10 * w.max()
