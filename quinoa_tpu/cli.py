@@ -586,26 +586,35 @@ def _run_inciter_spmd(args, cfg, mesh):
                               f"(resharded over {args.npes})")
             if getattr(args, "lbfreq", 0) and it % args.lbfreq == 0 \
                     and it < cfg.nstep and getattr(solver, "pref", False) \
-                    and getattr(args, "virtualization", 0.0) == 0.0 \
                     and not getattr(args, "slices", 0):
-                # dynamic LB: repartition by active dofs (ndofel) along
-                # the SFC and migrate the state — the Charm++ LB /
-                # Zoltan weighted-HSFC analog for p-adaptive runs whose
-                # P1 region has drifted off the static partition
+                # dynamic LB by active dofs (ndofel): without -u,
+                # repartition along the weighted SFC; under -u, keep
+                # chunk membership and re-LPT-pack chunks to devices
+                # (the literal chare-migration analog).  Migrates u AND
+                # the sticky ndofel state.
                 with prof.phase("load balancing"):
-                    from .parallel.partition import partition_elements
-
                     nd = _gather_ndofel(solver, state)
-                    epart = partition_elements(
-                        mesh.coords, mesh.inpoel, args.npes,
-                        weights=nd.astype(np.float64))
-                    prev = getattr(args, "_lb_epart", None)
-                    if prev is None or not np.array_equal(prev, epart):
-                        args._lb_epart = epart
+                    virt = getattr(args, "virtualization", 0.0)
+                    if virt > 0.0:
+                        sig = nd.tobytes()
+                        kw = dict(virtualization=virt,
+                                  elem_weights=nd.astype(np.float64))
+                    else:
+                        from .parallel.partition import (
+                            partition_elements,
+                        )
+
+                        epart = partition_elements(
+                            mesh.coords, mesh.inpoel, args.npes,
+                            weights=nd.astype(np.float64))
+                        sig = epart.tobytes()
+                        kw = dict(epart=epart)
+                    if getattr(args, "_lb_sig", None) != sig:
+                        args._lb_sig = sig
                         u2 = gather_u(state)
                         solver = build_inciter_spmd(
                             cfg, mesh, args.npes, hierarchy=hierarchy,
-                            epart=epart)
+                            **kw)
                         st = solver.initial_state(t0=float(_hs(state.t)))
                         unew = jax.device_put(
                             scatter_u(solver, u2).astype(st.u.dtype),
@@ -620,10 +629,12 @@ def _run_inciter_spmd(args, cfg, mesh):
                         state = _dc.replace(st, u=unew, ndofel=ndnew,
                                             it=state.it, dt=state.dt)
                         if args.verbose:
-                            cnt = np.bincount(epart, weights=nd,
-                                              minlength=args.npes)
+                            own = np.asarray(solver.sharded.owned) > 0
+                            eg = np.asarray(solver.sharded.eglobal)
+                            per = [float(nd[eg[s][own[s]]].sum())
+                                   for s in range(args.npes)]
                             print(f"  lb @it={it}: active-dof balance "
-                                  f"{cnt.min():.0f}..{cnt.max():.0f}")
+                                  f"{min(per):.0f}..{max(per):.0f}")
             if args.verbose and it % cfg.ttyi == 0:
                 print(f"  it={it} t={float(_hs(state.t)):.6e} dt={float(_hs(state.dt)):.6e}")
             if it % cfg.field_interval == 0 \

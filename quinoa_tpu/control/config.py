@@ -386,7 +386,7 @@ def build_inciter(cfg: InciterConfig, mesh):
 
 def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
                        virtualization: float = 0.0, hierarchy=None,
-                       epart=None):
+                       epart=None, elem_weights=None):
     """Construct the DISTRIBUTED solver named by the deck over npes shards.
 
     The production counterpart of the reference's always-parallel
@@ -407,6 +407,11 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
                               or virtualization > 0.0):
         raise ValueError("an explicit element partition (load "
                          "balancing) requires a DG scheme without -u")
+    if elem_weights is not None and (cfg.scheme not in _SCHEME_NDOF
+                                     or cfg.pde == "multimat"
+                                     or virtualization <= 0.0):
+        raise ValueError("element weights (chunk re-packing) require a "
+                         "DG scheme under -u")
     if dmesh is None:
         devices = jax.devices()
         if len(devices) < npes:
@@ -596,7 +601,7 @@ def build_inciter_spmd(cfg: InciterConfig, mesh, npes: int, dmesh=None,
             over = build_overdecomposed_dg(
                 mesh, npes, virtualization,
                 ndof=_SCHEME_NDOF[cfg.scheme], bc_sidesets=bc,
-                algorithm=cfg.partitioner,
+                algorithm=cfg.partitioner, elem_weights=elem_weights,
             )
             sharded = over.sharded
         else:

@@ -215,6 +215,7 @@ def build_overdecomposed_dg(
     bc_sidesets=None,
     algorithm: str = "sfc",
     dtype=None,
+    elem_weights=None,
 ) -> OverdecomposedDG:
     """DG overdecomposition: cut linearLoadDistributor-many chunks with
     the existing stacked builder (uniformly padded El/Fl per chunk),
@@ -232,7 +233,17 @@ def build_overdecomposed_dg(
     base = build_dg_shards(mesh, nchunk, ndof, bc_sidesets=bc_sidesets,
                            algorithm=algorithm, dtype=dtype)
     g = base.geom
-    costs = np.asarray(base.owned).sum(axis=1)
+    if elem_weights is None:
+        costs = np.asarray(base.owned).sum(axis=1)
+    else:
+        # dynamic LB: chunk cost = summed per-element weight (active
+        # dofs under p-adaptivity) — chunks keep their membership, only
+        # the chunk->device packing migrates (chare migration analog)
+        w = np.asarray(elem_weights, dtype=np.float64)
+        eg = np.asarray(base.eglobal)
+        owned = np.asarray(base.owned) > 0
+        costs = np.array([w[eg[c][owned[c]]].sum()
+                          for c in range(nchunk)])
     assign = lpt_assign(costs, npes, cpd)
     perm = assign.reshape(-1)
 

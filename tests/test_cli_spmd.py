@@ -220,3 +220,40 @@ def test_cli_lbfreq_pdg(tmp_path, monkeypatch, capsys):
     # migration carries u/ndofel exactly; remaining drift is the
     # per-partition kernel tiling ulps amplified over 6 steps
     np.testing.assert_allclose(lb, ref, rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_cli_lbfreq_pdg_overdecomposed(tmp_path, monkeypatch, capsys):
+    """--lbfreq under -u: chunks keep their membership and re-LPT-pack
+    to devices by active-dof cost (chare migration); diagnostics match
+    the unbalanced overdecomposed run."""
+    import re
+
+    import numpy as np
+
+    from quinoa_tpu.cli import main
+
+    base = ("/root/reference/tests/regression/inciter/compflow/Euler/"
+            "SedovBlastwave/")
+    deck_txt = open(base + "sedov_blastwave_pdg.q").read()
+    deck_txt = re.sub(r"nstep \d+", "nstep 6", deck_txt)
+    deck = tmp_path / "pdg.q"
+    deck.write_text(deck_txt)
+    mesh = base + "unitsquare_01_3.6k.exo"
+    monkeypatch.chdir(tmp_path)
+
+    common = ["inciter", "-c", str(deck), "-i", mesh, "--npes", "2",
+              "-u", "0.5", "-b"]
+    assert main(common + ["--diag", "diag_ref"]) == 0
+    assert main(common + ["--diag", "diag_lb", "--lbfreq", "2",
+                          "-v"]) == 0
+    out = capsys.readouterr().out
+    assert "lb @it=" in out
+
+    def rows(p):
+        return np.array([[float(x) for x in l.split()]
+                         for l in open(p) if not l.startswith("#")])
+
+    ref, lb = rows("diag_ref"), rows("diag_lb")
+    assert ref.shape == lb.shape
+    np.testing.assert_allclose(lb, ref, rtol=1e-5, atol=1e-9)
