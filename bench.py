@@ -141,7 +141,12 @@ def orchestrate(deadline_s: float = 1500.0):
         # fail FAST with a diagnostic instead of hanging in-process
         # past the driver's patience
         best = _run_inner({}, 560)
-    if best is None or best == "spawn-failed":
+    if best == "spawn-failed":
+        # the first spawn worked, so plumbing exists — a transient
+        # fork failure on the retry still gets the in-process fallback
+        main()
+        return
+    if best is None:
         print("bench.py: default measurement failed twice (backend "
               "down or compile > 560s); no result", file=sys.stderr)
         sys.exit(1)

@@ -191,9 +191,13 @@ void qn_coords_cache(int64_t nelem, const double* coords,
         cn[(static_cast<int64_t>(a) * 3 + d) * nelem + e] = c[d];
       }
     }
-    for (int d = 0; d < 3; ++d)  // pairwise, matching np.mean(axis=0)
+    // sequential sum then divide — np.mean over axis 0 reduces
+    // strided 4-element columns sequentially (pairwise summation only
+    // applies to contiguous 1-D reductions), so this is bit-identical
+    // to the NumPy fallback's cn.mean(axis=0)
+    for (int d = 0; d < 3; ++d)
       ctr[static_cast<int64_t>(d) * nelem + e] =
-          ((p[0][d] + p[1][d]) + (p[2][d] + p[3][d])) * 0.25;
+          (((p[0][d] + p[1][d]) + p[2][d]) + p[3][d]) / 4.0;
   }
 }
 
@@ -212,25 +216,35 @@ void qn_nodal_volumes(int64_t nelem, int64_t nnode, const double* J,
 // Faces-of-element table with L/R side flags: the sequential slot-fill
 // over el-sorted faces (build_dggeom's contract: slots in face order,
 // L entry first when a face is both sides of the same element pair).
-// A 1.4M-iteration Python loop otherwise.
-void qn_build_fose(int64_t nface, int64_t nelem, const int64_t* el,
-                   const int64_t* er, int32_t* fose, double* fsideR) {
-  std::vector<int8_t> slot(nelem, 0);
+// A 1.4M-iteration Python loop otherwise.  Returns the number of
+// elements that did NOT fill exactly 4 slots (slot overflow from a
+// malformed mesh is counted, never written past the (4, nelem) table).
+int64_t qn_build_fose(int64_t nface, int64_t nelem, const int64_t* el,
+                      const int64_t* er, int32_t* fose, double* fsideR) {
+  std::vector<int32_t> slot(nelem, 0);
   std::fill(fose, fose + 4 * nelem, 0);
   std::fill(fsideR, fsideR + 4 * nelem, 0.0);
   for (int64_t f = 0; f < nface; ++f) {
     int64_t e = el[f];
-    fose[static_cast<int64_t>(slot[e]) * nelem + e] =
-        static_cast<int32_t>(f);
+    if (slot[e] < 4) {
+      fose[static_cast<int64_t>(slot[e]) * nelem + e] =
+          static_cast<int32_t>(f);
+    }
     slot[e]++;
     if (er[f] != e) {
       int64_t e2 = er[f];
-      fose[static_cast<int64_t>(slot[e2]) * nelem + e2] =
-          static_cast<int32_t>(f);
-      fsideR[static_cast<int64_t>(slot[e2]) * nelem + e2] = 1.0;
+      if (slot[e2] < 4) {
+        fose[static_cast<int64_t>(slot[e2]) * nelem + e2] =
+            static_cast<int32_t>(f);
+        fsideR[static_cast<int64_t>(slot[e2]) * nelem + e2] = 1.0;
+      }
       slot[e2]++;
     }
   }
+  int64_t bad = 0;
+  for (int64_t e = 0; e < nelem; ++e)
+    if (slot[e] != 4) ++bad;
+  return bad;
 }
 
 // Per-shard variant: only OWNED elements (< nown) get slots, and ghost
@@ -242,20 +256,24 @@ int64_t qn_build_fose_masked(int64_t nface, int64_t nelem, int64_t nown,
                              const int64_t* el, const int64_t* er,
                              const int32_t* bctype, int32_t* fose,
                              double* fsideR) {
-  std::vector<int8_t> slot(nelem, 0);
+  std::vector<int32_t> slot(nelem, 0);
   for (int64_t f = 0; f < nface; ++f) {
     int64_t e = el[f];
     if (e < nown) {
-      fose[static_cast<int64_t>(slot[e]) * nelem + e] =
-          static_cast<int32_t>(f);
-      fsideR[static_cast<int64_t>(slot[e]) * nelem + e] = 0.0;
+      if (slot[e] < 4) {
+        fose[static_cast<int64_t>(slot[e]) * nelem + e] =
+            static_cast<int32_t>(f);
+        fsideR[static_cast<int64_t>(slot[e]) * nelem + e] = 0.0;
+      }
       slot[e]++;
     }
     int64_t e2 = er[f];
     if (e2 < nown && e2 != e && bctype[f] == 0) {
-      fose[static_cast<int64_t>(slot[e2]) * nelem + e2] =
-          static_cast<int32_t>(f);
-      fsideR[static_cast<int64_t>(slot[e2]) * nelem + e2] = 1.0;
+      if (slot[e2] < 4) {
+        fose[static_cast<int64_t>(slot[e2]) * nelem + e2] =
+            static_cast<int32_t>(f);
+        fsideR[static_cast<int64_t>(slot[e2]) * nelem + e2] = 1.0;
+      }
       slot[e2]++;
     }
   }

@@ -142,7 +142,14 @@ def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
 
 
 def _orient(children: np.ndarray, coords: np.ndarray) -> np.ndarray:
-    """Fix inverted child tets by swapping their last two nodes."""
+    """Fix inverted child tets by swapping their last two nodes.
+
+    Retained as the geometric ORACLE for the template-parity fast path
+    used by refine_mesh (tests/test_amr.py::test_child_orientation_
+    parity).  The parity path infers child signs algebraically; for a
+    parent so degenerate that a child's floating-point Jacobian sign
+    is rounding noise the two can differ — downstream geometry builders
+    assert J > 0 and fail loudly on such meshes either way."""
     from ..mesh.geometry import _cross3
 
     xyz = coords[children]                      # ONE (Nc, 4, 3) gather

@@ -35,7 +35,16 @@ class _Preempt:
         return self
 
     def _handler(self, signum, frame):
+        import signal
+
+        if self.flag:
+            return  # already draining; original handlers restored below
         self.flag = True
+        # restore the original handlers so a SECOND signal aborts a run
+        # hung inside a step (e.g. a backend outage) instead of being
+        # swallowed by the drain flag forever
+        for sig, h in self._old.items():
+            signal.signal(sig, h)
 
     def __exit__(self, *exc):
         import signal
@@ -175,6 +184,9 @@ def _cmd_inciter(argv):
     dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
 
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
+    if getattr(args, "lbfreq", 0):
+        print("  note: --lbfreq has no effect on single-device runs "
+              "(load balancing needs --npes > 1)", file=sys.stderr)
     pt = _make_particle_tracking(args, cfg, mesh, solver.system)
     _particles_write(pt, float(state.t))
     amr_base = None  # adaptive-dtref base mesh + its current refinement
@@ -500,12 +512,17 @@ def _run_inciter_spmd(args, cfg, mesh):
         hierarchy=hierarchy)
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
 
-    def gather_u(state):
+    def gather_u(state, from_solver=None):
+        # from_solver pins the solver whose shard metadata matches the
+        # state: async writes and LB/dtref rebuilds snapshot it so a
+        # rebuild between enqueue and execution can't mix a NEW
+        # partition's tables with an OLD state
+        sv = from_solver if from_solver is not None else solver
         if cg_scheme:
-            sh = solver.sharded
+            sh = sv.sharded
             shcg = sh.cg if hasattr(sh, "cg") else sh
             return gather_global_field(shcg, state.u)
-        return solver.gather_global(state)
+        return sv.gather_global(state)
 
     def scatter_u(solver2, u_glob):
         """Stacked per-shard u from a global field (pads/ghosts read
@@ -596,7 +613,27 @@ def _run_inciter_spmd(args, cfg, mesh):
                     nd = _gather_ndofel(solver, state)
                     virt = getattr(args, "virtualization", 0.0)
                     if virt > 0.0:
-                        sig = nd.tobytes()
+                        # signature the resulting chunk->device PACKING,
+                        # not the raw weights: ndofel drifts nearly
+                        # every adaptation while the LPT assignment is
+                        # usually stable — a no-op migration must not
+                        # pay a rebuild + recompile
+                        import math as _math
+
+                        from .base.load import linear_load_distributor
+                        from .parallel.overdecomp import lpt_assign
+                        from .parallel.partition import partition_for
+
+                        _, nchare = linear_load_distributor(
+                            virt, mesh.nelem, args.npes)
+                        cpd = max(_math.ceil(nchare / args.npes), 1)
+                        nchunk = cpd * args.npes
+                        ep_ch = partition_for(mesh.coords, mesh.inpoel,
+                                              nchunk, cfg.partitioner)
+                        costs = np.bincount(ep_ch, weights=nd,
+                                            minlength=nchunk)
+                        sig = lpt_assign(costs, args.npes,
+                                         cpd).tobytes()
                         kw = dict(virtualization=virt,
                                   elem_weights=nd.astype(np.float64))
                     else:
@@ -702,7 +739,7 @@ def _write_fields_spmd(args, it, cfg, solver, state, mesh, gather_u,
                                cg_scheme, eorder=eorder):
         return
 
-    u = gather_u(state)
+    u = gather_u(state, solver)
     fields = None
     elem_fields = None
     if cg_scheme:

@@ -95,6 +95,7 @@ def lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
     ]
+    L.qn_build_fose.restype = ctypes.c_int64
     L.qn_build_fose.argtypes = [
         ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -205,8 +206,12 @@ def build_fose(el: np.ndarray, er: np.ndarray, nelem: int):
     e2 = np.ascontiguousarray(er, dtype=np.int64)
     fose = np.empty((4, nelem), dtype=np.int32)
     fsideR = np.empty((4, nelem), dtype=np.float64)
-    L.qn_build_fose(len(e1), nelem, e1, e2,
-                    fose.reshape(-1), fsideR.reshape(-1))
+    bad = int(L.qn_build_fose(len(e1), nelem, e1, e2,
+                              fose.reshape(-1), fsideR.reshape(-1)))
+    if bad:
+        raise AssertionError(
+            f"{bad} tets do not own exactly 4 face slots (malformed "
+            "mesh or face table)")
     return fose, fsideR
 
 

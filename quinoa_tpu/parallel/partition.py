@@ -71,9 +71,16 @@ def morton_partition(centroids: np.ndarray, nparts: int,
         total = cw[-1] if len(cw) else 0.0
         cuts = total * np.arange(1, nparts) / nparts
         # element i (SFC order) goes to the part whose weight window
-        # holds the MIDPOINT of its own weight span
+        # holds the MIDPOINT of its own weight span; expressed as cut
+        # POSITIONS so parts can be repaired to be non-empty (a single
+        # element heavier than a weight window would otherwise swallow
+        # whole windows and leave devices with zero elements)
         mid = cw - 0.5 * w
-        part[order] = np.searchsorted(cuts, mid, side="left")
+        pos = np.searchsorted(mid, cuts, side="left")
+        for k in range(len(pos)):  # nparts-1 iterations, tiny
+            lo = (pos[k - 1] if k else 0) + 1
+            pos[k] = min(max(pos[k], lo), n - (nparts - 1 - k))
+        part[order] = np.searchsorted(pos, np.arange(n), side="right")
     return part
 
 

@@ -112,7 +112,7 @@ def test_native_coords_cache_and_volumes(mesh):
     cn, ctr = native.coords_cache(c, inp)
     cn_ref = np.ascontiguousarray(c[inp].transpose(1, 2, 0))
     np.testing.assert_array_equal(cn, cn_ref)
-    np.testing.assert_allclose(ctr, cn_ref.mean(axis=0), rtol=1e-15)
+    np.testing.assert_array_equal(ctr, cn_ref.mean(axis=0))
     from quinoa_tpu.mesh.geometry import tet_geometry
     J, _ = tet_geometry(c, inp)
     vol = native.nodal_volumes(J, inp, mesh.nnode)

@@ -98,3 +98,20 @@ def test_weighted_sfc_partition_balances():
     # the unweighted split is materially imbalanced on the same input
     per0 = np.bincount(morton_partition(pts, 4), weights=w, minlength=4)
     assert np.abs(per0 - ideal).max() > 10 * w.max()
+
+
+def test_weighted_sfc_partition_never_empty():
+    """A single element heavier than a whole weight window must not
+    leave any part empty (the repair pass in morton_partition)."""
+    import numpy as np
+
+    from quinoa_tpu.parallel.partition import morton_partition
+
+    rng = np.random.default_rng(1)
+    pts = rng.random((200, 3))
+    w = np.ones(200)
+    w[17] = 1000.0
+    for nparts in (4, 8, 16):
+        cnt = np.bincount(morton_partition(pts, nparts, weights=w),
+                          minlength=nparts)
+        assert (cnt > 0).all()
