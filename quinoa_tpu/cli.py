@@ -977,16 +977,27 @@ def _cmd_walker(argv):
     nsteps = min(cfg.nstep, int(cfg.term / cfg.dt + 1e-9))
     done = 0
 
-    def dump_pdfs():
+    def dump_pdfs(t=0.0):
         from .io import write_pdf_txt, write_pdf_gmsh, write_pdf_exodus
+        from functools import partial
 
-        writers = {"txt": (write_pdf_txt, "txt"),
-                   "gmshtxt": (write_pdf_gmsh, "msh"),
+        writers = {"txt": (partial(write_pdf_txt, fmt=cfg.pdf_format,
+                                   precision=cfg.pdf_precision), "txt"),
+                   "gmshtxt": (partial(write_pdf_gmsh,
+                                       centering=cfg.pdf_centering),
+                               "msh"),
                    "exodusii": (write_pdf_exodus, "exo")}
-        fn, ext = writers.get(cfg.pdf_filetype, (write_pdf_txt, "txt"))
+        fn, ext = writers.get(
+            cfg.pdf_filetype,
+            (partial(write_pdf_txt, fmt=cfg.pdf_format,
+                     precision=cfg.pdf_precision), "txt"))
         for name, term, bins, extents in cfg.pdfs:
             pdf = w.pdf(P, term, bins, extents)
-            fn(f"{name}.{ext}", pdf)
+            # PDFPolicy `multiple`: time-stamped filename per output
+            # (Distributor.cpp:405-411); `overwrite` (default) rewrites
+            base = (f"{name}_{t:g}" if cfg.pdf_policy == "multiple"
+                    else name)
+            fn(f"{base}.{ext}", pdf)
 
     while done < nsteps:
         chunk = min(cfg.stat_interval, nsteps - done)
@@ -995,11 +1006,11 @@ def _cmd_walker(argv):
         mom = estimate_moments(P, w.offsets, cfg.ordinary, cfg.central)
         sw.write(done, done * cfg.dt, {k: float(v) for k, v in mom.items()})
         if cfg.pdf_interval and done % cfg.pdf_interval < cfg.stat_interval:
-            dump_pdfs()
+            dump_pdfs(done * cfg.dt)
         if args.verbose and done % cfg.ttyi == 0:
             print(f"  it={done} t={done * cfg.dt:.6e}")
     if cfg.pdfs:
-        dump_pdfs()
+        dump_pdfs(done * cfg.dt)
     sw.close()
     return 0
 

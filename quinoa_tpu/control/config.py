@@ -643,6 +643,18 @@ class WalkerConfig:
     sdes: List[Any] = dataclasses.field(default_factory=list)
     pdf_interval: int = 0
     pdf_filetype: str = "txt"
+    #: TxtFloatFormat for txt PDFs (default/fixed/scientific) + digits
+    #: (PDFWriter.cpp:25-48); ours defaults to scientific/12 (a strict
+    #: superset of the reference's 6-digit default — ndiff-compatible)
+    pdf_format: str = "scientific"
+    pdf_precision: int = 12
+    #: PDFPolicy: overwrite (one file, rewritten) or multiple (filename
+    #: gains a time suffix per output, Distributor.cpp:405-411);
+    #: `evolution` parses but is dead code in the reference fork too
+    pdf_policy: str = "overwrite"
+    #: PDFCentering for mesh-based (gmsh/exodus) PDF output: elem
+    #: (density on cells) or node (averaged to lattice nodes)
+    pdf_centering: str = "elem"
     #: list of (name, term, binsizes, extents-or-None)
     pdfs: List[Tuple] = dataclasses.field(default_factory=list)
     #: seed from the deck's rngs block (`<rng> seed N end`), or None
@@ -883,6 +895,10 @@ def load_walker(deck_text: str) -> WalkerConfig:
     if pdfs is not None:
         cfg.pdf_interval = _i(pdfs, "interval", 1)
         cfg.pdf_filetype = first(pdfs, "filetype", "txt")
+        cfg.pdf_format = first(pdfs, "format", cfg.pdf_format)
+        cfg.pdf_precision = _i(pdfs, "precision", cfg.pdf_precision)
+        cfg.pdf_policy = first(pdfs, "policy", cfg.pdf_policy)
+        cfg.pdf_centering = first(pdfs, "centering", cfg.pdf_centering)
         for spec in occurrences(pdfs, "_pdfs"):
             cfg.pdfs.append(_parse_pdf_spec(spec))
 

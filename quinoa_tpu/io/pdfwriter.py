@@ -11,9 +11,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def write_pdf_txt(path: str, pdf) -> None:
+def _float_fmt(fmt: str, precision: int):
+    """TxtFloatFormat (PDFWriter.cpp:25-48): stream-manipulator analog
+    — `fixed` -> %.Nf, `scientific` -> %.Ne, `default` -> %.Ng."""
+    if fmt == "fixed":
+        return lambda x: f"{x:.{precision}f}"
+    if fmt == "default":
+        return lambda x: f"{x:.{precision}g}"
+    return lambda x: f"{x:.{precision}e}"
+
+
+def write_pdf_txt(path: str, pdf, fmt: str = "scientific",
+                  precision: int = 12) -> None:
     counts = np.asarray(pdf.counts)
     n = counts.sum()
+    F = _float_fmt(fmt, precision)
     with open(path, "w") as fh:
         if counts.ndim == 1:
             fh.write("# 1:x 2:pdf\n")
@@ -21,7 +33,7 @@ def write_pdf_txt(path: str, pdf) -> None:
             for i, d in enumerate(dens):
                 if counts[i]:
                     x = pdf.lo + (i + 0.5) * pdf.binsize
-                    fh.write(f"{x:.12e}\t{d:.12e}\n")
+                    fh.write(f"{F(x)}\t{F(d)}\n")
         elif counts.ndim == 2:
             fh.write("# 1:x 2:y 3:pdf\n")
             area = pdf.binsize[0] * pdf.binsize[1]
@@ -30,9 +42,8 @@ def write_pdf_txt(path: str, pdf) -> None:
                     if counts[i, j]:
                         x = pdf.lo[0] + (i + 0.5) * pdf.binsize[0]
                         y = pdf.lo[1] + (j + 0.5) * pdf.binsize[1]
-                        fh.write(
-                            f"{x:.12e}\t{y:.12e}\t{counts[i, j] / (n * area):.12e}\n"
-                        )
+                        fh.write(f"{F(x)}\t{F(y)}\t"
+                                 f"{F(counts[i, j] / (n * area))}\n")
         else:
             fh.write("# 1:x 2:y 3:z 4:pdf\n")
             volb = pdf.binsize[0] * pdf.binsize[1] * pdf.binsize[2]
@@ -41,10 +52,8 @@ def write_pdf_txt(path: str, pdf) -> None:
                 x = pdf.lo[0] + (i + 0.5) * pdf.binsize[0]
                 y = pdf.lo[1] + (j + 0.5) * pdf.binsize[1]
                 z = pdf.lo[2] + (k + 0.5) * pdf.binsize[2]
-                fh.write(
-                    f"{x:.12e}\t{y:.12e}\t{z:.12e}\t"
-                    f"{counts[i, j, k] / (n * volb):.12e}\n"
-                )
+                fh.write(f"{F(x)}\t{F(y)}\t{F(z)}\t"
+                         f"{F(counts[i, j, k] / (n * volb))}\n")
 
 
 def _bipdf_grid(pdf):
@@ -57,8 +66,12 @@ def _bipdf_grid(pdf):
     return xs, ys, dens
 
 
-def write_pdf_gmsh(path: str, pdf) -> None:
-    """Bi-variate PDF as a Gmsh 2.2 quad mesh + element data."""
+def write_pdf_gmsh(path: str, pdf, centering: str = "elem") -> None:
+    """Bi-variate PDF as a Gmsh 2.2 quad mesh.
+
+    centering `elem` writes the density as element data on the bins;
+    `node` averages adjacent bins to the lattice nodes and writes node
+    data (PDFCentering, PDFWriter.cpp:396)."""
     xs, ys, dens = _bipdf_grid(pdf)
     nx, ny = dens.shape
     with open(path, "w") as fh:
@@ -79,14 +92,29 @@ def write_pdf_gmsh(path: str, pdf) -> None:
                 )
                 eid += 1
         fh.write("$EndElements\n")
-        fh.write('$ElementData\n1\n"probability"\n1\n0.0\n3\n0\n1\n')
-        fh.write(f"{nx * ny}\n")
-        eid = 1
-        for i in range(nx):
-            for j in range(ny):
-                fh.write(f"{eid} {dens[i, j]:.12e}\n")
-                eid += 1
-        fh.write("$EndElementData\n")
+        if centering == "node":
+            acc = np.zeros((nx + 1, ny + 1))
+            cnt = np.zeros((nx + 1, ny + 1))
+            for di in (0, 1):
+                for dj in (0, 1):
+                    acc[di:nx + di, dj:ny + dj] += dens
+                    cnt[di:nx + di, dj:ny + dj] += 1.0
+            nodal = acc / cnt
+            fh.write('$NodeData\n1\n"probability"\n1\n0.0\n3\n0\n1\n')
+            fh.write(f"{(nx + 1) * (ny + 1)}\n")
+            for i in range(nx + 1):
+                for j in range(ny + 1):
+                    fh.write(f"{nid(i, j)} {nodal[i, j]:.12e}\n")
+            fh.write("$EndNodeData\n")
+        else:
+            fh.write('$ElementData\n1\n"probability"\n1\n0.0\n3\n0\n1\n')
+            fh.write(f"{nx * ny}\n")
+            eid = 1
+            for i in range(nx):
+                for j in range(ny):
+                    fh.write(f"{eid} {dens[i, j]:.12e}\n")
+                    eid += 1
+            fh.write("$EndElementData\n")
 
 
 def write_pdf_exodus(path: str, pdf) -> None:

@@ -290,3 +290,53 @@ def test_cli_walker_npes(tmp_path, monkeypatch):
     # identical PRNG keys -> identical trajectories regardless of
     # sharding (counter-based threefry)
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
+
+
+def test_pdf_output_options(tmp_path, monkeypatch):
+    """TxtFloatFormat (format/precision), PDFPolicy (multiple), and
+    PDFCentering (node) from the pdfs block are honored
+    (PDFWriter.cpp:25-48, Distributor.cpp:405-411)."""
+    from quinoa_tpu.cli import main
+
+    deck = tmp_path / "w.q"
+    deck.write_text("""
+    walker
+      term 0.02  dt 0.01  npar 500  ttyi 10
+      rngs r123_threefry end end
+      diag_ou
+        depvar o  ncomp 2  init zero  coeff const
+        sigmasq 0.25 1.0 end  theta 1.0 1.0 end  mu 0.0 1.5 end
+        rng r123_threefry
+      end
+      statistics interval 1 <o1o1> end
+      pdfs
+        interval 2
+        filetype txt
+        format scientific
+        precision 4
+        policy multiple
+        p1( o1 : 0.2 ; -2 2 )
+      end
+    end
+    """)
+    monkeypatch.chdir(tmp_path)
+    assert main(["walker", "-c", str(deck), "--stat", "stat.txt"]) == 0
+    outs = sorted(tmp_path.glob("p1_*.txt"))
+    assert outs, "policy multiple must write time-stamped pdf files"
+    body = [l for l in open(outs[-1]) if not l.startswith("#")]
+    assert body
+    for tok in body[0].split():
+        mant, _, _ = tok.partition("e")
+        assert len(mant.split(".")[1]) == 4  # %.4e formatting
+
+    # gmsh node centering emits $NodeData instead of $ElementData
+    from quinoa_tpu.io import write_pdf_gmsh
+    from quinoa_tpu.control.config import load_walker, build_walker
+
+    cfg = load_walker(deck.read_text())
+    w = build_walker(cfg, seed=2)
+    P = w.initialize()
+    pdf = w.pdf(P, (("o", 0), ("o", 1)), [0.25, 0.25], None)
+    write_pdf_gmsh(str(tmp_path / "bi.msh"), pdf, centering="node")
+    txt = (tmp_path / "bi.msh").read_text()
+    assert "$NodeData" in txt and "$ElementData" not in txt
