@@ -181,7 +181,8 @@ def _cmd_inciter(argv):
         if args.verbose:
             print(f"  restarted from {args.restart} at it={int(state.it)} "
                   f"t={float(state.t):.6e}")
-    dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
+    dw = DiagWriter(args.diag, ncomp=solver.system.ncomp,
+                    fmt=cfg.diag_format, precision=cfg.diag_precision)
 
     cg_scheme = cfg.scheme in ("diagcg", "alecg")
     if getattr(args, "lbfreq", 0):
@@ -552,7 +553,8 @@ def _run_inciter_spmd(args, cfg, mesh):
         )
         if args.verbose:
             print(f"  restarted from {args.restart} at it={int(_hs(state.it))}")
-    dw = DiagWriter(args.diag, ncomp=solver.system.ncomp)
+    dw = DiagWriter(args.diag, ncomp=solver.system.ncomp,
+                    fmt=cfg.diag_format, precision=cfg.diag_precision)
 
     amr_base = None
     amr_rmap = None

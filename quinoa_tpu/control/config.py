@@ -68,6 +68,10 @@ class InciterConfig:
     bc_inlet: List[int] = dataclasses.field(default_factory=list)
     bc_outlet: List[int] = dataclasses.field(default_factory=list)
     diag_interval: int = 1
+    #: TxtFloatFormat for the diag file (format/precision keywords in
+    #: the diagnostics block); scientific/12 preserves existing output
+    diag_format: str = "scientific"
+    diag_precision: int = 12
     field_interval: int = 10**9
     # AMR (amr block: src/Control/Inciter/InputDeck + Refiner options)
     t0ref: bool = False
@@ -207,6 +211,8 @@ def load_inciter(deck_text: str) -> InciterConfig:
     diag = first(inc, "diagnostics")
     if diag is not None:
         cfg.diag_interval = _i(diag, "interval", 1)
+        cfg.diag_format = first(diag, "format", cfg.diag_format)
+        cfg.diag_precision = _i(diag, "precision", cfg.diag_precision)
     plot = first(inc, "plotvar") or first(inc, "field_output")
     if plot is not None:
         cfg.field_interval = _i(plot, "interval", cfg.field_interval)

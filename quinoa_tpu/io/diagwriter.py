@@ -12,9 +12,19 @@ from typing import List, Optional, Sequence
 
 
 class DiagWriter:
-    def __init__(self, path: str, ncomp: int, labels: Optional[Sequence[str]] = None):
+    def __init__(self, path: str, ncomp: int,
+                 labels: Optional[Sequence[str]] = None,
+                 fmt: str = "scientific", precision: int = 12):
         self.path = path
         self.ncomp = ncomp
+        # TxtFloatFormat (diagnostics block format/precision keywords,
+        # DiagWriter.cpp analog); scientific/12 is the historic default
+        if fmt == "fixed":
+            self._f = lambda x: f"{x:.{precision}f}"
+        elif fmt == "default":
+            self._f = lambda x: f"{x:.{precision}g}"
+        else:
+            self._f = lambda x: f"{x:.{precision}e}"
         cols = ["it", "t", "dt"]
         lab = labels or [f"u{c}" for c in range(ncomp)]
         cols += [f"L2({v})" for v in lab]
@@ -24,10 +34,11 @@ class DiagWriter:
         self._fh.write("# " + "\t".join(f"{i + 1}:{c}" for i, c in enumerate(cols)) + "\n")
 
     def write(self, it: int, t: float, dt: float, l2sol, l2err=None, linferr=None):
-        row: List[str] = [str(it), f"{t:.12e}", f"{dt:.12e}"]
-        row += [f"{v:.12e}" for v in l2sol]
-        row += [f"{v:.12e}" for v in (l2err if l2err is not None else [])]
-        row += [f"{v:.12e}" for v in (linferr if linferr is not None else [])]
+        F = self._f
+        row: List[str] = [str(it), F(t), F(dt)]
+        row += [F(v) for v in l2sol]
+        row += [F(v) for v in (l2err if l2err is not None else [])]
+        row += [F(v) for v in (linferr if linferr is not None else [])]
         self._fh.write("\t".join(row) + "\n")
         self._fh.flush()
 

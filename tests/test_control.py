@@ -421,3 +421,29 @@ def test_cli_benchmark_mode(tmp_path, monkeypatch):
     assert not list(tmp_path.glob("out*"))
     assert sum(1 for l in open(tmp_path / "diag")
                if not l.startswith("#")) == 2
+
+
+def test_diag_format_precision(tmp_path, monkeypatch):
+    """diagnostics-block format/precision keywords control the diag
+    file's float formatting (TxtFloatFormat; reference decks say e.g.
+    `format scientific`)."""
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import write_exodus
+
+    mesh = box_tet_mesh(4, 4, 2, hi=(1.0, 1.0, 0.5))
+    write_exodus(str(tmp_path / "box.exo"), mesh)
+    (tmp_path / "run.q").write_text("""
+    inciter
+      nstep 2  dt 0.001
+      transport depvar c physics advection problem slot_cyl end
+      diagnostics interval 1 format scientific precision 4 end
+    end
+    """)
+    monkeypatch.chdir(tmp_path)
+    assert main(["inciter", "-c", "run.q", "-i", "box.exo",
+                 "--diag", "diag", "-b"]) == 0
+    rows = [l.split() for l in open(tmp_path / "diag")
+            if not l.startswith("#")]
+    for tok in rows[0][1:]:
+        mant = tok.partition("e")[0]
+        assert len(mant.split(".")[1]) == 4
