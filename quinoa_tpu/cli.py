@@ -974,7 +974,9 @@ def _cmd_walker(argv):
         print(f"  npar={cfg.npar} dt={cfg.dt} systems="
               f"{[type(s).__name__ for s in w.systems]}")
 
-    sw = TxtStatWriter(args.stat, cfg.ordinary, cfg.central)
+    sw = TxtStatWriter(args.stat, cfg.ordinary, cfg.central,
+                       fmt=cfg.stat_format,
+                       precision=cfg.stat_precision)
     P = w.initialize()
     nsteps = min(cfg.nstep, int(cfg.term / cfg.dt + 1e-9))
     done = 0

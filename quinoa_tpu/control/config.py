@@ -644,6 +644,9 @@ class WalkerConfig:
     npar: int = 1000
     ttyi: int = 1
     stat_interval: int = 1
+    #: TxtFloatFormat for stat.txt (statistics block format/precision)
+    stat_format: str = "scientific"
+    stat_precision: int = 12
     ordinary: List[Tuple] = dataclasses.field(default_factory=list)
     central: List[Tuple] = dataclasses.field(default_factory=list)
     sdes: List[Any] = dataclasses.field(default_factory=list)
@@ -893,6 +896,8 @@ def load_walker(deck_text: str) -> WalkerConfig:
     stats = first(w, "statistics")
     if stats is not None:
         cfg.stat_interval = _i(stats, "interval", 1)
+        cfg.stat_format = first(stats, "format", cfg.stat_format)
+        cfg.stat_precision = _i(stats, "precision", cfg.stat_precision)
         for m in occurrences(stats, "_moments"):
             central, term = _parse_moment(m)
             (cfg.central if central else cfg.ordinary).append(term)

@@ -16,9 +16,19 @@ def _term_label(term) -> str:
 
 
 class TxtStatWriter:
-    def __init__(self, path: str, ordinary: Sequence = (), central: Sequence = ()):
+    def __init__(self, path: str, ordinary: Sequence = (),
+                 central: Sequence = (), fmt: str = "scientific",
+                 precision: int = 12):
         self.path = path
         self.terms = list(ordinary) + [("C",) + t for t in central]
+        # TxtFloatFormat (statistics block format/precision keywords,
+        # TxtStatWriter.cpp); scientific/12 is the historic default
+        if fmt == "fixed":
+            self._f = lambda x: f"{x:.{precision}f}"
+        elif fmt == "default":
+            self._f = lambda x: f"{x:.{precision}g}"
+        else:
+            self._f = lambda x: f"{x:.{precision}e}"
         self._fh = open(path, "w")
         cols = ["it", "t"] + [_term_label(t) for t in self.terms]
         self._fh.write(
@@ -26,8 +36,9 @@ class TxtStatWriter:
         )
 
     def write(self, it: int, t: float, moments: dict):
-        row = [str(it), f"{t:.12e}"]
-        row += [f"{moments[k]:.12e}" for k in self.terms]
+        F = self._f
+        row = [str(it), F(t)]
+        row += [F(moments[k]) for k in self.terms]
         self._fh.write("\t".join(row) + "\n")
         self._fh.flush()
 
