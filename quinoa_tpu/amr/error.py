@@ -66,25 +66,29 @@ def tag_edges_by_coords(
     zminus: Optional[float] = None,
     zplus: Optional[float] = None,
 ) -> np.ndarray:
-    """Edges whose BOTH endpoints satisfy the half-space constraints
-    (Refiner coordref / `initial coords` mode)."""
+    """Edges inside the user's half-world (Refiner coordRefine /
+    `initial coords` mode, Refiner.cpp:1094-1100): an edge is tagged
+    unless BOTH endpoints lie strictly outside a configured halfspace —
+    i.e. one endpoint touching the bound (<= for minus, >= for plus)
+    keeps the edge tagged, and every configured halfspace can veto."""
     edges = gen_inpoed(mesh.inpoel)
     x = mesh.coords
     keep = np.ones(len(edges), dtype=bool)
 
-    def both(pred):
-        return pred(edges[:, 0]) & pred(edges[:, 1])
+    def not_both_outside(axis, outside):
+        return ~(outside(x[edges[:, 0], axis])
+                 & outside(x[edges[:, 1], axis]))
 
     if xminus is not None:
-        keep &= both(lambda n: x[n, 0] < xminus)
+        keep &= not_both_outside(0, lambda v: v > xminus)
     if xplus is not None:
-        keep &= both(lambda n: x[n, 0] > xplus)
+        keep &= not_both_outside(0, lambda v: v < xplus)
     if yminus is not None:
-        keep &= both(lambda n: x[n, 1] < yminus)
+        keep &= not_both_outside(1, lambda v: v > yminus)
     if yplus is not None:
-        keep &= both(lambda n: x[n, 1] > yplus)
+        keep &= not_both_outside(1, lambda v: v < yplus)
     if zminus is not None:
-        keep &= both(lambda n: x[n, 2] < zminus)
+        keep &= not_both_outside(2, lambda v: v > zminus)
     if zplus is not None:
-        keep &= both(lambda n: x[n, 2] > zplus)
+        keep &= not_both_outside(2, lambda v: v < zplus)
     return edges[keep].astype(np.int64)

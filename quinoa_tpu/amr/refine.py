@@ -81,10 +81,23 @@ def _edge_key(a, b):
     return lo << 32 | hi
 
 
+_POPCOUNT6 = np.array([bin(i).count("1") for i in range(64)],
+                      dtype=np.int64)
+
+
 def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
     """Close a tagged-edge set under the admissible patterns.
 
     tagged : (n,2) node pairs.  Returns the closed set as (m,2) pairs.
+
+    Follows the reference's "Algorithm 1" closure exactly
+    (mesh_adapter.cpp refinement_class_one): 1 edge -> 1:2; 2 or 3
+    edges on one face -> activate that face's remaining edges, 1:4;
+    anything else -> activate all six, 1:8.  In particular TWO tagged
+    edges sharing a face upgrade to the 1:4 face pattern, NOT to 1:8 —
+    the fixed point of these monotone deterministic rules is unique, so
+    the batch-round iteration order matches the reference's per-element
+    sweeps.
     """
     tag_arr = (np.unique(_edge_key(tagged[:, 0], tagged[:, 1]))
                if len(tagged) else np.zeros(0, np.int64))
@@ -102,8 +115,8 @@ def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
     flat_sorted = keys.ravel()[flat_order]
     elem_of = flat_order // 6
 
-    def _status(sub):
-        """ok-mask over element subset `sub` vs the current tag set."""
+    def _grow(sub):
+        """Keys to newly tag for element subset `sub` (Algorithm 1)."""
         k = keys[sub]
         if len(tag_arr):
             posc = np.clip(np.searchsorted(tag_arr, k), 0,
@@ -113,19 +126,29 @@ def compatible_tags(inpoel: np.ndarray, tagged: np.ndarray) -> np.ndarray:
             isin = np.zeros_like(k, dtype=bool)
         mask = (isin * _EDGE_MASKS).sum(axis=1)
         cnt = isin.sum(axis=1)
-        return (
-            (cnt == 0)
-            | (cnt == 1)
-            | ((cnt == 3) & face_ok[mask])
-            | (cnt == 6)
-        )
+        ok = ((cnt == 0) | (cnt == 1)
+              | ((cnt == 3) & face_ok[mask]) | (cnt == 6))
+        # 2 tagged edges on a common face: activate only that face's
+        # third edge (refinement_class_one's same-face 1:4 branch)
+        addmask = np.zeros(len(sub), dtype=np.int64)
+        two = ~ok & (cnt == 2)
+        if two.any():
+            for fm in _FACE_MASKS:
+                onface = two & (_POPCOUNT6[mask & fm] == 2)
+                addmask[onface] = fm & ~mask[onface]
+        # everything else inadmissible: activate all six (1:8)
+        full = ~ok & (addmask == 0)
+        addmask[full] = 63 & ~mask[full]
+        if not addmask.any():
+            return np.zeros(0, np.int64)
+        addbits = (addmask[:, None] & _EDGE_MASKS) != 0
+        return np.unique(k[addbits])
 
     frontier = np.arange(inpoel.shape[0])
     while len(frontier):
-        bad = frontier[~_status(frontier)]
-        if not len(bad):
+        new_keys = np.setdiff1d(_grow(frontier), tag_arr)
+        if not len(new_keys):
             break
-        new_keys = np.setdiff1d(keys[bad].ravel(), tag_arr)
         tag_arr = np.union1d(tag_arr, new_keys)
         # next frontier: every element incident to a newly tagged edge
         lo = np.searchsorted(flat_sorted, new_keys, side="left")

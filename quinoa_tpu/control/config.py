@@ -203,10 +203,16 @@ def load_inciter(deck_text: str) -> InciterConfig:
         cfg.amr_tol = _f(amr, "tol_refine", 0.2)
         cfg.amr_tolderef = _f(amr, "tol_derefine", 0.05)
         cfg.amr_maxlevels = int(_f(amr, "maxlevels", 1))
-        for hs in ("x-", "x+", "y-", "y+", "z-", "z+"):
-            v = _f(amr, hs)
-            if v is not None:
-                cfg.coordref[hs] = v
+        # halfspace extents live in the coordref sub-block
+        # (Grammar.hpp half_world; older test decks also wrote them
+        # directly in amr, so accept both)
+        for blk in (first(amr, "coordref"), amr):
+            if blk is None:
+                continue
+            for hs in ("x-", "x+", "y-", "y+", "z-", "z+"):
+                v = _f(blk, hs)
+                if v is not None and hs not in cfg.coordref:
+                    cfg.coordref[hs] = v
 
     diag = first(inc, "diagnostics")
     if diag is not None:

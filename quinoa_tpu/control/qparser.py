@@ -36,6 +36,7 @@ BLOCK_PARENTS = {
     "compflow": {"inciter"},
     "multimat": {"inciter"},
     "amr": {"inciter"},
+    "coordref": {"amr"},
     "partitioning": {"inciter"},
     "pref": {"inciter"},
     "diagnostics": {"inciter"},

@@ -89,7 +89,16 @@ def test_coordref_tags_halfspace():
     mesh = box_tet_mesh(4, 4, 4)
     tags = tag_edges_by_coords(mesh, xminus=0.5)
     assert len(tags) > 0
-    assert (mesh.coords[tags.ravel(), 0] < 0.5).all()
+    # Refiner::coordRefine (Refiner.cpp:1095): an edge is tagged unless
+    # BOTH endpoints are strictly outside, so every tagged edge must
+    # have at least one endpoint at or below the bound...
+    assert (mesh.coords[tags, 0].min(axis=1) <= 0.5).all()
+    # ...and edges fully outside stay untagged
+    from quinoa_tpu.mesh.derived import gen_inpoed
+
+    untagged_possible = (mesh.coords[gen_inpoed(mesh.inpoel), 0] > 0.5)
+    assert untagged_possible.all(axis=1).sum() + len(tags) \
+        == len(gen_inpoed(mesh.inpoel))
     ref, _ = refine_mesh(mesh, tags)
     _check_valid(ref)
     assert ref.nelem > mesh.nelem
@@ -267,7 +276,7 @@ def test_cli_adaptive_dtref_cycle(tmp_path, monkeypatch, capsys):
     deck = tmp_path / "d.q"
     deck.write_text("""
     inciter
-      nstep 12
+      nstep 24
       dt 5.0e-2
       scheme diagcg
       transport

@@ -347,6 +347,9 @@ def test_gauss_hump_pdg_diag_parity():
     ("TaylorGreen/taylor_green_dgp2.q", "TaylorGreen/diag_dgp2.std"),
     ("NLEnergyGrowth/nleg_dgp2.q", "NLEnergyGrowth/diag_dgp2.std"),
     ("RayleighTaylor/rayleigh_taylor.q", "RayleighTaylor/diag.std"),
+    # stationary variant: kappa 0 freezes the manufactured field, so the
+    # L2(x-IC) columns grow from ~1e-4 (pure discretization drift)
+    ("RayleighTaylor/rayleigh_taylor_st.q", "RayleighTaylor/diag_st.std"),
     ("VorticalFlow/vortical_flow_dg.q", "VorticalFlow/diag_dg.std"),
     ("VorticalFlow/vortical_flow_dgp1.q", "VorticalFlow/diag_dgp1.std"),
     ("TaylorGreen/taylor_green.q", "TaylorGreen/diag.std"),
@@ -667,3 +670,76 @@ def test_dtref_uniform_diagcg_slotcyl_diag_parity(tmp_path, monkeypatch):
             assert np.isclose(ours[r, c], std[r, c], rtol=5e-6), (
                 r, c, ours[r, c], std[r, c],
             )
+
+
+def _elem_perm(mesh, ref_mesh):
+    """Permutations aligning two meshes' elements by centroid — the
+    analog of the reference CI's `exodiff -m` geometric matching
+    (node/element order differs between implementations; geometry must
+    not)."""
+    ca = np.asarray(mesh.coords)[np.asarray(mesh.inpoel)].mean(axis=1)
+    cb = np.asarray(ref_mesh.coords)[np.asarray(ref_mesh.inpoel)].mean(axis=1)
+    ka = np.lexsort(np.round(ca, 9).T)
+    kb = np.lexsort(np.round(cb, 9).T)
+    # exodiff.cfg COORDINATES absolute 1.0e-6; ours match bit-exactly
+    assert np.abs(ca[ka] - cb[kb]).max() < 1e-6
+    return ka, kb
+
+
+@pytest.mark.parametrize("deck,snap", [
+    # initial uniform: 955 -> 7640 tets (Refiner.cpp writeMesh snapshots)
+    ("gauss_hump_dg.q", "gauss_hump_dg_t0ref.std.e-s.1.1.0"),
+    # uniform + uniform_derefine + uniform: net one refinement, but the
+    # mesh must survive the full refine->derefine->refine cycle
+    ("gauss_hump_dg_uniform_deref.q",
+     "gauss_hump_dg_uniform_deref_t0ref.std.e-s.3.1.0"),
+    # two full cycles
+    ("gauss_hump_dg_uniform_deref_x2.q",
+     "gauss_hump_dg_uniform_deref_t0ref.std.e-s.5.1.0"),
+])
+def test_t0ref_snapshot_field_parity(deck, snap):
+    """t0ref mesh-snapshot parity: the refined mesh (node coordinates
+    bit-exact under centroid matching, the exodiff -m analog) and the
+    DG(P0) IC projection's mean dof (the `c1` element field Refiner
+    writes, Refiner.cpp:719-725) match the committed
+    mesh_refinement/t0ref baselines.  exodiff_gauss_hump_dg.t0ref.cfg
+    compares c1 at rel 1e-7 floor 1e-9 on the reference's f64 state; our
+    state is f32 by design (TPU), so the same comparison carries an f32
+    half-ulp tolerance."""
+    from quinoa_tpu.io.exodus import read_exodus_elem_fields
+    from quinoa_tpu.control.config import apply_t0ref
+
+    base = f"{REF}/inciter/mesh_refinement/t0ref/"
+    cfg = load_inciter(open(base + deck).read())
+    mesh = apply_t0ref(cfg, read_exodus(base + "unitsquare_01_955_ss3.exo"))
+    ref_mesh = read_exodus(base + snap)
+    assert (mesh.nnode, mesh.nelem) == (ref_mesh.nnode, ref_mesh.nelem)
+    ka, kb = _elem_perm(mesh, ref_mesh)
+
+    solver, _ = build_inciter(cfg, mesh)
+    c1 = np.asarray(solver.initial_state().u)[0]
+    names, _, vals = read_exodus_elem_fields(base + snap)
+    c1_ref = np.asarray(vals[0][names.index("c1")])
+    d = np.abs(c1[ka] - c1_ref[kb])
+    rel = d / np.maximum(np.abs(c1_ref[kb]), 1e-30)
+    assert d[rel > 5e-6].max(initial=0.0) < 1e-9, (d.max(), rel.max())
+
+
+def test_t0ref_uniform_derefine_returns_initial_mesh():
+    """The uniform_derefine t0ref pass undoes a uniform pass exactly:
+    applying [uniform, uniform_derefine] reproduces the input mesh
+    (element count, node count, and centroid-matched coordinates) —
+    the contract behind the e-s.2.1.0 coarse snapshot equaling the
+    e-s.0.1.0 initial one."""
+    from quinoa_tpu.control.config import apply_t0ref
+    import dataclasses
+
+    base = f"{REF}/inciter/mesh_refinement/t0ref/"
+    cfg = load_inciter(open(base + "gauss_hump_dg_uniform_deref.q").read())
+    # truncate the deck's [uniform, uniform_derefine, uniform] sequence
+    cfg = dataclasses.replace(cfg, amr_initial=["uniform",
+                                                "uniform_derefine"])
+    mesh0 = read_exodus(base + "unitsquare_01_955_ss3.exo")
+    mesh = apply_t0ref(cfg, mesh0)
+    assert (mesh.nnode, mesh.nelem) == (mesh0.nnode, mesh0.nelem)
+    _elem_perm(mesh, mesh0)  # asserts centroid-matched coordinates
