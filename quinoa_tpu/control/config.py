@@ -964,18 +964,17 @@ def apply_t0ref(cfg: InciterConfig, mesh, problem=None):
     mesh.  uniform_derefine undoes the most recent refinement pass (the
     reference's Refiner applies it against the current refinement level).
     """
-    from ..amr import (
-        refine_mesh, uniform_refine, tag_edges_by_error, tag_edges_by_coords,
-        derefine_mesh,
-    )
+    from ..amr import tag_edges_by_error, tag_edges_by_coords, derefine_mesh
+    from ..amr.multipass import AMRState, refine_pass
+    from ..mesh.derived import gen_inpoed
     import jax.numpy as jnp
 
+    state = AMRState()  # persistent intermediates across the passes
     hist = []  # (coarse mesh, refmap) per applied refinement pass
     for mode in cfg.amr_initial:
         if mode == "uniform":
-            coarse = mesh
-            mesh, rmap = uniform_refine(mesh)
-            hist.append((coarse, rmap))
+            # mark_uniform_refinement: tag every (unlocked) edge
+            tags = gen_inpoed(mesh.inpoel).astype(np.int64)
         elif mode == "coords":
             kw = {}
             names = {"x-": "xminus", "x+": "xplus", "y-": "yminus",
@@ -983,39 +982,42 @@ def apply_t0ref(cfg: InciterConfig, mesh, problem=None):
             for k, v in cfg.coordref.items():
                 kw[names[k]] = v
             tags = tag_edges_by_coords(mesh, **kw)
-            coarse = mesh
-            mesh, rmap = refine_mesh(mesh, tags)
-            hist.append((coarse, rmap))
         elif mode == "ic":
             if problem is None:
                 raise ValueError("initial-conditions t0ref needs a problem")
             u = np.asarray(problem.solution(jnp.asarray(mesh.coords.T), 0.0))
             tags = tag_edges_by_error(mesh, u, method=cfg.amr_error,
                                       tol=cfg.amr_tol)
-            coarse = mesh
-            mesh, rmap = refine_mesh(mesh, tags)
-            hist.append((coarse, rmap))
         elif mode == "edgelist":
             # refine exactly the user-listed edges that exist in the
             # mesh (Refiner::edgelistRefine matches each configured
             # node pair against psup)
-            from ..mesh.derived import gen_inpoed
-
             want = {tuple(sorted(cfg.amr_edgelist[i:i + 2]))
                     for i in range(0, len(cfg.amr_edgelist), 2)}
             edges = gen_inpoed(mesh.inpoel)
             hit = np.array([tuple(e) in want for e in edges.tolist()])
             tags = edges[hit] if hit.any() else np.zeros((0, 2), np.int64)
-            if len(tags):
-                coarse = mesh
-                mesh, rmap = refine_mesh(mesh, tags)
-                hist.append((coarse, rmap))
+            if not len(tags):
+                continue
         elif mode == "uniform_derefine":
             if hist:
                 coarse, rmap = hist.pop()
                 new, _, _ = derefine_mesh(
                     coarse, rmap, np.ones(coarse.nelem, dtype=bool))
                 mesh = coarse if new is None else new
+                # the popped pass was all-1:8 (its rmap would have been
+                # rejected below otherwise), so no partial templates can
+                # be live at this point
+                state = AMRState()
+            continue
         else:
             raise ValueError(f"unknown amr initial mode {mode!r}")
+        coarse = mesh
+        mesh, rmap, state = refine_pass(mesh, tags, state)
+        # uniform_derefine can only undo a pass whose parent map is
+        # complete (no 2:8/4:8 rebuilds folded in)
+        if (rmap.parent >= 0).all():
+            hist.append((coarse, rmap))
+        else:
+            hist.clear()
     return mesh

@@ -245,6 +245,12 @@ KEYWORDS: Dict[str, dict] = {
         long="Initial (t0ref) and during-timestep (dtref) tetrahedral "
              "AMR: error-driven tagging, 1:8/1:4/1:2 subdivision, "
              "compatibility closure, derefinement."),
+    "coordref": dict(
+        kind="block", parent="amr", usage="coordref x- 0.5 ... end",
+        short="Half-world extents for `initial coords` refinement",
+        long="Edges are tagged unless both endpoints lie strictly "
+             "outside every configured halfspace (x-/x+/y-/y+/z-/z+; "
+             "Refiner::coordRefine)."),
     "t0ref": dict(
         kind="scalar", parent="amr", usage="t0ref true|false",
         short="Enable initial-mesh refinement",
