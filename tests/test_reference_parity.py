@@ -96,14 +96,22 @@ def test_sod_dg_p0_diag_parity():
             )
 
 
-def test_t0ref_uniform_dg_diag_parity():
+@pytest.mark.parametrize("deck", [
+    "gauss_hump_dg.q",
+    # same run with `reorder true` (PE-local node reordering, Sorter):
+    # the reference compares it against the SAME committed baselines —
+    # the ordering-independence contract our always-on locality reorder
+    # relies on
+    "gauss_hump_reord_dg.q",
+])
+def test_t0ref_uniform_dg_diag_parity(deck):
     """Initial uniform 1:8 AMR + DG(P0) transport reproduces the
     reference's committed post-refinement diagnostics exactly (the 1:8
     octahedron split uses the reference's AC-BD diagonal)."""
     from quinoa_tpu.control.config import apply_t0ref
 
     base = f"{REF}/inciter/mesh_refinement/t0ref/"
-    cfg = load_inciter(open(base + "gauss_hump_dg.q").read())
+    cfg = load_inciter(open(base + deck).read())
     mesh = read_exodus(base + "unitsquare_01_955_ss3.exo")
     mesh = apply_t0ref(cfg, mesh)
     assert mesh.nelem == 955 * 8
@@ -184,18 +192,21 @@ def test_cyl_advect_diag_parity(deck, stdf):
         assert np.isclose(l2sol[0], std[r, 3], rtol=1e-6)
 
 
-def test_dtref_uniform_dg_diag_parity(tmp_path, monkeypatch):
+@pytest.mark.parametrize("deck", ["gauss_hump.q", "gauss_hump_reord.q"])
+def test_dtref_uniform_dg_diag_parity(deck, tmp_path, monkeypatch):
     """During-timestepping uniform AMR (dtref) + DG(P0) transport: the
     full inciter CLI loop (refine every 5 steps, transfer the DG solution
     to children, rebuild, continue) reproduces gauss_hump_dg.std — note
     the reference baseline's L2-error jump at it=6 from the coarse-to-fine
-    solution transfer, which this reproduces to rel 1e-6."""
+    solution transfer, which this reproduces to rel 1e-6.  The _reord
+    variant adds `reorder true`; the reference ndiffs it against the SAME
+    baseline (ordering independence)."""
     from quinoa_tpu.cli import main
 
     base = f"{REF}/inciter/mesh_refinement/dtref/"
     std = _load_std_diag(base + "gauss_hump_dg.std")
     monkeypatch.chdir(tmp_path)
-    rc = main(["inciter", "-c", base + "gauss_hump.q",
+    rc = main(["inciter", "-c", base + deck,
                "-i", base + "unitcube_01_112_ss3.exo"])
     assert rc == 0
     ours = _load_std_diag(str(tmp_path / "diag"))
@@ -209,7 +220,9 @@ def test_dtref_uniform_dg_diag_parity(tmp_path, monkeypatch):
             )
 
 
-def test_dtref_uniform_diagcg_nleg_diag_parity(tmp_path, monkeypatch):
+@pytest.mark.parametrize("deck", ["nleg_diagcg_amr.q",
+                                  "nleg_reord_diagcg_amr.q"])
+def test_dtref_uniform_diagcg_nleg_diag_parity(deck, tmp_path, monkeypatch):
     """dtref + DiagCG on NLEnergyGrowth (Euler, CFL-based dt, Dirichlet
     BCs on all sidesets): 10 CLI steps with a uniform refine at it=5
     reproduce nleg_diagcg_amr.std — including the CFL dt halving on the
@@ -220,7 +233,7 @@ def test_dtref_uniform_diagcg_nleg_diag_parity(tmp_path, monkeypatch):
     base = f"{REF}/inciter/mesh_refinement/dtref/"
     std = _load_std_diag(base + "nleg_diagcg_amr.std")
     monkeypatch.chdir(tmp_path)
-    rc = main(["inciter", "-c", base + "nleg_diagcg_amr.q",
+    rc = main(["inciter", "-c", base + deck,
                "-i", base + "unitcube_1k.exo"])
     assert rc == 0
     ours = _load_std_diag(str(tmp_path / "diag"))
@@ -644,7 +657,10 @@ def test_sedov_pdg_diag_parity():
                               atol=1e-10), (r, c, l2sol[c], std[r, 3 + c])
 
 
-def test_dtref_uniform_diagcg_slotcyl_diag_parity(tmp_path, monkeypatch):
+@pytest.mark.parametrize("deck", ["slot_cyl_amr_diagcg.q",
+                                  "slot_cyl_amr_reord_diagcg.q"])
+def test_dtref_uniform_diagcg_slotcyl_diag_parity(deck, tmp_path,
+                                                  monkeypatch):
     """dtref + DiagCG+FCT SlotCyl transport (slot_cyl_amr_diagcg.q): 9
     CLI steps with a uniform refine at it=5 reproduce
     slot_cyl_amr_diagcg.std (the suite's own slot_cyl_diagcg.ndiff.cfg
@@ -656,7 +672,7 @@ def test_dtref_uniform_diagcg_slotcyl_diag_parity(tmp_path, monkeypatch):
     t0 = f"{REF}/inciter/mesh_refinement/t0ref/"
     std = _load_std_diag(base + "slot_cyl_amr_diagcg.std")
     monkeypatch.chdir(tmp_path)
-    rc = main(["inciter", "-c", base + "slot_cyl_amr_diagcg.q",
+    rc = main(["inciter", "-c", base + deck,
                "-i", t0 + "unitsquare_01_955.exo"])
     assert rc == 0
     ours = _load_std_diag(str(tmp_path / "diag"))
