@@ -867,3 +867,59 @@ def test_shear_advdiff_field_parity():
     assert abs(float(times[-1]) - float(s.t)) < 1e-8
     r = np.asarray(vals[-1, names.index("c0_numerical")])
     assert np.abs(np.asarray(s.u)[0] - r).max() < 1e-12
+
+
+def test_t0ref_gauss_hump_dg_final_field_parity():
+    """Full run on the t0ref-refined mesh: DG(P0) GaussHump advection for
+    the deck's 10 steps matches the committed final field output
+    gauss_hump_dg.std.exo to machine precision under centroid matching
+    (exodiff -m; suite bound rel 1e-7)."""
+    from quinoa_tpu.io.exodus import read_exodus_elem_fields
+    from quinoa_tpu.control.config import apply_t0ref
+
+    base = f"{REF}/inciter/mesh_refinement/t0ref/"
+    cfg = load_inciter(open(base + "gauss_hump_dg.q").read())
+    mesh = apply_t0ref(cfg, read_exodus(base + "unitsquare_01_955_ss3.exo"))
+    solver, _ = build_inciter(cfg, mesh)
+    s = solver.initial_state()
+    for _ in range(cfg.nstep):
+        s = solver.step(s)
+    ref_mesh = read_exodus(base + "gauss_hump_dg.std.exo")
+    ka, kb = _elem_perm(mesh, ref_mesh)
+    names, _, vals = read_exodus_elem_fields(base + "gauss_hump_dg.std.exo")
+    r = np.asarray(vals[-1][names.index("c0_numerical")])
+    ours = np.asarray(s.u, dtype=np.float64)[0]
+    assert np.abs(ours[ka] - r[kb]).max() < 1e-12
+
+
+def test_t0ref_vortical_flow_dg_final_field_parity():
+    """Compflow DG(P0) VorticalFlow on the t0ref-refined unitcube: all
+    five primitive element fields (density, velocities, specific total
+    energy) after the deck's 10 steps match vortical_flow_dg.std.exo to
+    machine precision under centroid matching."""
+    from quinoa_tpu.io.exodus import read_exodus_elem_fields
+    from quinoa_tpu.control.config import apply_t0ref
+
+    base = f"{REF}/inciter/mesh_refinement/t0ref/"
+    gh = f"{REF}/inciter/transport/GaussHump/"
+    cfg = load_inciter(open(base + "vortical_flow_dg.q").read())
+    mesh = apply_t0ref(cfg, read_exodus(gh + "unitcube_1k.exo"))
+    solver, _ = build_inciter(cfg, mesh)
+    s = solver.initial_state()
+    for _ in range(cfg.nstep):
+        s = solver.step(s)
+    ref_mesh = read_exodus(base + "vortical_flow_dg.std.exo")
+    ka, kb = _elem_perm(mesh, ref_mesh)
+    names, _, vals = read_exodus_elem_fields(
+        base + "vortical_flow_dg.std.exo")
+    r_, ru, rv, rw, re = np.asarray(s.u, dtype=np.float64)
+    prim = {
+        "density_numerical": r_,
+        "x-velocity_numerical": ru / r_,
+        "y-velocity_numerical": rv / r_,
+        "z-velocity_numerical": rw / r_,
+        "specific_total_energy_numerical": re / r_,
+    }
+    for nm, mine in prim.items():
+        rr = np.asarray(vals[-1][names.index(nm)])
+        assert np.abs(mine[ka] - rr[kb]).max() < 1e-12, nm
