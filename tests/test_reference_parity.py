@@ -923,3 +923,32 @@ def test_t0ref_vortical_flow_dg_final_field_parity():
     for nm, mine in prim.items():
         rr = np.asarray(vals[-1][names.index(nm)])
         assert np.abs(mine[ka] - rr[kb]).max() < 1e-12, nm
+
+
+@pytest.mark.parametrize("src", ["box_24.mesh",      # netgen2exo
+                                 "box_24.msh",       # gmshbin2exo
+                                 "box_24.txt.msh"])  # gmshtxt2exo
+def test_meshconv_exo_output_parity(src, tmp_path):
+    """meshconv {netgen,gmsh-binary,gmsh-text}2exo: converting the
+    committed box_24 meshes to ExodusII reproduces box_24.exo.std
+    exactly — coordinates, connectivity, and the sideset-2 shell
+    triangles (tests/regression/meshconv/exo_output/CMakeLists.txt)."""
+    from quinoa_tpu.cli import main
+
+    base = f"{REF}/meshconv/exo_output/"
+    out = str(tmp_path / "o.exo")
+    assert main(["meshconv", "-i", base + src, "-o", out]) == 0
+    ours = read_exodus(out)
+    std = read_exodus(base + "box_24.exo.std")
+    assert (ours.nnode, ours.nelem) == (std.nnode, std.nelem)
+    np.testing.assert_array_equal(ours.coords, std.coords)
+    np.testing.assert_array_equal(ours.inpoel, std.inpoel)
+    # the std carries the 24 shell triangles as exodus block id 2,
+    # our writer as side set 1 — compare the triangle SET (id spaces
+    # differ between shell-block and side-set representations)
+    key = lambda t: t[np.lexsort(np.sort(t, axis=1).T[::-1])]
+    tri_ours = np.sort(np.concatenate(
+        [np.asarray(v) for v in ours.bface.values()]), axis=1)
+    tri_std = np.sort(np.concatenate(
+        [np.asarray(v) for v in std.bface.values()]), axis=1)
+    np.testing.assert_array_equal(key(tri_ours), key(tri_std))
