@@ -212,14 +212,16 @@ class ALECGSolver:
         )
 
     def step(self, state: CGState) -> CGState:
-        return self._step(self.geom, self.edget, self.lhs, self.bcmask, state)
+        return self._step(self.geom, self.edget, self.lhs, self.bcmask,
+                          self.fused_plan, state)
 
     def nsteps(self, state, n):
         for _ in range(n):
             state = self.step(state)
         return state
 
-    def _step_impl(self, geom, edget, lhs, bcmask, state: CGState) -> CGState:
+    def _step_impl(self, geom, edget, lhs, bcmask, fused_plan,
+                   state: CGState) -> CGState:
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
         elif self._static_dt is not None:
@@ -235,10 +237,12 @@ class ALECGSolver:
         ts = (state.t, state.t + dt, state.t + 0.5 * dt)
         to = (state.t + dt, state.t + 0.5 * dt, state.t + dt)
         for s in range(3):
-            if self.fused_plan is not None:
+            # the plan rides as a jit ARGUMENT (mesh-sized tables as
+            # closure constants = the remote-compiler constant bomb)
+            if fused_plan is not None:
                 from ..ops.alecg_fused import alecg_rhs_fused
 
-                r = alecg_rhs_fused(self.fused_plan, u,
+                r = alecg_rhs_fused(fused_plan, u,
                                     system=self.system)
             else:
                 r = alecg_flux_rhs(self.system, geom, u) \

@@ -231,13 +231,14 @@ class DiagCGSolver:
 
     def step(self, state: CGState) -> CGState:
         return self._step(self.geom, self.lhs, self.bcmask,
-                          self.bc_n, self.vol_n, state)
+                          self.bc_n, self.vol_n, self.fused_plan, state)
 
     def nsteps(self, state: CGState, n: int) -> CGState:
         """n steps by repeated dispatch of the compiled step."""
         for _ in range(n):
             state = self._step(self.geom, self.lhs, self.bcmask,
-                               self.bc_n, self.vol_n, state)
+                               self.bc_n, self.vol_n, self.fused_plan,
+                               state)
         return state
 
     # -- implementation -------------------------------------------------------
@@ -249,7 +250,7 @@ class DiagCGSolver:
             return self._static_dt
         return self.system.dt(self.geom, u) * self.cfl
 
-    def _step_impl(self, geom, lhs, bcmask, bc_n, vol_n,
+    def _step_impl(self, geom, lhs, bcmask, bc_n, vol_n, fused_plan,
                    state: CGState) -> CGState:
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
@@ -257,11 +258,15 @@ class DiagCGSolver:
             dt = self._static_dt
         else:
             dt = self.system.dt(geom, state.u) * self.cfl
-        if self.fused_plan is not None:
+        # the plan rides as a jit ARGUMENT: its mesh-sized window tables
+        # as closure constants are exactly the remote-compiler constant
+        # bomb (ROADMAP env facts; observed as 10-30 s XLA constant
+        # folds even on CPU)
+        if fused_plan is not None:
             from ..ops.cg_fused import diagcg_advance_fused
 
             unew = diagcg_advance_fused(
-                self.system, self.fused_plan, lhs, bcmask,
+                self.system, fused_plan, lhs, bcmask,
                 state.u, state.t, dt, geom)
             return CGState(u=unew, t=state.t + dt, it=state.it + 1,
                            dt=dt)

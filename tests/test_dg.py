@@ -296,7 +296,9 @@ def test_superbee_limit_window_matches_split_path(monkeypatch):
     from quinoa_tpu.pde.dg import uview
     from quinoa_tpu.pde.limiter import superbee_p1
 
-    mesh = box_tet_mesh(8, 8, 6, hi=(0.8, 0.8, 0.6))
+    # 6x6x4 keeps the far path live (52 far faces at W=128) at a third
+    # of 8x8x6's interpret-mode cost
+    mesh = box_tet_mesh(6, 6, 4, hi=(0.6, 0.6, 0.4))
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
     plan = build_bounds_plan(geom, W=128)

@@ -22,6 +22,8 @@ run env QUINOA_LIMIT_IN_KERNEL=1 QUINOA_VOL_IN_KERNEL=1 QUINOA_FAR_SR=1 python b
 run env QUINOA_FACE_W=256 python bench.py --inner
 run env QUINOA_FACE_W=512 python bench.py --inner
 run python bench.py --npes 1
+# CG-fused correctness on silicon BEFORE the QUINOA_CG_FUSED flip
+run python tools/check_cg_fused.py 16
 run python bench_cg.py 48
 run env QUINOA_CG_FUSED=1 python bench_cg.py 48
 run env QUINOA_CG_FUSED=1 QUINOA_CGF_TF=128 python bench_cg.py 48
