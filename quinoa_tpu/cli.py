@@ -995,8 +995,8 @@ def _cmd_walker(argv):
             cfg.pdf_filetype,
             (partial(write_pdf_txt, fmt=cfg.pdf_format,
                      precision=cfg.pdf_precision), "txt"))
-        for name, term, bins, extents in cfg.pdfs:
-            pdf = w.pdf(P, term, bins, extents)
+        for name, term, bins, extents, central in cfg.pdfs:
+            pdf = w.pdf(P, term, bins, extents, central=central)
             # PDFPolicy `multiple`: time-stamped filename per output
             # (Distributor.cpp:405-411); `overwrite` (default) rewrites
             base = (f"{name}_{t:g}" if cfg.pdf_policy == "multiple"

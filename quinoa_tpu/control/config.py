@@ -681,7 +681,12 @@ _MOM_RE = re.compile(r"([A-Za-z])(\d*)")
 
 def _parse_pdf_spec(spec: str):
     """'f2( o1 o2 : 0.2 0.2 ; -2 2 -4 4 )' ->
-    (name, term, binsizes, extents or None)."""
+    (name, term, binsizes, extents or None, central flags).
+
+    Case carries the same meaning as in moment requests (StatCtr):
+    UPPERCASE variables sample the raw value (ordinary PDF), lowercase
+    the FLUCTUATION value - <value> (central PDF,
+    Statistics::accumulateCenPDF)."""
     name = spec.split("(", 1)[0].strip()
     body = spec.split("(", 1)[1].rsplit(")", 1)[0]
     if ";" in body:
@@ -691,11 +696,11 @@ def _parse_pdf_spec(spec: str):
     else:
         main, extents = body, None
     vars_, bins = main.split(":")
-    term = tuple(
-        (m[0].lower(), int(m[1]) - 1) for m in _MOM_RE.findall(vars_)
-    )
+    mm = _MOM_RE.findall(vars_)
+    term = tuple((m[0].lower(), int(m[1]) - 1) for m in mm)
+    central = tuple(m[0].islower() for m in mm)
     binsizes = [float(x) for x in bins.split()]
-    return (name, term, binsizes, extents)
+    return (name, term, binsizes, extents, central)
 
 
 def _parse_moment(m: str) -> Tuple[bool, Tuple]:

@@ -71,6 +71,7 @@ def estimate_pdf(
     term,
     binsize: Sequence[float],
     extents: Optional[Sequence[Tuple[float, float]]] = None,
+    central: Optional[Sequence[bool]] = None,
 ):
     """Estimate a 1/2/3-variate PDF of the variables in `term`.
 
@@ -78,10 +79,17 @@ def estimate_pdf(
     binsize : bin width per dimension (like the reference's user request).
     extents : optional (lo, hi) per dimension; derived from data if absent
               (host-side sync).
+    central : per-dimension flags — True samples the FLUCTUATION
+              value - <value> (central PDF of a lowercase deck variable,
+              Statistics::accumulateCenPDF:364-416), False the raw value.
     """
     cols = jnp.stack(
         [particles[:, offsets[v[0]] + v[1]] for v in term], axis=1
     )
+    if central is not None and any(central):
+        mask = jnp.asarray([1.0 if c else 0.0 for c in central],
+                           dtype=cols.dtype)
+        cols = cols - mask[None, :] * cols.mean(axis=0, keepdims=True)
     ndim = cols.shape[1]
     if ndim not in (1, 2, 3):
         raise ValueError("PDF must be uni/bi/tri-variate")

@@ -136,5 +136,6 @@ class Walker:
         self._it0 += nsteps
         return P, history
 
-    def pdf(self, P, term, binsize, extents=None):
-        return estimate_pdf(P, self.offsets, term, binsize, extents)
+    def pdf(self, P, term, binsize, extents=None, central=None):
+        return estimate_pdf(P, self.offsets, term, binsize, extents,
+                            central=central)

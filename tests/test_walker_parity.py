@@ -314,16 +314,22 @@ def test_mixdirichlet_evolving_pdf_parity(side):
     assert n >= 3
 
 
-def test_skewnormal_pdf_matches_analytic_baseline():
-    """The committed pdf_p1.txt.std is the ANALYTIC stationary
-    skew-normal density (a gnuplot table); the estimated PDF of m1 from
-    the skew.q system must converge to it.  Run the deck's SDE with a
-    larger ensemble for statistical power and compare the binned density
-    against the curve."""
+@pytest.mark.parametrize("std,comp,lo,hi", [
+    # pdf_p1: component 1, positively-skewed N(0, 1) on [-0.5, 1)
+    ("pdf_p1.txt.std", 0, -0.5, 1.0),
+    # pdf_p2: component 2, negatively-skewed N(0, 0.5^2) on [-2.5, 0.5)
+    ("pdf_p2.txt.std", 1, -2.5, 0.5),
+])
+def test_skewnormal_pdf_matches_analytic_baseline(std, comp, lo, hi):
+    """The committed pdf_p{1,2}.txt.std are the ANALYTIC stationary
+    skew-normal densities (gnuplot tables); the estimated PDF of each
+    component from the skew.q system must converge to its curve.  Run
+    the deck's SDE with a larger ensemble for statistical power and
+    compare the binned density against the curve."""
     import numpy as np
 
     rows = []
-    with open(f"{WROOT}/SkewNormal/pdf_p1.txt.std") as fh:
+    with open(f"{WROOT}/SkewNormal/{std}") as fh:
         for ln in fh:
             if ln.startswith("#") or not ln.strip():
                 continue
@@ -336,9 +342,9 @@ def test_skewnormal_pdf_matches_analytic_baseline():
     cfg = load_walker(deck)
     w = build_walker(cfg, seed=7)
     P, _ = w.run(5000)
-    m1 = np.asarray(P[:, 0])
+    m1 = np.asarray(P[:, comp])
 
-    edges = np.arange(-0.5, 1.0, 0.05)
+    edges = np.arange(lo, hi, 0.05)
     hist, _ = np.histogram(m1, bins=edges, density=True)
     centers = 0.5 * (edges[:-1] + edges[1:])
     ref = np.interp(centers, curve[:, 0], curve[:, 1])
@@ -450,3 +456,36 @@ def test_ou_pdf_exo_outputs(tmp_path, monkeypatch):
     tol = 0.02 + 0.01 * analytic
     assert (np.abs(marg - analytic) <= tol).mean() > 0.95, (
         np.abs(marg - analytic).max())
+
+
+def test_diagou_pdf_bivariate_baseline(tmp_path, monkeypatch):
+    """DiagOrnsteinUhlenbeck/diagou_pdf.q end-to-end: the committed
+    pdf_f2.txt.std is the ANALYTIC bivariate stationary density (a
+    gnuplot 20x40 isosample table — two independent OU marginals); the
+    reference ndiffs its f2 ESTIMATE against it at rel 0.3 abs 5e-2
+    (diagou_pdf.ndiff.cfg).  Run the deck through the walker CLI and
+    hold our binned estimate to the same tolerance, bilinearly
+    interpolating the baseline onto our bin centers."""
+    import numpy as np
+    from scipy.interpolate import RegularGridInterpolator
+    from quinoa_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    deck = f"{WROOT}/DiagOrnsteinUhlenbeck/diagou_pdf.q"
+    assert main(["walker", "-c", deck, "--stat", "stat.txt"]) == 0
+    ours = np.loadtxt("f2.txt")           # rows: x y density
+
+    rows = [[float(t) for t in ln.split()]
+            for ln in open(f"{WROOT}/DiagOrnsteinUhlenbeck/pdf_f2.txt.std")
+            if ln.strip() and not ln.startswith("#")]
+    std = np.array(rows)
+    xs = np.unique(std[:, 0])
+    ys = np.unique(std[:, 1])
+    # gnuplot isosample tables iterate x FASTEST (one y per row block)
+    dens = std[:, 2].reshape(ys.size, xs.size)
+    interp = RegularGridInterpolator((ys, xs), dens, bounds_error=False,
+                                     fill_value=None)
+    ref = interp(ours[:, [1, 0]])
+    tol = 5e-2 + 0.3 * np.abs(ref)
+    ok = np.abs(ours[:, 2] - ref) <= tol
+    assert ok.mean() > 0.97, (ok.mean(), np.abs(ours[:, 2] - ref).max())
