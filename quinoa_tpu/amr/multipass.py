@@ -107,6 +107,64 @@ def _tri_split(tri, keys_sorted, mid_ids):
                      [mab, mbc, mca]])
 
 
+def _tri_split_batch(tris, keys_sorted, mid_ids):
+    """Vectorized _tri_split over an (T, 3) triangle batch (the same
+    batch-per-pattern emission as refine.refine_mesh's bface pass, so
+    per-tri output order matches the scalar helper)."""
+    t = np.asarray(tris, np.int64)
+    if not len(t):
+        return np.zeros((0, 3), np.int64)
+    k3 = np.stack([_edge_key(t[:, 0], t[:, 1]),
+                   _edge_key(t[:, 1], t[:, 2]),
+                   _edge_key(t[:, 2], t[:, 0])], axis=1)
+    pos = np.searchsorted(keys_sorted, k3)
+    posc = np.clip(pos, 0, max(len(keys_sorted) - 1, 0))
+    has = (keys_sorted[posc] == k3) if len(keys_sorted) else \
+        np.zeros_like(k3, bool)
+    m3 = np.where(has, mid_ids[posc] if len(keys_sorted) else -1, -1)
+    nt = has.sum(axis=1)
+    counts = 1 + nt                         # 1/2/3/4 rows
+    offb = np.zeros(len(t) + 1, np.int64)
+    np.cumsum(counts, out=offb[1:])
+    out = np.empty((offb[-1], 3), np.int64)
+
+    idx = np.nonzero(nt == 0)[0]
+    if len(idx):
+        out[offb[idx]] = t[idx]
+    for k in range(3):
+        idx = np.nonzero((nt == 1) & has[:, k])[0]
+        if len(idx):
+            p = t[idx, k]
+            q = t[idx, (k + 1) % 3]
+            r = t[idx, (k + 2) % 3]
+            m = m3[idx, k]
+            base = offb[idx]
+            out[base] = np.stack([p, m, r], axis=1)
+            out[base + 1] = np.stack([m, q, r], axis=1)
+    for k in range(3):
+        idx = np.nonzero((nt == 2) & ~has[:, k])[0]
+        if len(idx):
+            p = t[idx, k]
+            q = t[idx, (k + 1) % 3]
+            r = t[idx, (k + 2) % 3]
+            mqr = m3[idx, (k + 1) % 3]
+            mrp = m3[idx, (k + 2) % 3]
+            base = offb[idx]
+            out[base] = np.stack([p, q, mqr], axis=1)
+            out[base + 1] = np.stack([p, mqr, mrp], axis=1)
+            out[base + 2] = np.stack([mrp, mqr, r], axis=1)
+    idx = np.nonzero(nt == 3)[0]
+    if len(idx):
+        a, b, c = t[idx, 0], t[idx, 1], t[idx, 2]
+        mab, mbc, mca = m3[idx, 0], m3[idx, 1], m3[idx, 2]
+        base = offb[idx]
+        out[base] = np.stack([a, mab, mca], axis=1)
+        out[base + 1] = np.stack([b, mbc, mab], axis=1)
+        out[base + 2] = np.stack([c, mca, mbc], axis=1)
+        out[base + 3] = np.stack([mab, mbc, mca], axis=1)
+    return out
+
+
 def _group_subtris(g: PartialGroup):
     """The current-mesh boundary triangles a live group contributed (its
     parent btris subdivided by the group's midpoints)."""
@@ -440,11 +498,9 @@ def refine_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState,
             rows += [tri.astype(np.int64) for s2, tri in g.btris
                      if s2 == ss]
         w_btris[ss] = rows
-        out = []
-        for t in rows:
-            out.append(_tri_split(t, all_keys, all_ids))
-        newbface[ss] = (np.concatenate(out, axis=0).astype(np.int32)
-                        if out else np.zeros((0, 3), np.int32))
+        newbface[ss] = (_tri_split_batch(np.stack(rows), all_keys,
+                                         all_ids).astype(np.int32)
+                        if rows else np.zeros((0, 3), np.int32))
 
     newmesh = UnsMesh(coords=coords, inpoel=newinpoel.astype(np.int32))
     newmesh.bface = newbface
