@@ -4,6 +4,7 @@
 # multimat validation, pdg/dgp2 benches.  Each step bounded; results
 # appended to the log with timestamps.
 cd "$(dirname "$0")/.." || exit 1
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOG=${1:-/tmp/onchip_results.log}
 run() {
   echo "=== $* — $(date -u +%H:%M:%S)" | tee -a "$LOG"
