@@ -78,13 +78,15 @@ def main_spmd(npes: int):
     }))
 
 
-#: env-gated kernel-fusion candidates (parity-tested; see ROADMAP)
+#: env-gated kernel-fusion candidates.  The round-3 on-chip A/B made
+#: the full fusion stack (limit-in-kernel + vol-in-kernel + far_sr)
+#: the DEFAULT (6.39 -> 7.30M updates/s on v5e); the variants kept
+#: here are the OFF-switch fallbacks so a default-path regression can
+#: never cost the headline number.
 VARIANTS = [
-    {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1"},
-    {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1",
-     "QUINOA_FAR_SR": "1"},
-    {"QUINOA_LIMIT_IN_KERNEL": "1", "QUINOA_VOL_IN_KERNEL": "1",
-     "QUINOA_SPLIT_FAR_GATHER": "1"},
+    {"QUINOA_FAR_SR": "0"},
+    {"QUINOA_LIMIT_IN_KERNEL": "0", "QUINOA_VOL_IN_KERNEL": "0",
+     "QUINOA_FAR_SR": "0"},
 ]
 
 
@@ -174,6 +176,13 @@ def main(pref: bool = False, ndof: int = 4):
 
     n = 48 if ndof == 4 else 32  # P2 carries 2.5x the dofs
     mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
+    # P2 runs UNLIMITED (the reference ships no P2 limiter), so the
+    # bench problem must be smooth: TaylorGreen, the reference's own
+    # dgp2 regression config (tests/regression/inciter/compflow/Euler/
+    # TaylorGreen/taylor_green_dgp2.q).  Sedov at unlimited P2 blows
+    # up — observed non-finite on chip within 11 steps.
+    from quinoa_tpu.pde.problems import TaylorGreen
+    problem_cls = SedovBlastwave if ndof == 4 else TaylorGreen
     # Hilbert element order: the production CLI's locality pass
     # (mesh/reorder.py; Sorter/Reorder analog) — keeps ~85% of face
     # neighbors inside the Pallas W=128 windows vs 66% for lex order
@@ -182,7 +191,7 @@ def main(pref: bool = False, ndof: int = 4):
     mesh, _ = hilbert_element_reorder(mesh)
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
-    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    system = DGCompFlow(problem_cls(), riemann_flux="hllc")
     solver = DGSolver(system, geom, cfl=0.5,
                       limiter="superbeep1" if ndof == 4 else None,
                       pref=pref)
@@ -211,7 +220,7 @@ def main(pref: bool = False, ndof: int = 4):
     result = {
         "metric": ("cell_updates_per_sec_sedov_pdg_hllc_superbee"
                    if pref else
-                   "cell_updates_per_sec_sedov_dgp2_hllc"
+                   "cell_updates_per_sec_taylorgreen_dgp2_hllc"
                    if ndof == 10 else
                    "cell_updates_per_sec_sedov_dgp1_hllc_superbee"),
         "value": round(updates_per_sec, 1),

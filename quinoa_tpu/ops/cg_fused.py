@@ -97,8 +97,13 @@ def _qualifies(system, coords_probe):
 def _env_dims(TF, W):
     import os
 
-    return (int(os.environ.get("QUINOA_CGF_TF", TF)),
-            int(os.environ.get("QUINOA_CGF_W", W)))
+    TF = int(os.environ.get("QUINOA_CGF_TF", TF))
+    W = int(os.environ.get("QUINOA_CGF_W", W))
+    # Mosaic needs the stat block's trailing dim (TE = TF/4) to be a
+    # multiple of 128, and the lo/hi window blocks need W % 128 == 0.
+    TF = max(512, -(-TF // 512) * 512)
+    W = max(128, -(-W // 128) * 128)
+    return TF, W
 
 
 def build_cg_fused_plan(system, geom, bcmask, ctau: float,
@@ -388,7 +393,10 @@ def _safe_state(blocks, m, C, TE, dtype):
     """Blend invalid (pad) entities to rho=1, zero momenta/energy: the
     compflow EoS divides by rho and a 0/0 NaN poisons even
     zero-weighted matmul columns."""
-    e0 = jnp.zeros((C, TE), dtype).at[0, :].set(1.0)
+    # row-0 one-hot via iota: .at[].set lowers to lax.scatter, which
+    # has no Pallas TPU lowering (this traces in-kernel)
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, TE), 0)
+    e0 = jnp.where(row == 0, 1.0, 0.0).astype(dtype)
     return [u * m + (1.0 - m) * e0 for u in blocks]
 
 
@@ -503,6 +511,16 @@ def _make_k1(TF, TE, W, FTS, C, Rs, ctau):
     return kernel
 
 
+def _vmem_limit_bytes():
+    """Scoped-vmem ceiling for the fused CG kernels.  The element math
+    traced in-kernel (Taylor-Galerkin + FCT chain) needs more kernel
+    stack than Mosaic's 16 MiB default (measured 21.8 MiB at the
+    TF=512/W=1024 defaults on v5e); raise it, env-overridable."""
+    import os
+
+    return int(os.environ.get("QUINOA_CGF_VMEM", 64 * 2**20))
+
+
 def _call_windowed(kernel, p: NodePlan, R, inputs, in_specs,
                    interpret, dtype):
     """Shared pallas_call scaffolding: blk prefetch, (R, W) lo/hi
@@ -525,6 +543,8 @@ def _call_windowed(kernel, p: NodePlan, R, inputs, in_specs,
             jax.ShapeDtypeStruct((R, NBW), dtype),
             jax.ShapeDtypeStruct((R, p.ntile * p.FTS), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(p.blk, *inputs)
     return outs

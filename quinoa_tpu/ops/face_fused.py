@@ -671,10 +671,12 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
     FpF = fp.far.ntile * TF
     import os as _os
 
-    if _os.environ.get("QUINOA_FAR_SR") == "1":
+    if _os.environ.get("QUINOA_FAR_SR", "1") == "1":
         # er-sorted in-window right-state pass: sR at the face Gauss
-        # points (C*G rows) instead of the CK-row modal gather (A/B
-        # experiment vs the gather variants below)
+        # points (C*G rows) instead of the CK-row modal gather.
+        # Default-on since the on-chip A/B (v5e, 48^3 Sedov dgp1):
+        # far_sr 98.0 ms/step vs modal-gather 103.8 vs split 197.9;
+        # QUINOA_FAR_SR=0 restores the gather variants below
         srF = far_rstate_pass(fp, U, C, K, G, interpret=interpret)
         loF, hiF, wflF = stream_call(fp.far, far=True, extra_in=(srF,),
                                      sr_in=True)

@@ -435,14 +435,18 @@ def maybe_fused_limit(system, geom, u, dofmask, bounds_plan, fused,
     to the split bounds-kernel + XLA-phi path."""
     import os
 
+    # Both kernels default-on since the on-chip A/B stack (v5e, 48^3
+    # Sedov dgp1): base 6.39M -> +limit 6.57M -> +vol 6.99M updates/s;
+    # QUINOA_LIMIT_IN_KERNEL=0 / QUINOA_VOL_IN_KERNEL=0 restore the
+    # split bounds-kernel + XLA-phi / XLA-volume paths
     if (bounds_plan is None or dofmask is not None
             or limiter != "superbeep1" or geom.ndof < 4
-            or os.environ.get("QUINOA_LIMIT_IN_KERNEL") != "1"):
+            or os.environ.get("QUINOA_LIMIT_IN_KERNEL", "1") != "1"):
         return None
     C = system.ncomp
     emit_vol = (
         fused
-        and os.environ.get("QUINOA_VOL_IN_KERNEL") == "1"
+        and os.environ.get("QUINOA_VOL_IN_KERNEL", "1") == "1"
         # the kernel evaluates flux_cols(state, None, 0.0): only safe
         # when the system declares its flux gp- AND t-independent
         and getattr(system, "coord_free_flux", False)

@@ -194,9 +194,12 @@ class MultiMatSystem:
         )
         vn = (vel * fn).sum(0)
         velr = vel - 2.0 * vn * fn
-        sym = sL.at[momentum_idx(nmat, 0)].set(rho * velr[0])
-        sym = sym.at[momentum_idx(nmat, 1)].set(rho * velr[1])
-        sym = sym.at[momentum_idx(nmat, 2)].set(rho * velr[2])
+        # momentum rows are contiguous (2*nmat..2*nmat+2); rebuild by
+        # concatenation — .at[row].set lowers to lax.scatter, which the
+        # Pallas TPU backend can't lower when this traces in-kernel
+        m0 = momentum_idx(nmat, 0)
+        sym = jnp.concatenate([sL[:m0], rho[None] * velr, sL[m0 + 3:]],
+                              axis=0)
         return jnp.where(bctype == BC_SYMMETRY, sym, sL)
 
     def charvel(self, u, fn):
@@ -626,7 +629,10 @@ class _FusedMMFacade:
         a_new = [a / jnp.maximum(ssum, floor) for a in a_new]
         rho_new = jnp.zeros_like(s[0])
         rho_lin = jnp.zeros_like(s[0])
-        out = s
+        # row-list rebuild instead of .at[row].set: this traces INSIDE
+        # the fused Pallas face kernel, where lax.scatter has no TPU
+        # lowering; all indices are static so a stack is equivalent
+        rows = [s[r] for r in range(s.shape[0])]
         for k in range(nmat):
             # flagged cells re-derive the conserved rows from the
             # cell-MEAN material primitives (well-conditioned: the mean
@@ -637,15 +643,15 @@ class _FusedMMFacade:
                            s[density_idx(nmat, k)])
             ek = jnp.where(flags[k], a_new[k] * rek,
                            s[energy_idx(nmat, k)])
-            out = out.at[volfrac_idx(nmat, k)].set(a_new[k])
-            out = out.at[density_idx(nmat, k)].set(dk)
-            out = out.at[energy_idx(nmat, k)].set(ek)
+            rows[volfrac_idx(nmat, k)] = a_new[k]
+            rows[density_idx(nmat, k)] = dk
+            rows[energy_idx(nmat, k)] = ek
             rho_new = rho_new + dk
             rho_lin = rho_lin + s[density_idx(nmat, k)]
         for i in range(3):
             vi = s[momentum_idx(nmat, i)] / rho_lin
-            out = out.at[momentum_idx(nmat, i)].set(rho_new * vi)
-        return out
+            rows[momentum_idx(nmat, i)] = rho_new * vi
+        return jnp.stack(rows)
 
     def bc_state(self, bctype, sL, fn, gp, t):
         C = self.mm.ncomp

@@ -80,7 +80,11 @@ class CompFlowProblem:
 
         divF = jnp.zeros_like(dUdt)
         for j in range(3):
-            tangent = jnp.zeros_like(xyz).at[j].set(1.0)
+            # axis-j one-hot built scatter-free: this traces inside the
+            # fused CG compflow Pallas kernel, where .at[].set's
+            # lax.scatter has no TPU lowering
+            row = jax.lax.broadcasted_iota(jnp.int32, xyz.shape, 0)
+            tangent = jnp.where(row == j, 1.0, 0.0).astype(xyz.dtype)
             _, dFj = jax.jvp(lambda p, jj=j: flux_j(p, jj), (xyz,), (tangent,))
             divF = divF + dFj
         return dUdt + divF

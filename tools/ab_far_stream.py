@@ -23,8 +23,10 @@ import numpy as np
 
 
 def bench_mode(mode_env, n):
-    for k in ("QUINOA_SPLIT_FAR_GATHER", "QUINOA_FAR_SR"):
-        os.environ.pop(k, None)
+    # far_sr is the default since the round-3 on-chip A/B: force it
+    # OFF for the gather modes so they actually run the gather path
+    os.environ.pop("QUINOA_SPLIT_FAR_GATHER", None)
+    os.environ["QUINOA_FAR_SR"] = "0"
     if mode_env:
         os.environ[mode_env] = "1"
 

@@ -11,6 +11,9 @@ around solver construction.  `python tools/check_cg_fused.py [n]`
 (default n=16; 48 for a bench-sized run).
 """
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.dirname(_os_.path.dirname(_os_.path.abspath(__file__))))
+
 import os
 import sys
 import time

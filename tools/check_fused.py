@@ -8,6 +8,9 @@
 3. fused-step bench at the requested size.
 """
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.dirname(_os_.path.dirname(_os_.path.abspath(__file__))))
+
 import sys
 import time
 

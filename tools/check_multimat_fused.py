@@ -8,6 +8,9 @@ measurement rules).  Usage:
     PYTHONPATH=/root/repo python tools/check_multimat_fused.py [n=32]
 """
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.dirname(_os_.path.dirname(_os_.path.abspath(__file__))))
+
 import sys
 import time
 
