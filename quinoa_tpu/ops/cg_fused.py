@@ -27,8 +27,25 @@ the AEC from the same window rather than materializing it.)
 Far slots (node outside the tile window, ~8% at W=1024 after first-touch
 ordering) are emitted as a compact per-tile stream and folded in by the
 existing target-sorted far pass.  Env-gated: QUINOA_CG_FUSED=1 (plus a
-NodePlan on the geometry); currently single-shard CGTransport with
-time-independent velocity and no diffusion — the bench_cg configuration.
+NodePlan on the geometry).
+
+Coverage: BOTH DiagCG flavors — transport (static-velocity CGTransport,
+`_build_transport_plan`) AND compflow (Euler flux + EoS + manufactured
+source traced in-kernel on the corner-state blocks,
+`_build_compflow_plan`) — and BOTH deployments: single-shard
+(`build_cg_fused_plan`) and stacked-SPMD under shard_map
+(`build_cg_fused_plan_stacked`, forced-uniform per-shard plans; the
+fused SPMD path also cuts one halo exchange by carrying [rhs|dif|P+|P-]
+in a single combine).  ALECG gets the same treatment in
+ops/alecg_fused.py behind the same env flag.
+
+STATUS: default-OFF after losing the round-3 silicon A/B — 210 ms/step
+vs the XLA path's 109 at 48^3 (ALECG 274 vs 217).  The O(S*W) one-hot
+window build at CG's W=1024 node windows exceeds the entire gather
+chain it replaces; see PERFORMANCE.md "DiagCG + FCT" for the floor
+analysis.  Parity-tested (tests/test_cg_fused.py) so the variant stays
+green, but do NOT grow this surface — the open structural exit is
+eliminating the gathers (edge-based assembly), not repackaging them.
 """
 
 from __future__ import annotations

@@ -23,14 +23,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the tier is compile-bound on a 1-core
-# box (the heaviest SPMD programs cost 30-50 s each to build); warm
-# re-runs then spend seconds, not minutes, in XLA
-_cache = os.environ.get("QUINOA_TEST_CACHE",
-                        "/tmp/quinoa_tpu_xla_cache")
-if _cache != "0":
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compilation cache (host-feature-keyed; base/xlacache.py):
+# the tier is compile-bound on a 1-core box (the heaviest SPMD programs
+# cost 30-50 s each to build); warm re-runs then spend seconds, not
+# minutes, in XLA
+from quinoa_tpu.base.xlacache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) >= 8, jax.devices()
