@@ -16,6 +16,7 @@ overdecomposition plots), so vs_baseline = value / 2.0e6.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,6 +24,53 @@ import jax
 import numpy as np
 
 CPU_REFERENCE_UPDATES_PER_SEC = 2.0e6  # 64-rank Charm++ estimate
+
+#: committed known-good L2(sol) after the bench's 11 steps (1 warmup +
+#: 10 timed) with the DEFAULT flag stack — the "at matched L2 error"
+#: gate from BASELINE.md:33: a perf change that breaks physics at bench
+#: scale fails the bench loudly instead of shipping a fast wrong number.
+#: rtol covers FMA-contraction noise across compiler rebuilds; a broken
+#: flux/limiter moves these by orders of magnitude more.
+L2_KNOWN_GOOD_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tools", "bench_l2_known_good.json")
+L2_RTOL = 5e-4
+
+
+def _l2_gate(system, geom, state, flags_default):
+    """Compute L2(sol) of the final bench state and gate it against the
+    committed known-good (default flag stack only: env-flag variants
+    change op order, hence trajectories, at FMA-noise level)."""
+    from quinoa_tpu.inciter.dg import DGDiagnostics
+
+    l2sol, _, _ = DGDiagnostics(system, geom).compute(state)
+    line = {"metric": "l2_sol_sedov_dgp1_after_11_steps",
+            "value": [round(v, 10) for v in l2sol]}
+    if not flags_default:
+        line["gate"] = "skipped (non-default flags)"
+        print(json.dumps(line), flush=True)
+        return
+    try:
+        with open(L2_KNOWN_GOOD_FILE) as f:
+            good = json.load(f)["l2sol"]
+    except OSError:
+        line["gate"] = "no known-good committed"
+        print(json.dumps(line), flush=True)
+        return
+    ok = np.allclose(l2sol, good, rtol=L2_RTOL, atol=0.0)
+    line["gate"] = "ok" if ok else f"FAIL vs {good} (rtol {L2_RTOL})"
+    print(json.dumps(line), flush=True)
+    if not ok:
+        print("bench.py: L2 GATE FAILED — the measured trajectory no "
+              "longer matches the committed known-good; a perf change "
+              "broke physics at bench scale", file=sys.stderr)
+        sys.exit(1)
+
+
+def _flags_default():
+    keys = ("QUINOA_FAR_SR", "QUINOA_LIMIT_IN_KERNEL",
+            "QUINOA_VOL_IN_KERNEL", "QUINOA_SPLIT_FAR_GATHER",
+            "QUINOA_FACE_W", "QUINOA_FACE_TF")
+    return not any(os.environ.get(k) for k in keys)
 
 
 def main_spmd(npes: int):
@@ -90,23 +138,30 @@ VARIANTS = [
 ]
 
 
-def _run_inner(env, timeout_s):
-    """One measurement in a SUBPROCESS (`--inner`): the TPU is a
-    single-client device, so the orchestrating parent must never
-    initialize it — every measurement (default and variants) gets the
-    chip exclusively, and a variant compile failure or hang can never
-    cost the default number.  Returns the parsed JSON dict or None."""
-    import os
+def _run_inner(env, timeout_s, argv=("--inner",)):
+    """One measurement in a SUBPROCESS: the TPU is a single-client
+    device, so the orchestrating parent must never initialize it —
+    every measurement (default, SPMD, and variants) gets the chip
+    exclusively, and a variant compile failure or hang can never cost
+    the default number.  Returns the parsed JSON dict (the last JSON
+    line, i.e. the perf line — gate lines come earlier) or None; a
+    nonzero exit (e.g. the L2 gate tripping) returns None."""
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
+            [sys.executable, os.path.abspath(__file__), *argv],
             env={**os.environ, **env},
             capture_output=True, text=True, timeout=timeout_s,
         )
+        for ln in out.stdout.splitlines():
+            if ln.startswith("{") and "l2_sol" in ln:
+                print(ln, flush=True)      # surface the gate line
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-2000:])
+            return None
         line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")][-1]
+                if ln.startswith("{") and "l2_sol" not in ln][-1]
         return json.loads(line)
     except OSError:
         return "spawn-failed"
@@ -154,6 +209,20 @@ def orchestrate(deadline_s: float = 1500.0):
         sys.exit(1)
     best["flags"] = "default"
     state["best"] = best
+    # the SPMD shard_map measurement (same program the multichip mesh
+    # runs) rides every driver bench so the distributed path's number
+    # is tracked round over round (VERDICT r3 missing #3); its line
+    # prints immediately — the headline line still comes LAST
+    left = deadline_s - (time.perf_counter() - t0)
+    if left > 180:
+        spmd = _run_inner({}, min(560, left), argv=("--npes", "1"))
+        if isinstance(spmd, dict):
+            print(json.dumps(spmd), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "cell_updates_per_sec_sedov_dgp1_spmd",
+                "value": None, "note": "npes=1 measurement failed",
+            }), flush=True)
     for env in VARIANTS:
         left = deadline_s - (time.perf_counter() - t0)
         if left < 120:
@@ -216,6 +285,11 @@ def main(pref: bool = False, ndof: int = 4):
 
     assert np.isfinite(np.asarray(state.u)).all()
     updates_per_sec = mesh.nelem * nsteps / dt
+
+    if ndof == 4 and not pref:
+        # matched-L2 gate (headline config only): exits nonzero on a
+        # physics mismatch BEFORE the perf line is emitted
+        _l2_gate(system, geom, state, _flags_default())
 
     result = {
         "metric": ("cell_updates_per_sec_sedov_pdg_hllc_superbee"

@@ -35,11 +35,26 @@ from .refine import (
 
 
 class AdaptChain:
-    """Mutable multi-level refinement state for one run."""
+    """Mutable multi-level refinement state for one run.
+
+    `state` is the PERSISTENT intermediates machine (amr.multipass
+    AMRState): the partial 1:2/1:4 template groups and their locks are
+    carried ACROSS dtref events, exactly as the reference's Refiner
+    keeps one long-lived AMR::mesh_adapter_t for t0ref and every
+    during-timestep event (Refiner.cpp:241-260; mesh_adapter.cpp:538
+    lock_intermediates) — so an event that tags a partial child's
+    unlocked edge re-refines the PARENT 2:8/4:8 instead of stacking a
+    template.  Coarsening rebuilds the level from its coarse mesh
+    (derefine_mesh), which invalidates the live groups — the state is
+    reset there, the same convention as t0ref's uniform_derefine
+    (control/config.py apply_t0ref)."""
 
     def __init__(self, mesh):
         self.levels: List[tuple] = []  # (coarse_mesh, rmap, coarse_elevel)
         self.elevel = np.zeros(mesh.nelem, dtype=np.int64)
+        from .multipass import AMRState
+
+        self.state = AMRState()
 
 
 def _elem_edge_err(mesh, uerr, method):
@@ -76,7 +91,11 @@ def dtref_adapt(mesh, chain: Optional[AdaptChain], uerr, u, cg_scheme,
     changed = False
 
     # ---- (1) coarsen the top level ------------------------------------
-    if chain.levels:
+    # a level whose rmap folded in 2:8/4:8 partial-group rebuilds has no
+    # complete coarse->fine parent map (rebuilt children's parent is not
+    # an element of the coarse mesh): skip coarsening it — its region
+    # was just re-refined, so its error is above tol anyway
+    if chain.levels and (chain.levels[-1][1].parent >= 0).all():
         coarse, rmap, coarse_lvl = chain.levels[-1]
         eerr = _elem_edge_err(mesh, uerr, method)
         ncoarse = coarse.nelem
@@ -104,6 +123,13 @@ def dtref_adapt(mesh, chain: Optional[AdaptChain], uerr, u, cg_scheme,
                     chain.elevel = (
                         coarse_lvl + (cnt2 > 1).astype(np.int64)
                     )[rmap2.parent]
+                # derefine_mesh rebuilt the level from the coarse mesh,
+                # invalidating the live partial groups — reset the
+                # intermediates state (same convention as t0ref's
+                # uniform_derefine, control/config.py apply_t0ref)
+                from .multipass import AMRState
+
+                chain.state = AMRState()
                 # error field no longer matches the mesh; retag next
                 # cycle (refining stale fine-level tags would fight the
                 # coarsening we just did)
@@ -113,6 +139,57 @@ def dtref_adapt(mesh, chain: Optional[AdaptChain], uerr, u, cg_scheme,
     edges = gen_inpoed(mesh.inpoel)
     err = edge_errors(mesh, uerr, 0, method)
     tag = err > tol_refine
+    if tag.any():
+        # persistent-intermediates path (reference semantics): one
+        # refine_pass over the live AMRState, with the level cap
+        # enforced as pre-locked edges INSIDE the mark fixed point
+        # (refinement.hpp:28); tags on intermediate-locked edges are
+        # dropped at intake (mark_error_refinement,
+        # mesh_adapter.cpp:134), and tagging a partial child's unlocked
+        # edge re-refines the PARENT 2:8/4:8 instead of stacking
+        from .multipass import (
+            AMRState, refine_pass, transfer_dg_pass,
+        )
+
+        inpoel = mesh.inpoel.astype(np.int64)
+        at_cap = chain.elevel >= maxlevels
+        banned = None
+        if at_cap.any():
+            banned = np.stack(
+                [inpoel[at_cap][:, _TET_EDGES[:, 0]].ravel(),
+                 inpoel[at_cap][:, _TET_EDGES[:, 1]].ravel()], axis=1)
+        try:
+            vol_cur = None if cg_scheme else _elem_volumes(mesh)
+            mesh3, rmap3, newstate = refine_pass(
+                mesh, edges[tag].astype(np.int64), chain.state,
+                banned=banned)
+            if len(rmap3.mid_edges) or rmap3.rebuilt:
+                if cg_scheme:
+                    u = transfer_cg(rmap3, u)
+                else:
+                    u = transfer_dg_pass(rmap3, u, vol_cur, ncomp, ndof)
+                okp = rmap3.parent >= 0
+                src = np.maximum(rmap3.parent, 0)
+                cnt3 = np.bincount(src[okp], minlength=mesh.nelem)
+                new_lvl = np.zeros(len(rmap3.parent), np.int64)
+                new_lvl[okp] = (chain.elevel
+                                + (cnt3 > 1).astype(np.int64))[src[okp]]
+                for old_rows, new_rows in (rmap3.rebuilt or []):
+                    # a 2:8/4:8 rebuild keeps the children's depth
+                    new_lvl[new_rows] = chain.elevel[old_rows].max()
+                chain.levels.append((mesh, rmap3, chain.elevel.copy()))
+                chain.elevel = new_lvl
+                chain.state = newstate
+                mesh = mesh3
+                changed = True
+            return changed, mesh, chain, u
+        except AssertionError:
+            # order-dependent class-2/3 interaction: fall back to the
+            # single-event close-then-exclude machinery below (and drop
+            # the live groups — the single-pass refiner does not track
+            # them)
+            chain.state = AMRState()
+
     tags = np.zeros((0, 2), dtype=np.int64)
     if tag.any():
         # LEVEL CAP.  Refining an edge splits EVERY incident element

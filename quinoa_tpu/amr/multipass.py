@@ -180,10 +180,16 @@ def _group_subtris(g: PartialGroup):
     return out
 
 
-def mark_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState):
+def mark_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState,
+              banned: np.ndarray = None):
     """The reference's mark_refinement fixed point for one pass.
 
-    tags : (n, 2) node pairs requested for refinement.
+    tags   : (n, 2) node pairs requested for refinement.
+    banned : optional (m, 2) node pairs pre-LOCKED for this pass — the
+             level-cap mechanism (refinement.hpp:28 locks the edges of
+             at-cap elements INSIDE the compatibility iteration, so the
+             closure routes around them via class 2 instead of
+             escalating through them).
     Returns (hasmask (E,) int64 6-bit decision per element,
              rebuild (len(groups),) bool).
     Batch (Jacobi) rounds instead of the reference's in-round sequential
@@ -207,6 +213,13 @@ def mark_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState):
         endb = (ukeys & 0xFFFFFFFF)
         isin = np.isin(enda, inter) | np.isin(endb, inter)
         lockv[isin] = 2
+
+    if banned is not None and len(banned):
+        banned = np.asarray(banned, np.int64).reshape(-1, 2)
+        bk = np.unique(_edge_key(banned[:, 0], banned[:, 1]))
+        pos = np.clip(np.searchsorted(ukeys, bk), 0, len(ukeys) - 1)
+        tgt = pos[ukeys[pos] == bk]
+        lockv[tgt[lockv[tgt] == 0]] = 1
 
     # intake: tags on non-unlocked edges are dropped
     needs = np.zeros(len(ukeys), bool)
@@ -354,12 +367,47 @@ def mark_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState):
     return hasmask, rebuild
 
 
+def transfer_dg_pass(rmap: RefineMap, u: np.ndarray, vol_old: np.ndarray,
+                     ncomp: int, ndof: int) -> np.ndarray:
+    """DG dofs (C*K, E_old) -> the refine_pass mesh.
+
+    - children of an untouched parent (one child) carry ALL dofs 1:1;
+    - children of a subdivided parent inherit the parent's cell mean
+      with higher dofs zeroed (exactly conservative: the children
+      partition the parent);
+    - children of a 2:8/4:8 partial-group REBUILD get the group's
+      volume-weighted mean of its old children's means (conservative
+      through the parent rebuild), higher dofs zeroed.
+    """
+    u = np.asarray(u).reshape(ncomp, ndof, -1)
+    Enew = len(rmap.parent)
+    out = np.zeros((ncomp, ndof, Enew), dtype=u.dtype)
+    ok = rmap.parent >= 0
+    src = np.maximum(rmap.parent, 0)
+    out[:, :, ok] = u[:, :, src[ok]]
+    if ndof > 1:
+        cnt = np.bincount(src[ok], minlength=u.shape[2])
+        split = ok & (cnt[src] > 1)
+        if split.any():
+            out[:, 1:, split] = 0.0
+    vol_old = np.asarray(vol_old)
+    for old_rows, new_rows in (rmap.rebuilt or []):
+        v = vol_old[old_rows]
+        mean = (u[:, 0, :][:, old_rows] * v).sum(axis=1) / v.sum()
+        out[:, 0, :][:, new_rows] = mean[:, None]
+    return out.reshape(ncomp * ndof, Enew)
+
+
 def refine_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState,
+                banned: np.ndarray = None,
                 ) -> Tuple[UnsMesh, RefineMap, AMRState]:
     """One reference-semantics refinement pass; returns the refined
-    mesh, a RefineMap (nodal-transfer compatible), and the new state."""
+    mesh, a RefineMap (nodal-transfer compatible; its `rebuilt` field
+    carries per-rebuilt-group (old_children, new_rows) for conservative
+    DG transfer), and the new state.  `banned` edges are pre-locked
+    (level-cap locks, see mark_pass)."""
     tags = np.asarray(tags, np.int64).reshape(-1, 2)
-    hasmask, rebuild = mark_pass(mesh, tags, state)
+    hasmask, rebuild = mark_pass(mesh, tags, state, banned=banned)
 
     inpoel = mesh.inpoel.astype(np.int64)
     E = inpoel.shape[0]
@@ -555,10 +603,20 @@ def refine_pass(mesh: UnsMesh, tags: np.ndarray, state: AMRState,
     # to -1 in the original mesh)
     parent_orig = np.concatenate(
         [keep_rows, np.full(len(reb_groups), -1, np.int64)])
+    # rebuilt-group transfer info: (old element rows, new element rows)
+    # per 2:8/4:8 rebuild, for conservative DG transfer through the
+    # parent rebuild (two_to_eight/four_to_eight re-refines the parent,
+    # so the new children's source is the group's old children)
+    rebuilt = []
+    for i, g in enumerate(reb_groups):
+        w = len(keep_rows) + i
+        rebuilt.append((g.children.copy(),
+                        off[w] + np.arange(int(nchild[w]))))
     rmap = RefineMap(
         mid_edges=np.stack([npa, npb], axis=1) if len(new_keys)
         else np.zeros((0, 2), np.int64),
         parent=parent_orig[parents_w],
         nnode_old=mesh.nnode,
+        rebuilt=rebuilt,
     )
     return newmesh, rmap, newstate

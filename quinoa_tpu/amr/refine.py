@@ -66,13 +66,21 @@ class RefineMap:
 
     mid_edges : (nmid, 2) parent node ids of each new (midpoint) node,
                 in order; new node i has id nnode_old + i.
-    parent    : (nelem_new,) parent element id of each child.
+    parent    : (nelem_new,) parent element id of each child.  -1 for
+                children of a 2:8/4:8 partial-group rebuild (multipass
+                refine_pass only): their source is not one old element
+                but the group's old children, recorded in `rebuilt`.
     nnode_old : node count before refinement.
+    rebuilt   : multipass only — one (old_children_rows, new_rows) pair
+                per rebuilt partial group, for conservative solution
+                transfer through the parent rebuild (mesh_adapter.cpp
+                two_to_eight/four_to_eight).
     """
 
     mid_edges: np.ndarray
     parent: np.ndarray
     nnode_old: int
+    rebuilt: list = None
 
 
 def _edge_key(a, b):

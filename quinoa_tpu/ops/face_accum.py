@@ -257,10 +257,37 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
     real = (np.asarray(fmask) > 0) if fmask is not None \
         else np.ones(F, dtype=bool)
     interior = (er != el) & real
-    # near: er shares el's (classification-W) block, so it is inside the
-    # tile's two-block output window regardless of which block the tile
-    # anchors on; boundary faces are trivially near; pad faces excluded
+    # near: er inside the tile's TWO-BLOCK output window [b*W, b*W+2W)
+    # (the kernel's right-state gather covers locr in [0, 2W), so
+    # er//W == el//W is sufficient but NOT necessary).  Same-block faces
+    # are window-safe for any tile anchor; er in an ADJACENT block is
+    # admitted by a demotion fixed point, since the anchor b[t] = min el
+    # of the tile // W depends on the selection itself.  The guarantee
+    # survives the later window doubling (_fit_tables): for Ws = k*W the
+    # anchor window [b2*Ws, b2*Ws + 2Ws) contains [b*W, b*W + 2W).
+    # Measured on v5e (48^3 Sedov dgp1): the far stream costs ~4.5x per
+    # face vs near, and this reclassification moves ~40% of far faces.
     near = real & (~interior | ((er // W) == (el // W)))
+    cand = real & interior & ~near & (np.abs(er // W - el // W) == 1)
+    near2 = near | cand
+    while True:
+        idxN = np.nonzero(near2)[0]
+        if not len(idxN):
+            break
+        tl = np.arange(len(idxN)) // TF
+        ntl = int(tl[-1]) + 1
+        bmin = np.full(ntl, np.iinfo(np.int64).max)
+        np.minimum.at(bmin, tl, el[idxN])
+        b = (bmin // W)[tl]
+        erb = er[idxN] // W
+        # same-block faces are safe under ANY anchor (never demote);
+        # adjacent-block ones must land in this tile's {b, b+1} window
+        okf = ~interior[idxN] | (erb == el[idxN] // W) \
+            | ((erb >= b) & (erb <= b + 1))
+        if okf.all():
+            break
+        near2[idxN[~okf]] = False
+    near = near2
     idxN = np.nonzero(near)[0]
     idxF = np.nonzero(real & ~near)[0]
     G = np.asarray(xi_l).shape[1]

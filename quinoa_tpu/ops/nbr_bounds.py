@@ -44,16 +44,19 @@ from jax.experimental.pallas import tpu as pltpu
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["nbr", "fidx", "fmask", "fpos"],
-    meta_fields=["E", "Ep", "W", "ntile", "FTE", "nef"],
+    meta_fields=["E", "Ep", "W", "ntile", "FTE", "nef", "nsr"],
 )
 @dataclasses.dataclass(frozen=True)
 class BoundsPlan:
     """Static tables for the neighbor-bounds pass.
 
     nbr   : (4, Ep) i32  global face-neighbor ids (-1 none/pad)
-    fidx  : (4, ntile*FTE) i32  far-slot value-gather indices laid out
-            directly in the kernel's tile-padded order (0 at pads)
-    fmask : (4, ntile*FTE)  1.0 where the far slot is real
+    fidx  : (nsr, ntile*FTE) i32  far-slot value-gather indices laid out
+            directly in the kernel's tile-padded order (0 at pads); nsr
+            is the max far-slot count of any element (measured 2 on
+            Hilbert-ordered tet meshes at W=512 — a 4-row layout would
+            double the stage's biggest XLA gather for nothing)
+    fmask : (nsr, ntile*FTE)  1.0 where the far slot is real
     fpos  : (1, ntile*FTE) i32 tile-local element position (-1 pad)
     """
 
@@ -67,17 +70,21 @@ class BoundsPlan:
     ntile: int
     FTE: int
     nef: int
+    nsr: int = 4
 
 
-def build_bounds_plan(geom, W: int = 512, force_FTE=None) -> BoundsPlan:
+def build_bounds_plan(geom, W: int = 512, force_FTE=None,
+                      force_nsr=None) -> BoundsPlan:
     """Host-side plan from a DGGeom (uses its esuelT neighbor table).
-    force_FTE pins the far-tile width for uniform stacked builds."""
+    force_FTE/force_nsr pin the far-tile width / slot-row count for
+    uniform stacked builds."""
     return _bounds_plan_from_nbr(np.asarray(geom.esuelT),
-                                 np.asarray(geom.vol).dtype, W, force_FTE)
+                                 np.asarray(geom.vol).dtype, W, force_FTE,
+                                 force_nsr)
 
 
 def _bounds_plan_from_nbr(nbr, dtype, W: int = 512,
-                          force_FTE=None) -> BoundsPlan:
+                          force_FTE=None, force_nsr=None) -> BoundsPlan:
     nbr = np.asarray(nbr).astype(np.int64)  # (4, E)
     E = nbr.shape[1]
     ntile = max((E + W - 1) // W, 1)
@@ -109,11 +116,25 @@ def _bounds_plan_from_nbr(nbr, dtype, W: int = 512,
     # column of far element j: its rank within its tile
     col = (ftile * FTE + np.arange(nef)
            - np.concatenate([[0], np.cumsum(counts)])[ftile])
-    fidx = np.zeros((4, NT), np.int32)
-    fmask = np.zeros((4, NT), dtype)
+    # slot rows: compact the 4 per-face slots down to the max far-slot
+    # count any element carries (the XLA value gather is the DG stage's
+    # single biggest op at nsr=4; measured 4.44 ms/stage at 48^3 where
+    # the real slots fill only 15% of the (4, NT) layout)
+    cnts = far[:, ef].sum(axis=0) if nef else np.zeros(0, np.int64)
+    nsr = max(1, int(cnts.max()) if nef else 1)
+    if force_nsr is not None:
+        if force_nsr < nsr:
+            raise ValueError(f"force_nsr {force_nsr} < required {nsr}")
+        nsr = force_nsr
+    fidx = np.zeros((nsr, NT), np.int32)
+    fmask = np.zeros((nsr, NT), dtype)
     fpos = np.full(NT, -1, np.int32)
-    fidx[:, col] = np.where(far[:, ef], nbr[:, ef], 0)
-    fmask[:, col] = far[:, ef]
+    if nef:
+        j_idx, a_idx = np.nonzero(far[:, ef].T)  # element-major slot list
+        rank = np.concatenate([np.arange(c) for c in cnts]) \
+            if len(j_idx) else np.zeros(0, np.int64)
+        fidx[rank, col[j_idx]] = nbr[a_idx, ef[j_idx]]
+        fmask[rank, col[j_idx]] = 1.0
     fpos[col] = ef - ftile * W
 
     return BoundsPlan(
@@ -121,7 +142,7 @@ def _bounds_plan_from_nbr(nbr, dtype, W: int = 512,
         fidx=jnp.asarray(fidx),
         fmask=jnp.asarray(fmask),
         fpos=jnp.asarray(fpos.reshape(1, -1)),
-        E=E, Ep=Ep, W=W, ntile=ntile, FTE=FTE, nef=nef,
+        E=E, Ep=Ep, W=W, ntile=ntile, FTE=FTE, nef=nef, nsr=nsr,
     )
 
 
@@ -220,7 +241,7 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
     # (the earlier compact-gather + expansion-gather chain cost more
     # than the esuelT gather it replaced), then a masked reduce
     NT = ntile * FTE
-    fv = u0[:, plan.fidx.reshape(-1)].reshape(C, 4, NT)
+    fv = u0[:, plan.fidx.reshape(-1)].reshape(C, plan.nsr, NT)
     fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)    # (C, NT)
     fn = jnp.where(plan.fmask > 0, fv, BIG).min(axis=1)
 
@@ -373,7 +394,7 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
 
     u0 = U.reshape(C, K, -1)[:, 0, :]
     NT = ntile * FTE
-    fv = u0[:, plan.fidx.reshape(-1)].reshape(C, 4, NT)
+    fv = u0[:, plan.fidx.reshape(-1)].reshape(C, plan.nsr, NT)
     fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)
     fn = jnp.where(plan.fmask > 0, fv, BIG).min(axis=1)
     u0p = jnp.pad(u0, ((0, 0), (W, plan.Ep + W - E)))
@@ -467,7 +488,9 @@ def build_bounds_plan_stacked(sharded_geom, W: int = 512) -> BoundsPlan:
     S = nbrs.shape[0]
     fit = [_bounds_plan_from_nbr(nbrs[s], dtype, W) for s in range(S)]
     FTE = max(p.FTE for p in fit)
-    plans = [_bounds_plan_from_nbr(nbrs[s], dtype, W, force_FTE=FTE)
+    nsr = max(p.nsr for p in fit)
+    plans = [_bounds_plan_from_nbr(nbrs[s], dtype, W, force_FTE=FTE,
+                                   force_nsr=nsr)
              for s in range(S)]
 
     def st(name):
@@ -478,5 +501,5 @@ def build_bounds_plan_stacked(sharded_geom, W: int = 512) -> BoundsPlan:
     return BoundsPlan(
         nbr=st("nbr"), fidx=st("fidx"), fmask=st("fmask"),
         fpos=st("fpos"), E=p0.E, Ep=p0.Ep, W=p0.W, ntile=p0.ntile,
-        FTE=FTE, nef=max(p.nef for p in plans),
+        FTE=FTE, nef=max(p.nef for p in plans), nsr=nsr,
     )
