@@ -77,7 +77,12 @@ def build_bounds_plan(geom, W: int = 512, force_FTE=None,
                       force_nsr=None) -> BoundsPlan:
     """Host-side plan from a DGGeom (uses its esuelT neighbor table).
     force_FTE/force_nsr pin the far-tile width / slot-row count for
-    uniform stacked builds."""
+    uniform stacked builds.  QUINOA_BOUNDS_W overrides the window for
+    on-chip sweeps (the in-window select-chain cost is O((W/128)^2) per
+    tile while the far-slot share grows as W shrinks)."""
+    import os
+
+    W = int(os.environ.get("QUINOA_BOUNDS_W", W))
     return _bounds_plan_from_nbr(np.asarray(geom.esuelT),
                                  np.asarray(geom.vol).dtype, W, force_FTE,
                                  force_nsr)

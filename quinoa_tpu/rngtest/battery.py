@@ -453,6 +453,67 @@ def hamming_weight_blocks(key, nblocks=2**15, L=32):
     return TestResult("HammingWeight2", _chi2_p(obs, probs * nblocks))
 
 
+def close_pairs(key, n=2**10, t=3, reps=48):
+    """snpair_ClosePairs (the NP min-distance statistic, Crush.cpp runs
+    it at t = 2, 3, 7, ...): n uniform points in the t-torus; the
+    minimum pairwise torus distance D obeys P(D > r) = exp(-lam(r))
+    with lam(r) = n(n-1)/2 * V_t * r^t (V_t the t-ball volume; the
+    torus metric removes edge effects, which is exactly why TestU01
+    uses it).  U = 1 - exp(-lam(D)) is Uniform(0,1) per replicate;
+    KS over replicates."""
+    from math import gamma as _gamma, pi
+
+    Vt = pi ** (t / 2.0) / _gamma(t / 2.0 + 1.0)
+    iu = np.triu_indices(n, 1)
+    us = np.empty(reps)
+    for r in range(reps):
+        pts = np.asarray(jax.random.uniform(
+            jax.random.fold_in(key, r), (n, t), dtype=jnp.float32)
+        ).astype(np.float64)
+        d2 = np.zeros((n, n))
+        for j in range(t):  # accumulate per-dim to keep memory at (n,n)
+            dj = np.abs(pts[:, None, j] - pts[None, :, j])
+            dj = np.minimum(dj, 1.0 - dj)  # torus metric
+            d2 += dj * dj
+        dmin = np.sqrt(d2[iu].min())
+        lam = 0.5 * n * (n - 1) * Vt * dmin**t
+        us[r] = -np.expm1(-lam)
+    return TestResult("ClosePairs",
+                      float(stats.kstest(us, "uniform").pvalue))
+
+
+def gcd_test(key, n=2**18, e=30, kmax=64):
+    """smarsa_GCD: the gcd of independent uniform integer pairs follows
+    P(gcd = k) = (6/pi^2)/k^2 (asymptotically in the integer range 2^e;
+    the k <= kmax head with an aggregated tail bin); chi^2 against the
+    exact law."""
+    a = np.asarray(jax.random.randint(key, (n,), 1, 2**e)) \
+        .astype(np.int64)
+    b = np.asarray(jax.random.randint(jax.random.fold_in(key, 1),
+                                      (n,), 1, 2**e)).astype(np.int64)
+    g = np.minimum(np.gcd(a, b), kmax)
+    obs = np.bincount(g, minlength=kmax + 1)[1:]
+    probs = (6.0 / np.pi**2) / np.arange(1, kmax + 1) ** 2.0
+    probs[-1] = 1.0 - probs[:-1].sum()  # tail bin P(gcd >= kmax)
+    return TestResult("GCD", _chi2_p(obs, probs * n))
+
+
+def spectral_fourier(key, nblocks=2**6, L=2**14):
+    """sspectral_Fourier3's domain (the battery's only frequency-domain
+    statistic): for blocks of L iid +-1 bits the normalized periodogram
+    |f_j|^2 / L at interior frequencies is asymptotically iid Exp(1)
+    (Re f_j, Im f_j are N(0, L/2)); pool over blocks and KS against
+    Exp(1).  Periodic low-bit structure (e.g. RANDU's constant bit 0)
+    shows up as degenerate spectral lines no time-domain test sees the
+    same way."""
+    bits = np.asarray(jax.random.randint(key, (nblocks, L), 0, 2,
+                                         dtype=jnp.int32)) * 2.0 - 1.0
+    f = np.fft.rfft(bits, axis=1)[:, 1:L // 2]
+    p = (np.abs(f) ** 2 / L).ravel()
+    return TestResult("Fourier",
+                      float(stats.kstest(p, "expon").pvalue))
+
+
 SmallCrush: List[Callable] = [
     birthday_spacings,
     collision,
@@ -472,12 +533,17 @@ SmallCrush: List[Callable] = [
 
 #: Crush-scale battery: the SmallCrush-class exact-law tests at ~16-64x
 #: the sample sizes PLUS the structurally distinct Crush families
-#: (overlapping serial/collision, Knuth runs, longest-head-run,
-#: sample-product/mean/correlation, walk last-return, Hamming-weight
-#: blocks) — matching the reference's Crush battery composition
-#: (src/RNGTest/Crush.cpp).  Runtime is minutes, not hours: generation
-#: is on-device and each test reduces to counts.
+#: (close pairs, gcd, spectral, overlapping serial/collision, Knuth
+#: runs, longest-head-run, sample-product/mean/correlation, walk
+#: last-return, Hamming-weight blocks) — matching the reference's Crush
+#: battery composition (src/RNGTest/Crush.cpp; see COMPONENTS.md §2.8
+#: for the per-family fidelity ledger).  Runtime is minutes, not hours:
+#: generation is on-device and each test reduces to counts.
 Crush: List[Callable] = [
+    lambda k: close_pairs(k, n=2**10, t=2, reps=48),
+    lambda k: close_pairs(k, n=2**10, t=3, reps=48),
+    lambda k: gcd_test(k, n=2**18),
+    lambda k: spectral_fourier(k, nblocks=2**6, L=2**14),
     lambda k: birthday_spacings(k, n=2**12, d=2**30, reps=64),
     lambda k: collision(k, n=2**16, d=2**26, reps=32),
     lambda k: gap(k, n=2**22),
@@ -512,7 +578,6 @@ _CrushCore = list(Crush)  # the 23 distinct families, shared with BigCrush
 Crush = Crush + [
     lambda k: birthday_spacings(k, n=2**10, d=2**28, reps=48),
     lambda k: birthday_spacings(k, n=2**9, d=2**25, reps=96),
-    lambda k: birthday_spacings(k, n=2**8, d=2**22, reps=128),
     lambda k: collision(k, n=2**15, d=2**24, reps=24),
     lambda k: collision(k, n=2**13, d=2**20, reps=48),
     lambda k: collision(k, n=2**12, d=2**18, reps=48),
@@ -550,7 +615,6 @@ Crush = Crush + [
     lambda k: walk_last_return(k, nwalks=2**15, m=16),
     lambda k: ks_uniform(k, n=2**21),
     lambda k: ks_uniform(k, n=2**19),
-    lambda k: ks_uniform(k, n=2**18),
     lambda k: permutation(k, n=2**19, t=3),
     lambda k: permutation(k, n=2**19, t=5),
     lambda k: permutation(k, n=2**18, t=7),
@@ -581,8 +645,6 @@ Crush = Crush + [
     lambda k: sample_corr(k, n=2**21, lag=2),
     lambda k: sample_corr(k, n=2**20, lag=4),
     lambda k: sample_corr(k, n=2**19, lag=16),
-    lambda k: gap(k, n=2**21, alpha=0.4375, beta=0.5625, tmax=32),
-    lambda k: max_of_t(k, n=2**19, t=8, bins=128),
 ]
 assert len(Crush) == 96, len(Crush)  # TestU01 Crush's test count
 
@@ -593,6 +655,13 @@ assert len(Crush) == 96, len(Crush)  # TestU01 Crush's test count
 #: re-parameterized and enlarged (106 parameterized instances over the
 #: same test structures).
 BigCrush: List[Callable] = _CrushCore + [
+    # the distinct-statistic families at BigCrush scale (snpair_
+    # ClosePairs runs up to t=7 in BigCrush.cpp; smarsa_GCD and
+    # sspectral_Fourier3 at enlarged streams)
+    lambda k: close_pairs(k, n=2**11, t=3, reps=64),
+    lambda k: close_pairs(k, n=2**10, t=7, reps=64),
+    lambda k: gcd_test(k, n=2**20),
+    lambda k: spectral_fourier(k, nblocks=2**7, L=2**15),
     lambda k: birthday_spacings(k, n=2**13, d=2**30, reps=128),
     lambda k: collision(k, n=2**18, d=2**28, reps=32),
     lambda k: gap(k, n=2**24, alpha=0.0, beta=0.0625, tmax=32),
@@ -629,12 +698,10 @@ BigCrush = BigCrush + [
     # keep the collision intensity n^3/4d well below n so the Poisson
     # spacing law holds)
     lambda k: birthday_spacings(k, n=2**9, d=2**25, reps=256),
-    lambda k: birthday_spacings(k, n=2**8, d=2**22, reps=256),
     lambda k: birthday_spacings(k, n=2**11, d=2**28, reps=192),
     # collisions at small/large cell counts
     lambda k: collision(k, n=2**16, d=2**22, reps=48),
     lambda k: collision(k, n=2**14, d=2**18, reps=64),
-    lambda k: collision(k, n=2**12, d=2**17, reps=64),
     # gap windows (BigCrush sweeps alpha/beta)
     lambda k: gap(k, n=2**22, alpha=0.0, beta=0.5, tmax=16),
     lambda k: gap(k, n=2**22, alpha=0.25, beta=0.75, tmax=16),
@@ -668,14 +735,11 @@ BigCrush = BigCrush + [
     lambda k: walk_last_return(k, nwalks=2**15, m=128),
     # uniformity / spacing at full BigCrush stream sizes
     lambda k: ks_uniform(k, n=2**23),
-    lambda k: ks_uniform(k, n=2**21),
     # permutations at the remaining orders
     lambda k: permutation(k, n=2**20, t=3),
-    lambda k: permutation(k, n=2**20, t=5),
     # serial pairs / overlapping serial at more dimensions
     lambda k: serial_pairs(k, n=2**22, d=64),
     lambda k: serial_pairs(k, n=2**21, d=512),
-    lambda k: serial_over(k, n=2**21, d=32),
     lambda k: serial_over(k, n=2**21, d=512),
     lambda k: collision_over(k, n=2**19, d=2**12),
     lambda k: collision_over(k, n=2**18, d=2**16),
@@ -685,12 +749,10 @@ BigCrush = BigCrush + [
     lambda k: autocorrelation(k, n=2**22, lag=16),
     # runs at doubled stream
     lambda k: runs_up(k, n=2**23),
-    lambda k: longest_head_run(k, nblocks=2**15, L=128),
     lambda k: longest_head_run(k, nblocks=2**17, L=32),
     # sample statistics at more tuple widths / lags
     lambda k: sample_prod(k, m=2**17, t=4),
     lambda k: sample_prod(k, m=2**17, t=24),
-    lambda k: sample_mean(k, m=2**17, t=6),
     lambda k: sample_mean(k, m=2**17, t=16),
     lambda k: sample_corr(k, n=2**22, lag=4),
     lambda k: sample_corr(k, n=2**21, lag=8),
@@ -701,7 +763,6 @@ BigCrush = BigCrush + [
     lambda k: matrix_rank(k, n=1024, dim=96),
     lambda k: gap(k, n=2**22, alpha=0.375, beta=0.4375, tmax=64),
     lambda k: simp_poker(k, n=2**20, d=64, k=4),
-    lambda k: random_walk(k, n=2**14, steps=4096),
 ]
 assert len(BigCrush) == 106, len(BigCrush)  # BigCrush.cpp's instance count
 

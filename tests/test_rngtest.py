@@ -131,6 +131,76 @@ def test_crush_families_reject_randu():
     assert failed, [(r.name, r.pvalue) for r in results]
 
 
+def test_distinct_crush_statistics_pass_threefry():
+    """The genuinely distinct TestU01 statistics added for ledger
+    fidelity (snpair_ClosePairs' NP min-distance law, smarsa_GCD's
+    6/pi^2 k^-2 law, the sspectral_Fourier3-domain periodogram test)
+    pass for threefry at Crush parameters."""
+    import jax.random as jr
+
+    key = jr.PRNGKey(11)
+    r1 = bat.close_pairs(jr.fold_in(key, 1), n=2**9, t=2, reps=32)
+    r2 = bat.close_pairs(jr.fold_in(key, 2), n=2**9, t=3, reps=32)
+    r3 = bat.gcd_test(jr.fold_in(key, 3), n=2**16)
+    r4 = bat.spectral_fourier(jr.fold_in(key, 4), nblocks=2**5, L=2**13)
+    for r in (r1, r2, r3, r4):
+        assert r.passed, (r.name, r.pvalue)
+
+
+def test_distinct_crush_statistics_reject_randu():
+    """Power check: RANDU through the naive-modulo shim has constant
+    bit 0 (65539 odd, odd seed), so every extracted value is odd —
+    smarsa_GCD sees P(gcd even) = 0 and the spectral test sees a
+    degenerate all-ones bit sequence; both must fail decisively.
+    ClosePairs attacks the 3-D lattice (points on 15 planes) the way
+    TestU01's snpair family does."""
+
+    class FakeKeyRandom:
+        def __init__(self):
+            self.state = 1
+
+        def _raw(self, n):
+            out = np.empty(n, dtype=np.int64)
+            s = self.state
+            for i in range(n):
+                s = (65539 * s) % 2**31  # RANDU
+                out[i] = s
+            self.state = s
+            return out
+
+    shim = FakeKeyRandom()
+    orig_uniform = jax.random.uniform
+    orig_randint = jax.random.randint
+
+    def fake_uniform(key, shape, dtype=None, **kw):
+        import jax.numpy as jnp
+        n = int(np.prod(shape))
+        return jnp.asarray((shim._raw(n) / 2**31).reshape(shape))
+
+    def fake_randint(key, shape, lo, hi, dtype=None, **kw):
+        import jax.numpy as jnp
+        n = int(np.prod(shape))
+        vals = shim._raw(n) % (hi - lo) + lo
+        return jnp.asarray(vals.reshape(shape))
+
+    jax.random.uniform = fake_uniform
+    jax.random.randint = fake_randint
+    try:
+        k = jax.random.PRNGKey(0)  # ignored by the shim; fold_in needs it
+        rg = bat.gcd_test(k, n=2**14)
+        rf = bat.spectral_fourier(k, nblocks=2**4, L=2**12)
+        rc = bat.close_pairs(k, n=2**9, t=3, reps=24)
+    finally:
+        jax.random.uniform = orig_uniform
+        jax.random.randint = orig_randint
+    assert not rg.passed, rg
+    assert not rf.passed, rf
+    # ClosePairs is the lattice test: count it if it fires, but the
+    # hard assertion is on the two bit-level statistics above
+    failed = [r.name for r in (rg, rf, rc) if not r.passed]
+    assert len(failed) >= 2, failed
+
+
 def test_bigcrush_battery_structure():
     """BigCrush = the Crush families re-parameterized and enlarged
     (src/RNGTest/BigCrush.cpp structure); every entry callable and the
