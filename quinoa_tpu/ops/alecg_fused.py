@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import onehot_dot, onehot_dotT
+
 from .face_accum import _one_pass
 from .node_window import NodePlan, build_node_plan
 from .cg_fused import (_qualifies, _env_dims, _window_gather,
@@ -202,8 +204,8 @@ def _make_vol_kernel_cf(TF, TE, W, FTS, C, system):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos, FTS, TF)
 
     return kernel
@@ -247,8 +249,8 @@ def _make_edge_kernel_cf(TF, TEd, W, FTS, C, system):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos, FTS, TF)
 
     return kernel
@@ -291,8 +293,8 @@ def _make_vol_kernel(TF, TE, W, FTS, C):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos, FTS, TF)
 
     return kernel
@@ -328,8 +330,8 @@ def _make_edge_kernel(TF, TEd, W, FTS, C):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos, FTS, TF)
 
     return kernel

@@ -59,6 +59,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import onehot_dot, onehot_dotT
+
 from .face_accum import _one_pass
 from .node_window import NodePlan, build_node_plan, _one_pass_max
 
@@ -336,8 +338,8 @@ def _make_k1_compflow(TF, TE, W, FTS, C, Rs, ctau, system):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos_ref[0, :], FTS, TF)
 
     return kernel
@@ -358,13 +360,13 @@ def _window_gather(ks, b, TF, W, ulo, uhi, fv, fpos, FTS):
         * validf[None, :]
     hot_hi = jnp.where(iota == locr - W, 1.0, 0.0).astype(dt_) \
         * validf[None, :]
-    u = (jax.lax.dot(ulo, hot_lo, precision="highest")
-         + jax.lax.dot(uhi, hot_hi, precision="highest"))
+    u = (onehot_dot(ulo, hot_lo)
+         + onehot_dot(uhi, hot_hi))
     pv = jnp.where(fpos >= 0, 1.0, 0.0).astype(dt_)
     iotf = jax.lax.broadcasted_iota(jnp.int32, (FTS, TF), 1)
     hotf = jnp.where(fpos[:, None] == iotf, 1.0, 0.0).astype(dt_) \
         * pv[:, None]
-    return u + jax.lax.dot(fv, hotf, precision="highest")
+    return u + onehot_dot(fv, hotf)
 
 
 def _corner_hots(TF, TE, dtype, k: int = 4):
@@ -378,15 +380,14 @@ def _corner_hots(TF, TE, dtype, k: int = 4):
 
 def _corners(u, hots):
     """(R, TF) slot values -> list of 4 (R, TE) per-corner blocks."""
-    return [jax.lax.dot(u, h, precision="highest") for h in hots]
+    return [onehot_dot(u, h) for h in hots]
 
 
 def _to_slots(xa, hots):
     """4 x (R, TE) per-corner blocks -> (R, TF) slot values."""
     out = None
     for x, h in zip(xa, hots):
-        v = jax.lax.dot_general(x, h, (((1,), (1,)), ((), ())),
-                                precision="highest")
+        v = onehot_dotT(x, h)
         out = v if out is None else out + v
     return out
 
@@ -399,8 +400,7 @@ def _far_emit(x, fpos, FTS, TF, fill=0.0):
     iotf = jax.lax.broadcasted_iota(jnp.int32, (FTS, TF), 1)
     hotf = jnp.where(fpos[:, None] == iotf, 1.0, 0.0).astype(dt_) \
         * pv[:, None]
-    out = jax.lax.dot_general(x, hotf, (((1,), (1,)), ((), ())),
-                              precision="highest")
+    out = onehot_dotT(x, hotf)
     if fill != 0.0:
         out = jnp.where((pv > 0)[None, :], out, jnp.asarray(fill, dt_))
     return out
@@ -521,8 +521,8 @@ def _make_k1(TF, TE, W, FTS, C, Rs, ctau):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos_ref[0, :], FTS, TF)
 
     return kernel
@@ -774,8 +774,8 @@ def _make_k3(TF, TE, W, FTS, C, Rs, ctau):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
         far_ref[...] = _far_emit(x, fpos, FTS, TF)
 
     return kernel

@@ -33,6 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import onehot_dot
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -582,8 +584,8 @@ def _make_kernel(TF, W):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(x.dtype) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
 
     return kernel
 
@@ -639,8 +641,8 @@ def _make_gather_kernel(TF, W, C, K):
             * validf[None, :]
         hot_hi = jnp.where(iota == locr - W, 1.0, 0.0) \
             .astype(ulo_ref.dtype) * validf[None, :]
-        u = (jax.lax.dot(ulo_ref[...], hot_lo, precision="highest")
-             + jax.lax.dot(uhi_ref[...], hot_hi, precision="highest"))
+        u = (onehot_dot(ulo_ref[...], hot_lo)
+             + onehot_dot(uhi_ref[...], hot_hi))
         o_ref[...] = u.reshape(C, K, TF)
 
     return kernel

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .basis import eval_basis_cm
 from .face_accum import AccumPlan, _one_pass
+from .mxu import onehot_dot, onehot_dotT
 
 
 def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
@@ -64,21 +65,25 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
         validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
 
         # ---- one-hot window maps, shared by gather and accumulation ----
-        # hot_lo/hot_hi are (TF, W); the state gather contracts their W
-        # axis (dot_general) so the transposed copies never materialize
+        # scatter masks are (TF, W); the gather direction builds the
+        # TRANSPOSED (W, TF) masks from its own iota (same compare cost)
+        # because Mosaic only lowers the bf16 split on [1],[0]-contracted
+        # matmuls (ops/mxu.py)
         iota_a = jax.lax.broadcasted_iota(jnp.int32, (TF, W), 1)
         locc = loc[:, None]
         hot_lo = jnp.where(locc == iota_a, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
         hot_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+        locr_g = loc[None, :]
+        hot_loT = jnp.where(iota_g == locr_g, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
+        hot_hiT = jnp.where(iota_g == locr_g - W, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
 
-        def dotT(a, b):
-            # a (R, W) x b (TF, W) -> (R, TF), contracting W
-            return jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())), precision="highest")
-
-        UvL = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
+        UvL = (onehot_dot(ulo_ref[...], hot_loT)
+               + onehot_dot(uhi_ref[...], hot_hiT))
         UvL = UvL.reshape(C, K, TF)
         UvR = uvr_ref[...].reshape(C, K, TF)
 
@@ -135,8 +140,8 @@ def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
         cr_ref[...] = wfl.reshape(C * G, TF)
 
         # ---- accumulate left contributions into the window (MXU) ----
-        lo_ref[...] += jax.lax.dot(contribL, hot_lo, precision="highest")
-        hi_ref[...] += jax.lax.dot(contribL, hot_hi, precision="highest")
+        lo_ref[...] += onehot_dot(contribL, hot_lo)
+        hi_ref[...] += onehot_dot(contribL, hot_hi)
 
         if emit_charvel:
             vl = system.charvel(sL, fnf, None)   # (G,TF)
@@ -187,8 +192,8 @@ def _make_basis_accum_kernel(TF, W, C, K, G):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
 
     return kernel
 
@@ -376,11 +381,17 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
         hot_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
 
-        def dotT(a, b_):
-            return jax.lax.dot_general(
-                a, b_, (((1,), (1,)), ((), ())), precision="highest")
+        # gather-direction masks are built TRANSPOSED (Mosaic only
+        # lowers the bf16-split matmul on [1],[0] contractions)
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+        loc_g = loc[None, :]
+        hot_loT = jnp.where(iota_g == loc_g, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
+        hot_hiT = jnp.where(iota_g == loc_g - W, 1.0, 0.0).astype(dt_) \
+            * validf[None, :]
 
-        UvL = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
+        UvL = (onehot_dot(ulo_ref[...], hot_loT)
+               + onehot_dot(uhi_ref[...], hot_hiT))
         UvL = UvL.reshape(C, K, TF)
 
         if far and not sr_in:
@@ -393,8 +404,14 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
                 * validr[:, None]
             hot_rhi = jnp.where(locr - W == iota_a, 1.0, 0.0) \
                 .astype(dt_) * validr[:, None]
-            UvR = (dotT(ulo_ref[...], hot_rlo)
-                   + dotT(uhi_ref[...], hot_rhi)).reshape(C, K, TF)
+            locr_g = ker[None, :] - b * W
+            hot_rloT = jnp.where(iota_g == locr_g, 1.0, 0.0) \
+                .astype(dt_) * validr[None, :]
+            hot_rhiT = jnp.where(iota_g == locr_g - W, 1.0, 0.0) \
+                .astype(dt_) * validr[None, :]
+            UvR = (onehot_dot(ulo_ref[...], hot_rloT)
+                   + onehot_dot(uhi_ref[...], hot_rhiT)
+                   ).reshape(C, K, TF)
 
         xi_l = xil_ref[...].reshape(3, G, TF)
         B_l = eval_basis_cm(K, xi_l)
@@ -441,8 +458,8 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
             for c in range(C) for k in range(K)
         ] + [mx]
         contribL = jnp.stack(rowsL)             # (CK+1, TF)
-        lo_ref[...] += jax.lax.dot(contribL, hot_lo, precision="highest")
-        hi_ref[...] += jax.lax.dot(contribL, hot_hi, precision="highest")
+        lo_ref[...] += onehot_dot(contribL, hot_lo)
+        hi_ref[...] += onehot_dot(contribL, hot_hi)
 
         if far:
             wfl_ref[...] = jnp.concatenate(
@@ -454,10 +471,8 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
             ] + [mx]
             contribR = jnp.stack(rowsR)
             # hot_r* are already zero for boundary/pad faces (ker=-1)
-            lo_ref[...] += jax.lax.dot(contribR, hot_rlo,
-                                       precision="highest")
-            hi_ref[...] += jax.lax.dot(contribR, hot_rhi,
-                                       precision="highest")
+            lo_ref[...] += onehot_dot(contribR, hot_rlo)
+            hi_ref[...] += onehot_dot(contribR, hot_rhi)
 
     return kernel
 
@@ -483,8 +498,8 @@ def _make_far_rstate_kernel(TF, W, C, K, G):
             * validf[None, :]
         hot_hi = jnp.where(iota == locr - W, 1.0, 0.0).astype(dt_) \
             * validf[None, :]
-        u = (jax.lax.dot(ulo_ref[...], hot_lo, precision="highest")
-             + jax.lax.dot(uhi_ref[...], hot_hi, precision="highest"))
+        u = (onehot_dot(ulo_ref[...], hot_lo)
+             + onehot_dot(uhi_ref[...], hot_hi))
         UvR = u.reshape(C, K, TF)
         xi_r = xir_ref[...].reshape(3, G, TF)
         B_r = eval_basis_cm(K, xi_r)
@@ -502,15 +517,19 @@ def _make_far_rstate_kernel(TF, W, C, K, G):
     return kernel
 
 
-def far_rstate_pass(fp, U, C, K, G, interpret=None):
+def far_rstate_pass(fp, U, C, K, G, interpret=None, Upad=None):
     """U (C*K, E) -> (C*G, FpF) el-sorted-far-order right states at the
-    face Gauss points, computed in the er-sorted windows."""
+    face Gauss points, computed in the er-sorted windows.  Upad lets the
+    caller share ONE padded copy of U across all window kernels (any
+    width >= (nblkRF+2)*WRF works: BlockSpec indexing never reads past
+    the last visited block)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     TF = fp.ksRF.shape[-1] // fp.ntileRF
     WRF = fp.WRF
     NBW = (fp.nblkRF + 2) * WRF
-    Upad = _padU(U, NBW)
+    if Upad is None or Upad.shape[1] < NBW or Upad.shape[1] % WRF:
+        Upad = _padU(U, NBW)
     srER = pl.pallas_call(
         _make_far_rstate_kernel(TF, WRF, C, K, G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -578,8 +597,8 @@ def _make_far_raccum_kernel(TF, W, C, K, G):
             * validf[:, None]
         hi_hot = jnp.where(locc - W == iota, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
-        lo_ref[...] += jax.lax.dot(x, lo_hot, precision="highest")
-        hi_ref[...] += jax.lax.dot(x, hi_hot, precision="highest")
+        lo_ref[...] += onehot_dot(x, lo_hot)
+        hi_ref[...] += onehot_dot(x, hi_hot)
 
     return kernel
 
@@ -606,11 +625,23 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
     dt_ = U.dtype
     wface = np.asarray(geom.tables["w_face"])
 
+    # ONE shared padded copy of U for every window kernel in this pass
+    # (near, far, and the er-sorted rstate pass) — three separate _padU
+    # calls cost three HBM copies of the (C*K, E) state per stage.  The
+    # common width must be a multiple of every stream's window so the
+    # BlockSpecs tile it exactly.
+    _widths = [(fp.near.nblk + 2) * fp.near.W,
+               (fp.far.nblk + 2) * fp.far.W,
+               (fp.nblkRF + 2) * fp.WRF]
+    _ws = [fp.near.W, fp.far.W, fp.WRF]
+    _lcm = int(np.lcm.reduce(np.asarray(_ws, dtype=np.int64)))
+    NBWmax = -(-max(_widths) // _lcm) * _lcm
+    Ushared = _padU(U, NBWmax)
+
     def stream_call(st, far, extra_in=(), sr_in=False):
-        nblk = st.nblk
         Ws = st.W
-        NBW = (nblk + 2) * Ws
-        Upad = _padU(U, NBW)
+        NBW = (st.nblk + 2) * Ws
+        Upad = Ushared if NBWmax % Ws == 0 else _padU(U, NBW)
         out_shape = [
             jax.ShapeDtypeStruct((CK1, NBW), dt_),
             jax.ShapeDtypeStruct((CK1, NBW), dt_),
@@ -677,7 +708,8 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
         # Default-on since the on-chip A/B (v5e, 48^3 Sedov dgp1):
         # far_sr 98.0 ms/step vs modal-gather 103.8 vs split 197.9;
         # QUINOA_FAR_SR=0 restores the gather variants below
-        srF = far_rstate_pass(fp, U, C, K, G, interpret=interpret)
+        srF = far_rstate_pass(fp, U, C, K, G, interpret=interpret,
+                              Upad=Ushared)
         loF, hiF, wflF = stream_call(fp.far, far=True, extra_in=(srF,),
                                      sr_in=True)
     else:

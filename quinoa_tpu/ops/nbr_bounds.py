@@ -211,8 +211,9 @@ def _bounds_body(W, C, FTE, nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref,
         [jnp.where(pv > 0, fx_ref[...], 0.0),
          jnp.where(pv > 0, fn_ref[...], 0.0),
          pv[None, :]], axis=0)              # (2C+1, FTE)
-    tmp = jax.lax.dot_general(
-        rows, hot, (((1,), (0,)), ((), ())), precision="highest")
+    from .mxu import onehot_dot
+
+    tmp = onehot_dot(rows, hot)
     touched = tmp[2 * C:, :] > 0
     vmax = jnp.where(touched, jnp.maximum(vmax, tmp[:C]), vmax)
     vmin = jnp.where(touched, jnp.minimum(vmin, tmp[C:2 * C]), vmin)

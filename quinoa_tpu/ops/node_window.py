@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import onehot_dot, onehot_dotT
+
 from .face_accum import _pass_tables, _make_kernel, _one_pass
 
 
@@ -229,8 +231,7 @@ def _make_gather_kernel(TF, W, C, FTS):
             * validf[:, None]
 
         def dotT(a, m):
-            return jax.lax.dot_general(
-                a, m, (((1,), (1,)), ((), ())), precision="highest")
+            return onehot_dotT(a, m)
 
         out = dotT(ulo_ref[...], hot_lo) + dotT(uhi_ref[...], hot_hi)
 
@@ -241,7 +242,7 @@ def _make_gather_kernel(TF, W, C, FTS):
         iotf = jax.lax.broadcasted_iota(jnp.int32, (FTS, TF), 1)
         hotf = jnp.where(fpos[:, None] == iotf, 1.0, 0.0).astype(dt_) \
             * pv[:, None]
-        out = out + jax.lax.dot(fv_ref[...], hotf, precision="highest")
+        out = out + onehot_dot(fv_ref[...], hotf)
         o_ref[...] = out
 
     return kernel
