@@ -175,17 +175,27 @@ class ALECGSolver:
             bcmask = bcmask.at[:, jnp.asarray(bcnodes, dtype=jnp.int32)].set(1.0)
         self.bcmask = bcmask
         self.lhs = lumped_mass(geom)
-        # env-gated fused window rhs (ops/alecg_fused.py): one volume
-        # kernel + one edge kernel per RK stage instead of the XLA
-        # gather/assembly chain; same switch as the DiagCG fused path
+        # fused window rhs (ops/alecg_fused.py): one volume kernel + one
+        # edge kernel per RK stage instead of the XLA gather/assembly
+        # chain.  DEFAULT ON ON TPU since the round-4 on-chip A/B with
+        # the exact bf16 one-hot dots: 186 ms/step vs the XLA path's
+        # 217 at 48^3 SlotCyl (632k vs 542k node-updates/s).
+        # QUINOA_CG_FUSED=0 restores the XLA path; on CPU the kernels
+        # would run in interpret mode, so the default stays off there
+        # (parity tests opt in explicitly).  DiagCG keeps the XLA
+        # default — its megakernel still loses (134 vs 110 ms).
         import os as _os
 
+        _fused_default = "1" if jax.default_backend() == "tpu" else "0"
         self.fused_plan = None
-        if _os.environ.get("QUINOA_CG_FUSED") == "1":
+        if _os.environ.get("QUINOA_CG_FUSED", _fused_default) == "1":
             from ..ops.alecg_fused import build_alecg_fused_plan
 
             self.fused_plan = build_alecg_fused_plan(system, geom, edget)
-            if self.fused_plan is None:
+            if (self.fused_plan is None
+                    and _os.environ.get("QUINOA_CG_FUSED") == "1"):
+                # warn only on an EXPLICIT opt-in (the TPU default-on
+                # silently falls back for non-qualifying configs)
                 import warnings
 
                 warnings.warn(

@@ -141,16 +141,21 @@ class SPMDALECGSolver:
         self.cfl = cfl
         self.const_dt = const_dt
 
-        # env-gated fused per-shard rhs kernels (ops/alecg_fused.py)
+        # fused per-shard rhs kernels (ops/alecg_fused.py): same TPU
+        # default-on as the single-shard ALECG solver (round-4 A/B:
+        # 186 vs 217 ms/step), QUINOA_CG_FUSED=0 opts out, CPU stays
+        # on the XLA path unless explicitly opted in
         import os as _os
 
+        _fused_default = "1" if jax.default_backend() == "tpu" else "0"
         self.fused_plan = None
-        if _os.environ.get("QUINOA_CG_FUSED") == "1":
+        if _os.environ.get("QUINOA_CG_FUSED", _fused_default) == "1":
             from ..ops.alecg_fused import build_alecg_fused_plan_stacked
 
             self.fused_plan = build_alecg_fused_plan_stacked(
                 system, sharded)
-            if self.fused_plan is None:
+            if (self.fused_plan is None
+                    and _os.environ.get("QUINOA_CG_FUSED") == "1"):
                 import warnings
 
                 warnings.warn(
