@@ -144,9 +144,17 @@ def _run_inner(env, timeout_s, argv=("--inner",)):
     every measurement (default, SPMD, and variants) gets the chip
     exclusively, and a variant compile failure or hang can never cost
     the default number.  Returns the parsed JSON dict (the last JSON
-    line, i.e. the perf line — gate lines come earlier) or None; a
-    nonzero exit (e.g. the L2 gate tripping) returns None."""
+    line, i.e. the perf line — gate lines come earlier),
+    "spawn-failed", or a failure record {"failed": {"cause", "rc",
+    "stderr_tail"}} that distinguishes a timeout (axon-tunnel hang or
+    compile overrun) from a crash/nonzero exit — so a null bench line
+    is diagnosable from the artifact alone (VERDICT r4 weak #1)."""
     import subprocess
+
+    def _tail(s):
+        if isinstance(s, bytes):
+            s = s.decode(errors="replace")
+        return (s or "")[-500:]
 
     try:
         out = subprocess.run(
@@ -154,19 +162,29 @@ def _run_inner(env, timeout_s, argv=("--inner",)):
             env={**os.environ, **env},
             capture_output=True, text=True, timeout=timeout_s,
         )
-        for ln in out.stdout.splitlines():
-            if ln.startswith("{") and "l2_sol" in ln:
-                print(ln, flush=True)      # surface the gate line
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr[-2000:])
-            return None
+    except subprocess.TimeoutExpired as e:
+        return {"failed": {"cause": f"timeout>{int(timeout_s)}s",
+                           "rc": None, "stderr_tail": _tail(e.stderr)}}
+    except OSError:
+        return "spawn-failed"
+    for ln in out.stdout.splitlines():
+        if ln.startswith("{") and "l2_sol" in ln:
+            print(ln, flush=True)      # surface the gate line
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        return {"failed": {"cause": "nonzero-exit", "rc": out.returncode,
+                           "stderr_tail": _tail(out.stderr)}}
+    try:
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{") and "l2_sol" not in ln][-1]
         return json.loads(line)
-    except OSError:
-        return "spawn-failed"
     except Exception:
-        return None
+        return {"failed": {"cause": "no-json-output", "rc": 0,
+                           "stderr_tail": _tail(out.stderr)}}
+
+
+def _ok(r):
+    return isinstance(r, dict) and "failed" not in r
 
 
 def orchestrate(deadline_s: float = 1500.0):
@@ -192,7 +210,7 @@ def orchestrate(deadline_s: float = 1500.0):
         # subprocess plumbing unavailable: measure in-process (prints)
         main()
         return
-    if best is None:
+    if not _ok(best):
         # one retry covers a cold-compile overrun; if the backend is
         # DOWN (axon tunnel outages hang device init with no error),
         # fail FAST with a diagnostic instead of hanging in-process
@@ -203,32 +221,42 @@ def orchestrate(deadline_s: float = 1500.0):
         # fork failure on the retry still gets the in-process fallback
         main()
         return
-    if best is None:
+    if not _ok(best):
         print("bench.py: default measurement failed twice (backend "
-              "down or compile > 560s); no result", file=sys.stderr)
+              "down or compile > 560s): "
+              f"{json.dumps(best.get('failed'))}", file=sys.stderr)
         sys.exit(1)
     best["flags"] = "default"
     state["best"] = best
     # the SPMD shard_map measurement (same program the multichip mesh
     # runs) rides every driver bench so the distributed path's number
     # is tracked round over round (VERDICT r3 missing #3); its line
-    # prints immediately — the headline line still comes LAST
+    # prints immediately — the headline line still comes LAST.  The
+    # leg gets the SAME one-retry treatment as the default, and a
+    # final failure records its machine-readable cause (rc vs timeout
+    # + stderr tail) so a null is diagnosable (VERDICT r4 task 1).
     left = deadline_s - (time.perf_counter() - t0)
     if left > 180:
         spmd = _run_inner({}, min(560, left), argv=("--npes", "1"))
-        if isinstance(spmd, dict):
+        left = deadline_s - (time.perf_counter() - t0)
+        if not _ok(spmd) and left > 180:
+            spmd = _run_inner({}, min(560, left), argv=("--npes", "1"))
+        if _ok(spmd):
             print(json.dumps(spmd), flush=True)
         else:
+            fail = (spmd.get("failed") if isinstance(spmd, dict)
+                    else {"cause": str(spmd)})
             print(json.dumps({
                 "metric": "cell_updates_per_sec_sedov_dgp1_spmd",
                 "value": None, "note": "npes=1 measurement failed",
+                "failure": fail,
             }), flush=True)
     for env in VARIANTS:
         left = deadline_s - (time.perf_counter() - t0)
         if left < 120:
             break
         r = _run_inner(env, min(560, left))
-        if r is not None and r.get("value", 0) > best.get("value", 0):
+        if _ok(r) and r.get("value", 0) > best.get("value", 0):
             r["flags"] = "+".join(k.replace("QUINOA_", "")
                                   for k in sorted(env))
             best = r

@@ -15,9 +15,11 @@ events, reusing refine_mesh/derefine_mesh and their transfers:
   (2) refine current-mesh edges whose error exceeds tol_refine, only
   where an incident element sits below maxlevels.
 
-The single-level retag-from-base scheme (cli._dtref_remesh) remains the
-default (maxlevels=1); decks opt in with `maxlevels N` in the amr block
-(an extension keyword — the reference hard-codes its cap at 4).
+This incremental cycle IS the default (maxlevels defaults to 4, the
+reference's hard-coded cap) — a reference deck gets the reference's
+compounding dtref evolution.  `maxlevels 1` in the amr block opts out
+to the single-level retag-from-base scheme (cli._dtref_remesh), an
+extension this repo keeps for cheap one-level tracking runs.
 """
 
 from __future__ import annotations

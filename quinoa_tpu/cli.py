@@ -64,7 +64,10 @@ def _cmd_inciter(argv):
                     help="checkpoint every N steps (0 = off)")
     ap.add_argument("--restart", default=None,
                     help="restart from a checkpoint directory")
-    ap.add_argument("--checkpoint-dir", default="restart")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="checkpoint directory (default: <output>.restart "
+                         "next to the field output, so runs never litter "
+                         "the invoking CWD)")
     ap.add_argument("--pieces", type=int, default=0,
                     help="write field output as N per-partition exodus "
                          "pieces (MeshWriter chare-group analog)")
@@ -108,6 +111,11 @@ def _cmd_inciter(argv):
                     help="capture a jax.profiler on-device trace to this "
                          "directory (TensorBoard; Projections analog)")
     args = ap.parse_args(argv)
+    if args.checkpoint_dir is None:
+        # run-scoped default: ride the field-output basename (the
+        # reference writes its checkpoint tree under the run dir too);
+        # a bare `restart/` at the invoking CWD was repo-litter
+        args.checkpoint_dir = args.output + ".restart"
 
     import numpy as np
 

@@ -87,9 +87,16 @@ class InciterConfig:
     amr_edgelist: Tuple[int, ...] = ()
     amr_tol: float = 0.2
     amr_tolderef: float = 0.05
-    # >1 enables the incremental multi-level dtref cycle (amr/adapt.py;
-    # the reference hard-codes its cap at 4, refinement.hpp:28)
-    amr_maxlevels: int = 1
+    # depth cap for the incremental multi-level dtref cycle
+    # (amr/adapt.py).  DEFAULT 4 = the reference's hard-coded
+    # MAX_REFINEMENT_LEVEL (refinement.hpp:28,60): during-timestep AMR
+    # refines incrementally from the CURRENT mesh through the
+    # persistent-intermediates machine, compounding to depth 4, exactly
+    # as Refiner.cpp:241-260 reuses one long-lived mesh_adapter per
+    # event.  `maxlevels 1` opts out to the single-level
+    # retag-from-base scheme (an extension this repo keeps for cheap
+    # one-level tracking runs).
+    amr_maxlevels: int = 4
     partitioner: str = "sfc"  # rcb/rib/hsfc/mj/phg (partition.py), else sfc
 
 
@@ -202,7 +209,7 @@ def load_inciter(deck_text: str) -> InciterConfig:
                     "(node pairs; Grammar.hpp:483)")
         cfg.amr_tol = _f(amr, "tol_refine", 0.2)
         cfg.amr_tolderef = _f(amr, "tol_derefine", 0.05)
-        cfg.amr_maxlevels = int(_f(amr, "maxlevels", 1))
+        cfg.amr_maxlevels = int(_f(amr, "maxlevels", 4))
         # halfspace extents live in the coordref sub-block
         # (Grammar.hpp half_world; older test decks also wrote them
         # directly in amr, so accept both)

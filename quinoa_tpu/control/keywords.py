@@ -311,8 +311,10 @@ KEYWORDS: Dict[str, dict] = {
     "maxlevels": dict(
         kind="scalar", parent="amr", usage="maxlevels <int>",
         short="Set maximum refinement level",
-        long="Cap on per-element refinement depth (the reference "
-             "hard-codes 4)."),
+        long="Cap on per-element refinement depth.  Default 4 = the "
+             "reference's hard-coded MAX_REFINEMENT_LEVEL "
+             "(refinement.hpp:28); 1 opts out to single-level "
+             "retag-from-base dtref (extension)."),
     "refvar": dict(
         kind="list", parent="amr", usage="refvar <char>... end",
         short="Select refinement variable(s)",

@@ -263,10 +263,13 @@ def test_t0ref_uniform_derefine_roundtrip():
 
 @pytest.mark.slow
 def test_cli_adaptive_dtref_cycle(tmp_path, monkeypatch, capsys):
-    """Error-driven dtref through the CLI: the refined zone follows the
-    advected feature — retag every dtfreq steps against the base mesh,
-    refine where the jump indicator fires, coarsen where it no longer
-    does, transferring the solution both ways."""
+    """Error-driven dtref through the CLI under the DEFAULT semantics —
+    the reference's incremental compounding cycle (maxlevels=4,
+    refinement.hpp:28; Refiner.cpp:241-260): each event refines from
+    the CURRENT mesh where the jump indicator fires, so successive
+    events compound depth around the advected feature.  CFL-based dt
+    (like the reference's dtref regression decks) keeps the run stable
+    as elements shrink up to 16x."""
     from quinoa_tpu.cli import main
     from quinoa_tpu.io import write_exodus
 
@@ -276,8 +279,8 @@ def test_cli_adaptive_dtref_cycle(tmp_path, monkeypatch, capsys):
     deck = tmp_path / "d.q"
     deck.write_text("""
     inciter
-      nstep 24
-      dt 5.0e-2
+      nstep 12
+      cfl 0.8
       scheme diagcg
       transport
         physics advection problem slot_cyl ncomp 1 depvar c
@@ -301,6 +304,59 @@ def test_cli_adaptive_dtref_cycle(tmp_path, monkeypatch, capsys):
     assert len(remesh) >= 2, remesh  # adapted more than once
     sizes = [int(l.split("-> ")[1].split()[0]) for l in remesh]
     assert all(s > mesh.nelem for s in sizes)  # refined around the feature
+    assert sizes[1] > sizes[0]  # second event compounds from the first
+    import numpy as np
+
+    rows = np.array([[float(x) for x in l.split()]
+                     for l in open(tmp_path / "diag") if not l.startswith("#")])
+    assert np.isfinite(rows).all()
+    # FCT bounds survive the adapt/transfer cycles
+    assert rows[:, 3].max() < 1.0
+
+
+@pytest.mark.slow
+def test_cli_dtref_retag_optout(tmp_path, monkeypatch, capsys):
+    """`maxlevels 1` opts out to the single-level retag-from-base
+    extension (cli._dtref_remesh): every event rebuilds one refinement
+    of the BASE mesh, so depth never compounds and a fixed dt sized for
+    one level stays CFL-stable for the whole run."""
+    from quinoa_tpu.cli import main
+    from quinoa_tpu.io import write_exodus
+
+    mesh = box_tet_mesh(6, 6, 2, hi=(1.0, 1.0, 0.25))
+    mfile = str(tmp_path / "box.exo")
+    write_exodus(mfile, mesh)
+    deck = tmp_path / "d.q"
+    deck.write_text("""
+    inciter
+      nstep 24
+      dt 5.0e-2
+      scheme diagcg
+      transport
+        physics advection problem slot_cyl ncomp 1 depvar c
+        bc_dirichlet sideset 1 2 3 4 5 6 end end
+      end
+      amr
+        dtref true
+        dtfreq 4
+        refvar c end
+        error jump
+        tol_refine 0.2
+        maxlevels 1
+      end
+      diagnostics interval 4 error l2 end
+    end
+    """)
+    monkeypatch.chdir(tmp_path)
+    rc = main(["inciter", "-c", str(deck), "-i", mfile, "-v"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    remesh = [l for l in out.splitlines() if "dtref @it=" in l]
+    assert len(remesh) >= 2, remesh  # adapted more than once
+    sizes = [int(l.split("-> ")[1].split()[0]) for l in remesh]
+    assert all(s > mesh.nelem for s in sizes)  # refined around the feature
+    # single-level: never more than one full uniform level of the base
+    assert all(s <= mesh.nelem * 8 for s in sizes)
     import numpy as np
 
     rows = np.array([[float(x) for x in l.split()]

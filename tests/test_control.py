@@ -53,6 +53,32 @@ def test_parse_sedov_dgp1_deck():
     assert cfg.problem == "sedov_blastwave"
 
 
+def test_dtref_default_is_reference_cap4():
+    """A reference dtref deck (no `maxlevels` extension keyword) gets
+    the reference's incremental compounding cycle: maxlevels defaults
+    to MAX_REFINEMENT_LEVEL = 4 (refinement.hpp:28,60), routing dtref
+    through the persistent-intermediates machine (amr/adapt.py) rather
+    than the single-level retag-from-base extension."""
+    cfg = load_inciter("""
+inciter
+  nstep 10 cfl 0.8 scheme diagcg
+  amr dtref true dtfreq 3 error jump end
+  transport physics advection problem gauss_hump ncomp 1 depvar c end
+end
+""")
+    assert cfg.dtref
+    assert cfg.amr_maxlevels == 4
+    # the extension opt-out still parses
+    cfg1 = load_inciter("""
+inciter
+  nstep 10 cfl 0.8 scheme diagcg
+  amr dtref true maxlevels 1 end
+  transport physics advection problem gauss_hump ncomp 1 depvar c end
+end
+""")
+    assert cfg1.amr_maxlevels == 1
+
+
 def test_run_reference_deck_end_to_end():
     """Build and run the solver directly from a reference deck (on a
     generated box mesh)."""
