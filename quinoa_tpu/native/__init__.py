@@ -124,6 +124,19 @@ def lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
     ]
+    L.qn_lz78_phrases.restype = ctypes.c_int64
+    L.qn_lz78_phrases.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+    ]
+    L.qn_berlekamp_massey.restype = ctypes.c_int64
+    L.qn_berlekamp_massey.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _LIB = L
     return _LIB
 
@@ -259,6 +272,33 @@ def hilbert_codes(pts: np.ndarray, bits: int = 16) -> Optional[np.ndarray]:
     out = np.empty(p.shape[0], dtype=np.uint64)
     L.qn_hilbert_codes(p.shape[0], p, bits, out)
     return out
+
+
+def lz78_phrases(bits_packed: np.ndarray, nbits: int) -> Optional[int]:
+    """LZ78 phrase count over a bit stream packed MSB-first in bytes
+    (np.packbits layout); None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    b = np.ascontiguousarray(bits_packed, dtype=np.uint8)
+    assert b.size * 8 >= nbits
+    return int(L.qn_lz78_phrases(b, nbits))
+
+
+def berlekamp_massey(bits_packed: np.ndarray, nbits: int):
+    """Linear complexity profile of a bit stream packed MSB-first in
+    bytes: returns (jump_sizes int32 array, final complexity L), or
+    None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    b = np.ascontiguousarray(bits_packed, dtype=np.uint8)
+    assert b.size * 8 >= nbits
+    cap = nbits // 2 + 2
+    jumps = np.empty(cap, dtype=np.int32)
+    fl = ctypes.c_int64(0)
+    nj = int(L.qn_berlekamp_massey(b, nbits, jumps, cap, ctypes.byref(fl)))
+    return jumps[:nj].copy(), int(fl.value)
 
 
 def morton_codes(pts: np.ndarray) -> Optional[np.ndarray]:

@@ -514,6 +514,113 @@ def spectral_fourier(key, nblocks=2**6, L=2**14):
                       float(stats.kstest(p, "expon").pvalue))
 
 
+def _bit_stream(key, nbits, r=0, s=32):
+    """Draw ceil(nbits/s) 32-bit words from the generator under test and
+    keep s bits starting r below the MSB of each word (TestU01's (r, s)
+    bit-extraction convention) — packed MSB-first in bytes for the
+    native kernels."""
+    nwords = -(-nbits // s)
+    words = np.asarray(jax.random.bits(key, (nwords,), jnp.uint32))
+    chunks = []
+    for lo in range(0, nwords, 1 << 20):  # bound the unpacked bit matrix
+        w = words[lo:lo + (1 << 20)]
+        bits = np.unpackbits(w.astype(">u4").view(np.uint8))
+        bits = bits.reshape(-1, 32)[:, r:r + s].ravel()
+        chunks.append(bits)
+    bits = np.concatenate(chunks)[:nbits]
+    return np.packbits(bits)
+
+
+def lempel_ziv(key, k=25, r=0, s=30, reps=10):
+    """scomp_LempelZiv (Crush.cpp:765): the number of LZ78 phrases W in
+    n = 2^k bits is asymptotically normal (Aldous & Shields 1988) with
+    variance ~ 0.266 n / (lg n)^3 (Kirschenhofer-Prodinger-Szpankowski);
+    the asymptotic MEAN expansion converges far too slowly to use at
+    these n (at k=20 it is off by 38%), so the null mean/stdev are
+    Monte-Carlo calibrated per k with two independent trusted
+    generators (PCG64 + Philox, agreeing within MC error) — a
+    calibrated stand-in law, declared as such in COMPONENTS.md.
+    Degenerate (compressible) generators sit thousands of sigma low."""
+    cal = {  # k -> (null mean, null stdev, calibration reps)
+        18: (20761.71, 5.4, 1200),
+        20: (72654.10, 8.5, 800),
+        25: (1762965.65, 32.8, 320),
+        27: (6422494.95, 54.8, 160),
+    }
+    if k not in cal:
+        raise ValueError(f"no LempelZiv calibration for k={k}")
+    mu, sg, rcal = cal[k]
+    from .. import native
+
+    n = 1 << k
+    W = np.empty(reps)
+    for i in range(reps):
+        b = _bit_stream(jax.random.fold_in(key, i), n, r=r, s=s)
+        w = native.lz78_phrases(b, n)
+        if w is None:  # no toolchain: pure-python fallback (slow)
+            w = _lz78_phrases_py(b, n)
+        W[i] = w
+    # fold the calibration uncertainty of mu into the z denominator
+    z = (W.mean() - mu) / (sg * np.sqrt(1.0 / reps + 1.0 / rcal))
+    return TestResult("LempelZiv", float(2.0 * stats.norm.sf(abs(z))))
+
+
+def _lz78_phrases_py(bytes_packed, nbits):
+    bits = np.unpackbits(bytes_packed)[:nbits]
+    child: dict = {}
+    cur, phrases, in_phrase = 0, 0, False
+    nxt_id = 1
+    for bit in bits:
+        kk = (cur, int(bit))
+        if kk in child:
+            cur, in_phrase = child[kk], True
+        else:
+            child[kk] = nxt_id
+            nxt_id += 1
+            phrases += 1
+            cur, in_phrase = 0, False
+    return phrases + (1 if in_phrase else 0)
+
+
+def _lc_jumps(key, n, r):
+    from .. import native
+
+    b = _bit_stream(key, n, r=r, s=1)
+    out = native.berlekamp_massey(b, n)
+    if out is None:
+        raise RuntimeError("LinearComp requires the native library "
+                           "(Berlekamp-Massey is O(n^2) bit ops)")
+    return out
+
+
+def linear_comp_jump(key, n=120000, r=0):
+    """scomp_LinearComp "Jump" statistic (Crush.cpp:747): the number of
+    jumps in the linear complexity profile of n random bits.  Jump
+    heights are iid Geometric(1/2) (Niederreiter's profile theorem) and
+    the profile climbs to ~n/2, so the jump count is the renewal count
+    at t = n/2 with mean interarrival 2 and variance 2: asymptotically
+    N(n/4, n/8) (MC-verified: n=120000 gives mean 30020+-8, var
+    13939+-1394)."""
+    jumps, L = _lc_jumps(key, n, r)
+    z = (len(jumps) - n / 4.0) / np.sqrt(n / 8.0)
+    return TestResult("LinearCompJump", float(2.0 * stats.norm.sf(abs(z))))
+
+
+def linear_comp_size(key, n=120000, r=0):
+    """scomp_LinearComp "Size" statistic: chi^2 of the jump-size
+    histogram against the exact Geometric(1/2) law P(h) = 2^-h
+    (tail-pooled at expected count >= 8)."""
+    jumps, L = _lc_jumps(key, n, r)
+    J = len(jumps)
+    kmax = max(2, int(np.log2(max(J, 2) / 8.0)))  # pool tail: E >= 8
+    obs = np.bincount(np.minimum(jumps, kmax + 1), minlength=kmax + 2)[1:]
+    p = 0.5 ** np.arange(1, kmax + 1)
+    probs = np.append(p, 1.0 - p.sum())  # tail mass
+    x2 = ((obs - J * probs) ** 2 / (J * probs)).sum()
+    return TestResult("LinearCompSize",
+                      float(stats.chi2.sf(x2, kmax)))
+
+
 SmallCrush: List[Callable] = [
     birthday_spacings,
     collision,
@@ -571,11 +678,19 @@ Crush: List[Callable] = [
 
 _CrushCore = list(Crush)  # the 23 distinct families, shared with BigCrush
 
-#: second tranche: parameter points bringing Crush to TestU01's 96
-#: test instances (Crush.cpp sweeps each family over several sample
-#: size / dimension / window / lag points between the SmallCrush and
-#: BigCrush scales)
+#: second tranche: the scomp_ compression/complexity instances at the
+#: reference's Crush parameters (Crush.cpp:747 LinearComp n=120000 at
+#: r=0 and r=29, each yielding the Jump and Size statistics;
+#: Crush.cpp:765 LempelZiv N=10 reps of 2^25 bits), plus parameter
+#: points bringing Crush to TestU01's 96 test instances (Crush.cpp
+#: sweeps each family over several sample size / dimension / window /
+#: lag points between the SmallCrush and BigCrush scales)
 Crush = Crush + [
+    lambda k: linear_comp_jump(k, n=120000, r=0),
+    lambda k: linear_comp_size(k, n=120000, r=0),
+    lambda k: linear_comp_jump(k, n=120000, r=29),
+    lambda k: linear_comp_size(k, n=120000, r=29),
+    lambda k: lempel_ziv(k, k=25, r=0, s=30, reps=10),
     lambda k: birthday_spacings(k, n=2**10, d=2**28, reps=48),
     lambda k: birthday_spacings(k, n=2**9, d=2**25, reps=96),
     lambda k: collision(k, n=2**15, d=2**24, reps=24),
@@ -584,21 +699,16 @@ Crush = Crush + [
     lambda k: gap(k, n=2**21, alpha=0.0, beta=0.25, tmax=20),
     lambda k: gap(k, n=2**21, alpha=0.5, beta=0.75, tmax=20),
     lambda k: gap(k, n=2**22, alpha=0.0, beta=0.0625, tmax=40),
-    lambda k: gap(k, n=2**21, alpha=0.875, beta=1.0, tmax=32),
     lambda k: simp_poker(k, n=2**19, d=16, k=8),
     lambda k: simp_poker(k, n=2**19, d=8, k=16),
     lambda k: simp_poker(k, n=2**19, d=4, k=8),
-    lambda k: simp_poker(k, n=2**19, d=32, k=4),
     lambda k: coupon_collector(k, n=2**20, d=4, tmax=24),
     lambda k: coupon_collector(k, n=2**20, d=16, tmax=80),
-    lambda k: coupon_collector(k, n=2**20, d=32, tmax=160),
     lambda k: max_of_t(k, n=2**19, t=4, bins=32),
     lambda k: max_of_t(k, n=2**19, t=16, bins=32),
-    lambda k: max_of_t(k, n=2**19, t=24, bins=64),
     lambda k: weight_distrib(k, n=2**19, k=32, lo=0.0, hi=0.5),
     lambda k: weight_distrib(k, n=2**19, k=32, lo=0.0, hi=0.125),
     lambda k: weight_distrib(k, n=2**19, k=48, lo=0.25, hi=0.75),
-    lambda k: weight_distrib(k, n=2**19, k=32, lo=0.875, hi=1.0),
     lambda k: matrix_rank(k, n=2048, dim=32),
     lambda k: matrix_rank(k, n=512, dim=96),
     lambda k: matrix_rank(k, n=256, dim=128),
@@ -756,13 +866,16 @@ BigCrush = BigCrush + [
     lambda k: sample_mean(k, m=2**17, t=16),
     lambda k: sample_corr(k, n=2**22, lag=4),
     lambda k: sample_corr(k, n=2**21, lag=8),
-    # second parameter points for the remaining smallcrush families
-    lambda k: coupon_collector(k, n=2**21, d=8, tmax=60),
-    lambda k: max_of_t(k, n=2**20, t=12, bins=128),
-    lambda k: weight_distrib(k, n=2**20, k=64, lo=0.25, hi=0.75),
-    lambda k: matrix_rank(k, n=1024, dim=96),
-    lambda k: gap(k, n=2**22, alpha=0.375, beta=0.4375, tmax=64),
-    lambda k: simp_poker(k, n=2**20, d=64, k=4),
+    # scomp_ compression/complexity at the reference's BigCrush
+    # parameters (BigCrush.cpp:860-886: LinearComp n=400020 at r=0 and
+    # r=29, Jump+Size each; LempelZiv N=10 reps of 2^27 bits at
+    # (r=0,s=30) and (r=15,s=15))
+    lambda k: linear_comp_jump(k, n=400020, r=0),
+    lambda k: linear_comp_size(k, n=400020, r=0),
+    lambda k: linear_comp_jump(k, n=400020, r=29),
+    lambda k: linear_comp_size(k, n=400020, r=29),
+    lambda k: lempel_ziv(k, k=27, r=0, s=30, reps=10),
+    lambda k: lempel_ziv(k, k=27, r=15, s=15, reps=10),
 ]
 assert len(BigCrush) == 106, len(BigCrush)  # BigCrush.cpp's instance count
 

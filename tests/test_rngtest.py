@@ -239,3 +239,78 @@ def test_reference_rngtest_deck_per_rng(capsys):
     assert out.count("14/14 tests passed") == 3
     assert "rng=r123_philox (impl=rbg), seed=21234" in out
     assert "rng=mkl_mcg31" in out and "rng=rngsse_gm55" in out
+
+
+def test_scomp_statistics_pass_threefry():
+    """The scomp compression/complexity family (Crush.cpp:747,765):
+    LinearComp's Jump (renewal N(n/4, n/8)) and Size (Geometric(1/2)
+    chi^2) statistics plus the calibrated LempelZiv phrase-count law
+    pass for threefry at reduced-but-real sample sizes."""
+    import jax.random as jr
+
+    key = jr.PRNGKey(17)
+    rj = bat.linear_comp_jump(jr.fold_in(key, 1), n=2**14, r=0)
+    rs = bat.linear_comp_size(jr.fold_in(key, 2), n=2**14, r=0)
+    rz = bat.lempel_ziv(jr.fold_in(key, 3), k=18, r=0, s=30, reps=8)
+    for r in (rj, rs, rz):
+        assert r.passed, (r.name, r.pvalue)
+
+
+def test_scomp_statistics_reject_degenerate(monkeypatch):
+    """Power check on the scomp family's OWN failure mode (algorithmic
+    compressibility/complexity, which no other battery family
+    measures): an LFSR m-sequence — which LOOKS uniform to counting
+    tests — has linear complexity 20 instead of ~n/2 (LinearComp
+    collapses to a handful of jumps instead of n/4), and a
+    short-period bit stream is maximally LZ78-compressible (phrase
+    count thousands of sigma below the calibrated null)."""
+    n = 2**14
+
+    # degree-20 LFSR (x^20 + x^3 + 1): statistically uniform bits,
+    # tiny linear complexity
+    s = np.zeros(1 << 18, np.uint8)
+    s[:20] = np.arange(20) % 2
+    s[0] = 1
+    for t in range(20, len(s)):
+        s[t] = s[t - 20] ^ s[t - 17]
+    lfsr_packed = np.packbits(s)
+
+    # period-128 stream: the LZ78 dictionary absorbs the period and
+    # phrases stop growing
+    rng = np.random.default_rng(9)
+    tile = rng.integers(0, 2, 128).astype(np.uint8)
+    per_packed = np.packbits(np.tile(tile, (1 << 18) // 128))
+
+    monkeypatch.setattr(bat, "_bit_stream",
+                        lambda key, nbits, r=0, s=32: lfsr_packed)
+    key = jax.random.PRNGKey(0)
+    rj = bat.linear_comp_jump(key, n=n, r=0)
+    monkeypatch.setattr(bat, "_bit_stream",
+                        lambda key, nbits, r=0, s=32: per_packed)
+    rz = bat.lempel_ziv(key, k=18, r=0, s=30, reps=4)
+    assert not rj.passed, rj
+    assert not rz.passed, rz
+    assert rj.pvalue < 1e-10 and rz.pvalue < 1e-10, (rj, rz)
+
+
+def test_scomp_in_batteries():
+    """The Crush/BigCrush batteries carry the scomp instances at the
+    reference's parameter points while keeping TestU01's instance
+    counts (96/106), and the battery-embedded entries execute."""
+    from quinoa_tpu.rngtest.battery import Crush, BigCrush
+
+    assert len(Crush) == 96 and len(BigCrush) == 106
+
+    def scomp_entries(battery):
+        return [t for t in battery
+                if {"linear_comp_jump", "linear_comp_size",
+                    "lempel_ziv"} & set(t.__code__.co_names)]
+
+    assert len(scomp_entries(Crush)) == 5     # Crush.cpp:747,765
+    assert len(scomp_entries(BigCrush)) == 6  # BigCrush.cpp:860-886
+    # one battery-embedded entry runs end-to-end (full Crush params are
+    # exercised by the slow battery tests)
+    import jax.random as jr
+
+    r = scomp_entries(Crush)[0](jr.PRNGKey(5))
+    assert r.passed, (r.name, r.pvalue)
