@@ -181,28 +181,12 @@ class DiagCGSolver:
         self.vol_n = jnp.stack(
             [geom.vol[geom.inpoelT[a]] for a in range(4)])
 
-        # env-gated fused window path (ops/cg_fused.py): gather +
-        # element math + assembly in one Pallas pass per FCT stage;
-        # built only when the configuration qualifies (single shard,
-        # time-independent velocity, no diffusion) and
-        # QUINOA_CG_FUSED=1
-        import os
-
-        self.fused_plan = None
-        if (os.environ.get("QUINOA_CG_FUSED") == "1" and fct
-                and geom.coords_n is not None):
-            from ..ops.cg_fused import build_cg_fused_plan
-
-            self.fused_plan = build_cg_fused_plan(
-                system, geom, bcmask, ctau)
-            if self.fused_plan is None:
-                import warnings
-
-                warnings.warn(
-                    "QUINOA_CG_FUSED=1 but the configuration doesn't "
-                    "qualify (diffusion / time-dependent velocity); "
-                    "running the XLA path",
-                    RuntimeWarning, stacklevel=2)
+        # NOTE: DiagCG has no fused-kernel variant.  The round-3/4
+        # megakernel (ops/cg_fused.py) permanently lost its silicon A/B
+        # (134 vs 110 ms/step at 48³ with the bf16 split) and was
+        # removed; the XLA formulation IS the DiagCG fast path
+        # (PERFORMANCE.md "DiagCG + FCT" floor analysis).  ALECG keeps
+        # its winning fused path (ops/alecg_fused.py).
 
         # CGTransport's dt law reads only the (static) velocity field —
         # the per-step sweep collapses to a constant when the velocity
@@ -231,14 +215,13 @@ class DiagCGSolver:
 
     def step(self, state: CGState) -> CGState:
         return self._step(self.geom, self.lhs, self.bcmask,
-                          self.bc_n, self.vol_n, self.fused_plan, state)
+                          self.bc_n, self.vol_n, state)
 
     def nsteps(self, state: CGState, n: int) -> CGState:
         """n steps by repeated dispatch of the compiled step."""
         for _ in range(n):
             state = self._step(self.geom, self.lhs, self.bcmask,
-                               self.bc_n, self.vol_n, self.fused_plan,
-                               state)
+                               self.bc_n, self.vol_n, state)
         return state
 
     # -- implementation -------------------------------------------------------
@@ -250,7 +233,7 @@ class DiagCGSolver:
             return self._static_dt
         return self.system.dt(self.geom, u) * self.cfl
 
-    def _step_impl(self, geom, lhs, bcmask, bc_n, vol_n, fused_plan,
+    def _step_impl(self, geom, lhs, bcmask, bc_n, vol_n,
                    state: CGState) -> CGState:
         if self.const_dt is not None:
             dt = jnp.asarray(self.const_dt, dtype=geom.vol.dtype)
@@ -258,18 +241,6 @@ class DiagCGSolver:
             dt = self._static_dt
         else:
             dt = self.system.dt(geom, state.u) * self.cfl
-        # the plan rides as a jit ARGUMENT: its mesh-sized window tables
-        # as closure constants are exactly the remote-compiler constant
-        # bomb (ROADMAP env facts; observed as 10-30 s XLA constant
-        # folds even on CPU)
-        if fused_plan is not None:
-            from ..ops.cg_fused import diagcg_advance_fused
-
-            unew = diagcg_advance_fused(
-                self.system, fused_plan, lhs, bcmask,
-                state.u, state.t, dt, geom)
-            return CGState(u=unew, t=state.t + dt, it=state.it + 1,
-                           dt=dt)
         unew = diagcg_advance(
             self.system,
             self.fct,

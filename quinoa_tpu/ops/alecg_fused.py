@@ -12,7 +12,7 @@ into per-entity rows — so each pass is one window kernel:
                 all four slots of the element)
   edge pass   : x = [w (u_b - u_a), -w (u_b - u_a)]  (antisymmetric)
 
-both accumulating straight into the node windows (ops/cg_fused.py
+both accumulating straight into the node windows (ops/window_kernels.py
 building blocks; far slots via the compact emit + target-sorted fold).
 Env-gated with the same QUINOA_CG_FUSED=1 switch.
 """
@@ -32,10 +32,10 @@ from .mxu import onehot_dot, onehot_dotT
 
 from .face_accum import _one_pass
 from .node_window import NodePlan, build_node_plan
-from .cg_fused import (_qualifies, _env_dims, _window_gather,
-                       _corner_hots, _corners, _to_slots, _far_emit,
-                       _far_fold_add, _pad_u, _call_windowed,
-                       _safe_state)
+from .window_kernels import (_qualifies, _env_dims, _window_gather,
+                             _corner_hots, _corners, _to_slots,
+                             _far_emit, _far_fold_add, _pad_u,
+                             _call_windowed, _safe_state)
 
 
 @partial(
@@ -389,7 +389,7 @@ def alecg_rhs_fused(fp: ALECGFusedPlan, u, interpret=None,
 def build_alecg_fused_plan_stacked(system, sharded, TF: int = 512,
                                    W: int = 1024):
     """Per-shard fused ALECG plans with forced-uniform dims, stacked on
-    a leading shard axis (the cg_fused stacked pattern).  Pad edges
+    a leading shard axis (the stacked forced-uniform pattern).  Pad edges
     carry A = 0 so their slots (keyed at local node 0) contribute
     exactly zero to the sum assembly."""
     cg = sharded.cg

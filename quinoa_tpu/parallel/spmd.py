@@ -152,25 +152,6 @@ class SPMDDiagCGSolver:
         # lhsmerge; both equal sum_e J_e/24 over elements around the node)
         self.lhs = sharded.geom.vol
 
-        # env-gated fused window path, per shard (stacked uniform-dim
-        # plans; ops/cg_fused.py): QUINOA_CG_FUSED=1 + a qualifying
-        # configuration (no diffusion, time-independent velocity)
-        import os as _os
-
-        self.fused_plan = None
-        if _os.environ.get("QUINOA_CG_FUSED") == "1" and fct:
-            from ..ops.cg_fused import build_cg_fused_plan_stacked
-
-            self.fused_plan = build_cg_fused_plan_stacked(
-                system, sharded, ctau)
-            if self.fused_plan is None:
-                import warnings
-
-                warnings.warn(
-                    "QUINOA_CG_FUSED=1 but the configuration doesn't "
-                    "qualify; running the XLA path",
-                    RuntimeWarning, stacklevel=2)
-
         # scalars ride the shard axis as (S,) arrays: chaining a
         # REPLICATED (P()) scalar output back into the next dispatch
         # costs ~100 ms/scalar/step on the axon TPU backend (round-3
@@ -179,23 +160,17 @@ class SPMDDiagCGSolver:
         spec_state = CGState(u=P(AXIS), t=P(AXIS), it=P(AXIS),
                              dt=P(AXIS))
 
-        if self.fused_plan is not None:
-            # check_vma=False: pallas_call outputs carry no varying-axes
-            # metadata (same as the DG stacked path)
-            step = jax.shard_map(
-                self._step_local_fused,
-                mesh=self.mesh,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS), spec_state),
-                out_specs=spec_state,
-                check_vma=False,
-            )
-        else:
-            step = jax.shard_map(
-                self._step_local,
-                mesh=self.mesh,
-                in_specs=(P(AXIS), P(AXIS), spec_state),
-                out_specs=spec_state,
-            )
+        # NOTE: no fused-kernel variant here — the stacked DiagCG
+        # megakernel rode the single-device kernels that permanently
+        # lost their silicon A/B (PERFORMANCE.md "DiagCG + FCT"), so
+        # the XLA per-shard step is the only DiagCG path (the fused
+        # SPMD treatment lives on in ALECG, parallel/alecg_spmd.py)
+        step = jax.shard_map(
+            self._step_local,
+            mesh=self.mesh,
+            in_specs=(P(AXIS), P(AXIS), spec_state),
+            out_specs=spec_state,
+        )
         # sharded tables are jit ARGUMENTS, not closure constants (constants
         # would be baked into the HLO and crush compile times)
         self._step = jax.jit(step)
@@ -243,30 +218,6 @@ class SPMDDiagCGSolver:
         return CGState(u=unew[None], t=(state.t[0] + dt)[None],
                        it=(state.it[0] + 1)[None], dt=dt[None])
 
-    def _step_local_fused(self, sharded, lhs, fplan, state):
-        """Per-shard fused-kernel step: one sum exchange for
-        [rhs|dif|P+|P-], one max exchange for Q, one sum for A."""
-        from ..ops.cg_fused import diagcg_advance_fused
-
-        sh: ShardedCG = _local(sharded)
-        fp = _local(fplan)
-        geom = sh.geom
-        u = state.u[0]
-        if sh.nhalo is not None:
-            halo = PpermuteHalo(sh.nhalo, self.sharded.nshard)
-        else:
-            halo = HaloCombiner(sh.bnd_slot, sh.rev_slot,
-                                self.sharded.nb)
-        if self.const_dt is not None:
-            dt = jnp.asarray(self.const_dt, dtype=u.dtype)
-        else:
-            dt = jax.lax.pmin(self.system.dt(geom, u) * self.cfl, AXIS)
-        unew = diagcg_advance_fused(
-            self.system, fp, _local(lhs), sh.bcmask, u, state.t[0], dt,
-            geom, combine_sum=halo.sum, combine_max=halo.max)
-        return CGState(u=unew[None], t=(state.t[0] + dt)[None],
-                       it=(state.it[0] + 1)[None], dt=dt[None])
-
     def _diag_local(self, sharded, state):
         """L2(sol), L2(err), Linf(err) with ownership-masked reductions."""
         sh: ShardedCG = _local(sharded)
@@ -300,9 +251,6 @@ class SPMDDiagCGSolver:
         )
 
     def step(self, state: CGState) -> CGState:
-        if self.fused_plan is not None:
-            return self._step(self.sharded, self.lhs, self.fused_plan,
-                              state)
         return self._step(self.sharded, self.lhs, state)
 
     def nsteps(self, state, n):

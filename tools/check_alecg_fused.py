@@ -1,13 +1,13 @@
-"""On-chip check: fused CG kernels (QUINOA_CG_FUSED=1) vs the XLA path.
+"""On-chip check: fused ALECG kernels (QUINOA_CG_FUSED=1) vs the XLA path.
 
-The CPU-side parity suite (tests/test_cg_fused.py) validates the fused
-DiagCG/ALECG window passes in interpret mode; this tool re-runs the
-same comparisons NON-interpret on the real device before the default
-flip (ROADMAP "Harvesting the on-chip queue"): a few full solver steps
-each way, compared on the diagnostics rows.
+The CPU-side parity suite (tests/test_alecg_fused.py) validates the
+fused ALECG window passes in interpret mode; this tool re-runs the same
+comparisons NON-interpret on the real device: a few full solver steps
+each way, compared on the diagnostics rows.  (The DiagCG flavors this
+tool used to check were removed with the losing DiagCG megakernel.)
 
 Usage: QUINOA_CG_FUSED must NOT be preset; the tool sets/unsets it
-around solver construction.  `python tools/check_cg_fused.py [n]`
+around solver construction.  `python tools/check_alecg_fused.py [n]`
 (default n=16; 48 for a bench-sized run).
 """
 
@@ -71,26 +71,6 @@ def main():
     mesh, _ = hilbert_element_reorder(mesh)
     ok = True
 
-    def diagcg_transport():
-        from quinoa_tpu.pde.cg import CGTransport, make_cggeom
-        from quinoa_tpu.pde.problems import SlotCyl
-        from quinoa_tpu.inciter import DiagCGSolver, Diagnostics
-
-        solver = DiagCGSolver(CGTransport(SlotCyl()), make_cggeom(mesh),
-                              cfl=0.8, bcnodes=mesh.all_bnodes())
-        return solver, Diagnostics(solver.system, solver.geom)
-
-    def diagcg_compflow():
-        from quinoa_tpu.pde.cg import make_cggeom
-        from quinoa_tpu.pde.cg_compflow import CGCompFlow
-        from quinoa_tpu.pde.problems import VorticalFlow
-        from quinoa_tpu.inciter import DiagCGSolver, Diagnostics
-
-        solver = DiagCGSolver(CGCompFlow(VorticalFlow()),
-                              make_cggeom(mesh), cfl=0.5,
-                              bcnodes=mesh.all_bnodes())
-        return solver, Diagnostics(solver.system, solver.geom)
-
     def alecg_transport():
         from quinoa_tpu.pde.cg import CGTransport
         from quinoa_tpu.pde.problems import SlotCyl
@@ -111,11 +91,9 @@ def main():
                             bcnodes=mesh.all_bnodes())
         return solver, Diagnostics(solver.system, solver.geom)
 
-    ok &= _compare("diagcg transport", diagcg_transport)
-    ok &= _compare("diagcg compflow", diagcg_compflow)
     ok &= _compare("alecg transport", alecg_transport)
     ok &= _compare("alecg compflow", alecg_compflow)
-    print("check_cg_fused:", "ALL OK" if ok else "FAILURES")
+    print("check_alecg_fused:", "ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 
 

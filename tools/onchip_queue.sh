@@ -26,13 +26,12 @@ run env QUINOA_BOUNDS_W=256 python bench.py --inner
 run env QUINOA_BOUNDS_W=1024 python bench.py --inner
 # SPMD path (stacked plans; windows can double -> exercises K-chunking)
 run python bench.py --npes 1
-# CG/ALECG: XLA path vs the fused megakernel, both with the split
-run python tools/check_cg_fused.py 16
+# CG (XLA-only: the DiagCG megakernel was removed after losing its
+# A/B) and ALECG fused-vs-XLA on-chip parity + A/B
+run python tools/check_alecg_fused.py 16
 run python bench_cg.py 48
-run env QUINOA_CG_FUSED=1 python bench_cg.py 48
-run env QUINOA_CG_FUSED=1 QUINOA_BF16_ONEHOT=0 python bench_cg.py 48
 run python bench_alecg.py
-run env QUINOA_CG_FUSED=1 python bench_alecg.py
+run env QUINOA_CG_FUSED=0 python bench_alecg.py
 run python bench.py --pdg
 run python bench.py --dgp2
 run python bench_walker.py
