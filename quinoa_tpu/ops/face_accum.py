@@ -452,23 +452,29 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 128,
     max metas) so the SPMD rhs runs the same fused kernels as the
     single-chip solver."""
     g = sharded_geom
-    S = np.asarray(g.vol).shape[0]
-    dtype = np.dtype(np.asarray(g.vol).dtype)
-    El = int(np.asarray(g.vol).shape[1])
+    # pull each device table to host exactly ONCE: on the axon TPU
+    # backend every np.asarray(g.xi_l) is a ~100 MB device->host
+    # transfer over the tunnel, and the fit->rebuild passes below
+    # otherwise re-pull the same tables four times (measured ~165 s of
+    # the npes=1 solver construction)
+    gnp = {k: np.asarray(getattr(g, k))
+           for k in ("vol", "el", "er", "xi_l", "xi_r", "fn", "farea",
+                     "fmask", "bctype")}
+    S = gnp["vol"].shape[0]
+    dtype = np.dtype(gnp["vol"].dtype)
+    El = int(gnp["vol"].shape[1])
     fitL = [
         _plan_arrays_fit(
-            np.asarray(g.el)[s], np.asarray(g.er)[s],
-            np.asarray(g.xi_r)[s],
-            El, dtype, TF, W, fmask=np.asarray(g.fmask)[s],
+            gnp["el"][s], gnp["er"][s], gnp["xi_r"][s],
+            El, dtype, TF, W, fmask=gnp["fmask"][s],
         )[1]
         for s in range(S)
     ]
     WL = max(fitL)
     plans = [
         _plan_arrays(
-            np.asarray(g.el)[s], np.asarray(g.er)[s],
-            np.asarray(g.xi_r)[s],
-            El, dtype, TF, WL, fmask=np.asarray(g.fmask)[s],
+            gnp["el"][s], gnp["er"][s], gnp["xi_r"][s],
+            El, dtype, TF, WL, fmask=gnp["fmask"][s],
         )
         for s in range(S)
     ]
@@ -493,10 +499,10 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 128,
 
     # fused near/far plans: fit pass -> common (max) metas -> rebuild
     def fargs(s):
-        return (np.asarray(g.el)[s], np.asarray(g.er)[s],
-                np.asarray(g.xi_l)[s], np.asarray(g.xi_r)[s],
-                np.asarray(g.fn)[s], np.asarray(g.farea)[s],
-                np.asarray(g.fmask)[s], np.asarray(g.bctype)[s])
+        return (gnp["el"][s], gnp["er"][s],
+                gnp["xi_l"][s], gnp["xi_r"][s],
+                gnp["fn"][s], gnp["farea"][s],
+                gnp["fmask"][s], gnp["bctype"][s])
 
     fit = [_fused_plan_arrays(*fargs(s), TF, W, dtype, E=El)
            for s in range(S)]

@@ -123,13 +123,27 @@ def build_dg_shards(
     if dtype is None:
         dtype = jnp.zeros(0).dtype
 
-    # global geometry (numpy views of the single-shard build)
-    g = build_dggeom(mesh, ndof, bc_sidesets, dtype=dtype)
-    gnp = {
-        k: np.asarray(getattr(g, k))
-        for k in ("vol", "jacInv", "Jmat", "node0", "el", "er", "fn",
-                  "farea", "xi_l", "xi_r", "bctype", "fmask", "esuelT")
-    }
+    # global geometry (numpy views of the single-shard build).  Pin
+    # its many small jnp stages to the LOCAL CPU backend: under the
+    # axon TPU backend every tiny op pays a remote-compile round trip
+    # (measured 463 s at 48^3 for npes=1 — the bench's "SPMD leg
+    # hang" — vs ~10 s on CPU); everything is pulled to numpy here, so
+    # nothing CPU-committed leaks into the TPU tables below.
+    import contextlib
+
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        _cpu = None
+    with (jax.default_device(_cpu) if _cpu is not None
+          else contextlib.nullcontext()):
+        g = build_dggeom(mesh, ndof, bc_sidesets, dtype=dtype)
+        gnp = {
+            k: np.asarray(getattr(g, k))
+            for k in ("vol", "jacInv", "Jmat", "node0", "el", "er", "fn",
+                      "farea", "xi_l", "xi_r", "bctype", "fmask",
+                      "esuelT")
+        }
     E = mesh.nelem
     esuel = gen_esuel(mesh.inpoel, mesh.nnode)  # (E,4)
 
