@@ -69,7 +69,8 @@ def _l2_gate(system, geom, state, flags_default):
 def _flags_default():
     keys = ("QUINOA_FAR_SR", "QUINOA_LIMIT_IN_KERNEL",
             "QUINOA_VOL_IN_KERNEL", "QUINOA_SPLIT_FAR_GATHER",
-            "QUINOA_FACE_W", "QUINOA_FACE_TF")
+            "QUINOA_FACE_W", "QUINOA_FACE_TF", "QUINOA_BOUNDS_W",
+            "QUINOA_RK_IN_KERNEL")
     return not any(os.environ.get(k) for k in keys)
 
 

@@ -1,10 +1,18 @@
-"""Secondary benchmark: ALECG node-updates/sec/chip on SlotCyl.
+"""Secondary benchmark: ALECG node-updates/sec/chip.
 
 Not consumed by the driver (bench.py is the single JSON line); run
 manually — the reference's published scaling story is ALECG
 (doc/pages/inciter_performance.dox), so this tracks the analog:
 
-    python bench_alecg.py [n]
+    python bench_alecg.py [n]             # SlotCyl transport
+    python bench_alecg.py --compflow [n]  # VorticalFlow Euler (the
+                                          # reference's ALECG compflow
+                                          # regression config)
+
+The compflow leg exists because the fused-kernel default decision must
+be PER FLAVOR: the transport A/B alone flipped the round-4 default, but
+the Euler kernels carry flux/EoS/charspeed in-kernel and may price
+differently (VERDICT r4 task 4).  A/B with QUINOA_CG_FUSED={1,0}.
 """
 
 import json
@@ -21,14 +29,26 @@ def main():
     from quinoa_tpu.mesh import box_tet_mesh
     from quinoa_tpu.mesh.reorder import (first_touch_node_reorder,
                                          hilbert_element_reorder)
-    from quinoa_tpu.pde.cg import CGTransport
-    from quinoa_tpu.pde.problems import SlotCyl
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    mesh = box_tet_mesh(n, n, n, hi=(1.0, 1.0, 1.0))
+    args = [a for a in sys.argv[1:] if a != "--compflow"]
+    compflow = "--compflow" in sys.argv[1:]
+    n = int(args[0]) if args else 48
+    if compflow:
+        from quinoa_tpu.pde.cg_compflow import CGCompFlow
+        from quinoa_tpu.pde.problems import VorticalFlow
+
+        system = CGCompFlow(VorticalFlow())
+        lo, hi, cfl = (-0.5, -0.5, -0.5), (0.5, 0.5, 0.5), 0.5
+    else:
+        from quinoa_tpu.pde.cg import CGTransport
+        from quinoa_tpu.pde.problems import SlotCyl
+
+        system = CGTransport(SlotCyl())
+        lo, hi, cfl = (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 0.8
+    mesh = box_tet_mesh(n, n, n, lo=lo, hi=hi)
     mesh, _ = hilbert_element_reorder(mesh)
     mesh, _ = first_touch_node_reorder(mesh)
-    solver = make_alecg(CGTransport(SlotCyl()), mesh, cfl=0.8,
+    solver = make_alecg(system, mesh, cfl=cfl,
                         bcnodes=mesh.all_bnodes())
     state = solver.initial_state()
 
@@ -45,7 +65,9 @@ def main():
     assert np.isfinite(np.asarray(state.u)).all()
     ups = mesh.nnode * nsteps / dt
     print(json.dumps({
-        "metric": "node_updates_per_sec_slotcyl_alecg",
+        "metric": ("node_updates_per_sec_vortical_alecg_compflow"
+                   if compflow else
+                   "node_updates_per_sec_slotcyl_alecg"),
         "value": round(ups, 1),
         "unit": "node-updates/s/chip",
         "nnode": mesh.nnode,

@@ -139,6 +139,22 @@ class DGSolver:
                         stacklevel=2,
                     )
                     self.bounds_plan = None
+        # RK-update-in-kernel fold: stages 0-1's RK updates ride the
+        # NEXT stage's bounds/limit kernel prologue instead of a
+        # separate XLA elementwise pass, so the updated (C*K, E) slab
+        # is never materialized between the face pass and the limiter
+        # (only stage 2's update, the step output, stays XLA).  Gated
+        # to configurations where the fused limit kernel is guaranteed
+        # to run (its maybe_fused_limit conditions, statically known).
+        self.rk_fold = (
+            self.bounds_plan is not None
+            and not pref
+            and limiter == "superbeep1"
+            and geom.ndof >= 4
+            and self.evolve_ndof == geom.ndof
+            and os.environ.get("QUINOA_LIMIT_IN_KERNEL", "1") == "1"
+            and os.environ.get("QUINOA_RK_IN_KERNEL", "0") == "1"
+        )
         # geometry is passed as a jit ARGUMENT (not captured in the closure)
         # so the mesh tables are runtime parameters, not giant HLO constants
         # that would have to be shipped to and folded by the compiler.
@@ -221,6 +237,7 @@ class DGSolver:
         ndofel = state.ndofel
         dt = state.dt
 
+        r_prev = None
         for s in range(3):
             if s == 0 and self.pref and g.ndof >= 4:
                 ndofel = self._eval_ndof(g, u, ndofel)
@@ -234,11 +251,20 @@ class DGSolver:
             # dg_rhs as vol_rhs) in ONE kernel (ops/nbr_bounds.py)
             from ..ops.nbr_bounds import maybe_fused_limit
 
+            # deferred previous-stage RK update (rk_fold): applied in
+            # the limit kernel's prologue from block-local operands
+            rk_upd = ((un, r_prev, dt, RK0[s - 1], RK1[s - 1])
+                      if r_prev is not None else None)
             fl = maybe_fused_limit(self.system, g, u, dofmask,
-                                   bounds_plan, fused, self.limiter)
+                                   bounds_plan, fused, self.limiter,
+                                   rk_update=rk_upd)
             if fl is not None:
                 u, rv = fl
             else:
+                # rk_fold guarantees the fused kernel runs (its gates
+                # are a superset of rk_fold's), so no pending update
+                # can reach this fallback
+                assert rk_upd is None
                 rv = None
                 u = self._limit(g, u, dofmask, bounds_plan)
             # p-adaptive runs ride the SAME maskless fused kernel: with
@@ -287,6 +313,12 @@ class DGSolver:
                 r = dg_rhs(self.system, g, u, dofmask, state.t,
                            accum_plan=accum_plan,
                            face_gp=self.needs_face_gp)
+            if self.rk_fold and s < 2:
+                # defer: the next stage's limit kernel applies this
+                # stage's RK update in its prologue (the updated slab
+                # never round-trips HBM)
+                r_prev = r
+                continue
             minv = self._minv(g, dofmask)
             unew = RK0[s] * un + RK1[s] * (u + dt * r * minv)
             if self.evolve_ndof < g.ndof:

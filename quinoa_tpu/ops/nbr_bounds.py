@@ -276,7 +276,7 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
 
 
 def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
-                              vol=None):
+                              vol=None, rk=None):
     """Bounds + Superbee phi + P1-mode scaling in ONE window pass: the
     separate XLA phi chain (12 Gauss evaluations over (C, E) slabs with
     HBM round trips between the bounds kernel and the mode multiply)
@@ -285,11 +285,27 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
     With vol=(system, B_vol, wdB) the kernel ALSO emits the flux
     volume integral evaluated on the limited state it just produced
     (dg_rhs's volume einsum chain, Integrate/Volume.cpp) — the step's
-    only remaining XLA compute pass on the modal slabs."""
+    only remaining XLA compute pass on the modal slabs.
+
+    With rk=(rk0, rk1, mnorm) the kernel ALSO applies the PREVIOUS RK
+    stage's update in its prologue (DG.cpp:1479-1488): it takes the
+    anchor un, the previous limited state u, the previous rhs r, and
+    dt/vol, and limits
+
+        u_new = rk0*un + rk1*(u + (dt/vol) * r / mnorm_k)
+
+    so the (C*K, E) RK-update slab of stages 0-1 is never materialized
+    by XLA between the face pass and the next limit — the neighbor
+    MEANS the bounds read are the cheap (C, E) XLA update of the k=0
+    rows only (superbee_limit_window's rk_update)."""
     G = Bself.shape[1]
 
     def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
                fpos_ref, uf_ref, *rest):
+        rest = list(rest)
+        if rk is not None:
+            un_ref, r_ref, dov_ref = rest[:3]
+            rest = rest[3:]
         if vol is not None:
             jac_ref, vole_ref, o_ref, rv_ref = rest
         else:
@@ -301,9 +317,28 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
         uf = uf_ref[...]                        # (C*K, W) full state
         u0 = u0_ref[...]                        # (C, W) means
 
-        def row(k):
+        def _row2(a, k):
             return jax.lax.squeeze(
-                jax.lax.slice_in_dim(uf, k, k + 1, axis=0), (0,))
+                jax.lax.slice_in_dim(a, k, k + 1, axis=0), (0,))
+
+        if rk is not None:
+            rk0, rk1, mnorm = rk
+            un_ = un_ref[...]
+            r_ = r_ref[...]
+            dov = _row2(dov_ref[...], 0)        # (W,) dt/vol (0 at pads)
+            newrows = [
+                rk0 * _row2(un_, c * K + k)
+                + rk1 * (_row2(uf, c * K + k)
+                         + _row2(r_, c * K + k) * dov
+                         * (1.0 / float(mnorm[k])))
+                for c in range(C) for k in range(K)
+            ]
+
+            def row(k):
+                return newrows[k]
+        else:
+            def row(k):
+                return _row2(uf, k)
 
         eps = 1.0e-14
         one = jnp.ones_like(u0)
@@ -381,7 +416,7 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
 
 def superbee_limit_window(plan: BoundsPlan, geom, U, C,
                           beta_lim: float = 2.0, interpret=None,
-                          emit_vol=False, system=None):
+                          emit_vol=False, system=None, rk_update=None):
     """U (C*K, E) -> limited U: neighbor bounds + Superbee coefficient +
     P1-dof scaling fused into the bounds window pass (headline path:
     dofmask-free DG(P1)); matches superbee_p1(geom, U, None, C,
@@ -389,7 +424,13 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
 
     emit_vol=True (coordinate-free, source-free systems only) also
     returns the flux volume integral on the limited state — dg_rhs
-    consumes it as vol_rhs and skips its own volume einsum chain."""
+    consumes it as vol_rhs and skips its own volume einsum chain.
+
+    rk_update=(un, r, dt, rk0, rk1) limits the RK-UPDATED state
+    rk0*un + rk1*(U + dt*r*minv), computed in the kernel prologue from
+    block-local operands (U is then the previous stage's LIMITED
+    state); only the (C, E) MEANS are RK-updated XLA-side for the
+    neighbor-window blocks and far gathers."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K = geom.ndof
@@ -398,7 +439,17 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
     dt_ = U.dtype
     BIG = jnp.asarray(jnp.finfo(dt_).max, dt_) / 2
 
+    mnorm = np.asarray(geom.tables["mnorm"])
+    rk = None
     u0 = U.reshape(C, K, -1)[:, 0, :]
+    if rk_update is not None:
+        un, r, dtt, rk0, rk1 = rk_update
+        dov = (dtt / geom.vol).astype(dt_)[None, :]       # (1, E)
+        un0 = un.reshape(C, K, -1)[:, 0, :]
+        r0 = r.reshape(C, K, -1)[:, 0, :]
+        u0 = rk0 * un0 + rk1 * (u0 + r0 * dov
+                                * (1.0 / float(mnorm[0])))
+        rk = (float(rk0), float(rk1), mnorm)
     NT = ntile * FTE
     fv = u0[:, plan.fidx.reshape(-1)].reshape(C, plan.nsr, NT)
     fx = jnp.where(plan.fmask > 0, fv, -BIG).max(axis=1)
@@ -418,6 +469,17 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
         pl.BlockSpec((C * K, W), lambda t: (0, t)),
     ]
     args = [plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos, Ufp]
+    if rk is not None:
+        in_specs += [
+            pl.BlockSpec((C * K, W), lambda t: (0, t)),   # anchor un
+            pl.BlockSpec((C * K, W), lambda t: (0, t)),   # prev rhs r
+            pl.BlockSpec((1, W), lambda t: (0, t)),       # dt/vol
+        ]
+        args += [
+            jnp.pad(un, ((0, 0), (0, plan.Ep - E))),
+            jnp.pad(r, ((0, 0), (0, plan.Ep - E))),
+            jnp.pad(dov, ((0, 0), (0, plan.Ep - E))),
+        ]
     vol = None
     out_specs = pl.BlockSpec((C * K, W), lambda t: (0, t))
     out_shape = jax.ShapeDtypeStruct((C * K, plan.Ep), dt_)
@@ -441,7 +503,7 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
                      jax.ShapeDtypeStruct((C * K, plan.Ep), dt_)]
     out = pl.pallas_call(
         _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
-                                  vol=vol),
+                                  vol=vol, rk=rk),
         grid=(ntile,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -454,12 +516,15 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
 
 
 def maybe_fused_limit(system, geom, u, dofmask, bounds_plan, fused,
-                      limiter):
+                      limiter, rk_update=None):
     """The env-gated fused limit(+volume) dispatch shared by the
     single-chip and SPMD DG solvers (one definition, so the gates can
     never drift apart).  Returns (u_limited, vol_rhs_or_None), or None
     when the preconditions do not hold and the caller must fall back
-    to the split bounds-kernel + XLA-phi path."""
+    to the split bounds-kernel + XLA-phi path.
+
+    rk_update forwards to superbee_limit_window: the caller's deferred
+    previous-stage RK update rides the kernel prologue."""
     import os
 
     # Both kernels default-on since the on-chip A/B stack (v5e, 48^3
@@ -481,8 +546,10 @@ def maybe_fused_limit(system, geom, u, dofmask, bounds_plan, fused,
     )
     if emit_vol:
         return superbee_limit_window(bounds_plan, geom, u, C,
-                                     emit_vol=True, system=system)
-    return superbee_limit_window(bounds_plan, geom, u, C), None
+                                     emit_vol=True, system=system,
+                                     rk_update=rk_update)
+    return superbee_limit_window(bounds_plan, geom, u, C,
+                                 rk_update=rk_update), None
 
 
 def build_bounds_plan_stacked(sharded_geom, W: int = 512) -> BoundsPlan:

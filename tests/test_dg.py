@@ -340,6 +340,42 @@ def test_superbee_limit_window_matches_split_path(monkeypatch):
     assert np.isclose(float(s_v.dt), float(s_ref.dt), rtol=1e-12)
 
 
+def test_rk_update_in_limit_kernel_matches(monkeypatch):
+    """QUINOA_RK_IN_KERNEL folds stages 0-1's RK update into the NEXT
+    stage's bounds/limit kernel prologue (block-local un/r/dt-over-vol
+    operands; only the (C, E) means update XLA-side for the neighbor
+    windows).  3 Sedov steps must match the unfolded full fusion stack
+    to FMA-fusion tolerance (the update's multiply-adds contract
+    differently in the two separately-traced programs)."""
+    from quinoa_tpu.inciter.dg import DGSolver
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.ops.nbr_bounds import build_bounds_plan
+
+    mesh = box_tet_mesh(6, 6, 4, hi=(0.6, 0.6, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    aplan = build_accum_plan(geom)
+    bplan = build_bounds_plan(geom, W=128)
+
+    monkeypatch.setenv("QUINOA_LIMIT_IN_KERNEL", "1")
+    monkeypatch.setenv("QUINOA_VOL_IN_KERNEL", "1")
+    monkeypatch.delenv("QUINOA_RK_IN_KERNEL", raising=False)
+    ref = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    ref.accum_plan, ref.bounds_plan = aplan, bplan
+    assert not ref.rk_fold  # default off until the on-chip A/B
+    s_ref = ref.nsteps(ref.initial_state(), 3)
+
+    monkeypatch.setenv("QUINOA_RK_IN_KERNEL", "1")
+    fol = DGSolver(system, geom, cfl=0.5, limiter="superbeep1")
+    fol.accum_plan, fol.bounds_plan = aplan, bplan
+    fol.rk_fold = True  # plans injected post-init (CPU test pattern)
+    s_f = fol.nsteps(fol.initial_state(), 3)
+    np.testing.assert_allclose(np.asarray(s_f.u), np.asarray(s_ref.u),
+                               rtol=0, atol=1e-11)
+    assert np.isclose(float(s_f.dt), float(s_ref.dt), rtol=1e-12)
+
+
 def test_nbr_bounds_matches_esuelt():
     """The Pallas window neighbor-bounds pass (interpret mode on CPU)
     reproduces the esuelT-gather min/max bounds bit-exactly, and the
