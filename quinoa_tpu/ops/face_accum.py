@@ -40,7 +40,7 @@ from .mxu import onehot_dot
     jax.tree_util.register_dataclass,
     data_fields=[
         "ks", "ker", "blk", "mlo", "mhi",
-        "xil", "xir", "fn", "fa", "bt",
+        "xil", "xir", "fn", "fa", "bt", "mex",
     ],
     meta_fields=["ntile", "nblk", "W"],
 )
@@ -53,8 +53,8 @@ class FusedStream:
     ks: jnp.ndarray    # (1, Fp) i32 el target per face (-1 pad)
     ker: jnp.ndarray   # (1, Fp) i32 er target (-1 pad/boundary-no-R)
     blk: jnp.ndarray   # (ntile,) i32
-    mlo: jnp.ndarray   # (1, (nblk+2)*W)
-    mhi: jnp.ndarray
+    mlo: jnp.ndarray   # (1, (nblk+NB)*W) visited-as-offset-0 mask
+    mhi: jnp.ndarray   # (1, (nblk+NB)*W) visited-as-offset-1 mask
     xil: jnp.ndarray   # (3G, Fp) static face Gauss coords (left)
     xir: jnp.ndarray
     fn: jnp.ndarray    # (3, Fp)
@@ -63,6 +63,11 @@ class FusedStream:
     ntile: int
     nblk: int
     W: int             # this stream's window (far streams need wider)
+    #: offset-2.. visited-block masks, (NB-2, (nblk+NB)*W), for the
+    #: widened right-state window (QUINOA_NEAR_NB=4: er admitted from
+    #: FOUR output-aligned blocks, halving the far stream); None for
+    #: the classic 2-block streams
+    mex: Optional[jnp.ndarray] = None
 
 
 @partial(
@@ -244,7 +249,7 @@ def _fit_tables(key, TF, W, dtype, E=None):
 
 
 def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
-                       TF, W, dtype, force=None, E=None):
+                       TF, W, dtype, force=None, E=None, nb=None):
     """Numpy pieces + metas of a FusedPlan for one (sub)mesh.
 
     `force` pins the stream metas {Wn, Wf, WRF, ntileN, ntileF,
@@ -252,25 +257,38 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
     shapes for stacked shard_map builds (extra tiles carry only pad
     faces; masks are zero beyond each shard's own blocks).  fmask
     (None = all real) marks real faces on padded per-shard face axes.
+
+    `nb` (QUINOA_NEAR_NB, default 2) is the near kernel's right-state
+    window in output-aligned W-blocks: 4 admits er up to three blocks
+    above the tile anchor (on 48^3 Hilbert meshes that halves the far
+    stream — measured d=er//W-el//W histogram: 58k/19k/17k of 211k far
+    faces at d=1/2/3), at the cost of two extra one-hot gather masks
+    and two extra accumulation output arrays in the near kernel.
     """
+    import os
+
+    if nb is None:
+        nb = int(os.environ.get("QUINOA_NEAR_NB", "2"))
+    assert nb in (2, 4)
     el = np.asarray(el).astype(np.int64)
     er = np.asarray(er).astype(np.int64)
     F = el.shape[0]
     real = (np.asarray(fmask) > 0) if fmask is not None \
         else np.ones(F, dtype=bool)
     interior = (er != el) & real
-    # near: er inside the tile's TWO-BLOCK output window [b*W, b*W+2W)
-    # (the kernel's right-state gather covers locr in [0, 2W), so
+    # near: er inside the tile's nb-BLOCK output window [b*W, b*W+nb*W)
+    # (the kernel's right-state gather covers locr in [0, nb*W), so
     # er//W == el//W is sufficient but NOT necessary).  Same-block faces
-    # are window-safe for any tile anchor; er in an ADJACENT block is
+    # are window-safe for any tile anchor; er in a block above is
     # admitted by a demotion fixed point, since the anchor b[t] = min el
     # of the tile // W depends on the selection itself.  The guarantee
     # survives the later window doubling (_fit_tables): for Ws = k*W the
-    # anchor window [b2*Ws, b2*Ws + 2Ws) contains [b*W, b*W + 2W).
+    # anchor window [b2*Ws, b2*Ws + nb*Ws) contains [b*W, b*W + nb*W).
     # Measured on v5e (48^3 Sedov dgp1): the far stream costs ~4.5x per
     # face vs near, and this reclassification moves ~40% of far faces.
     near = real & (~interior | ((er // W) == (el // W)))
-    cand = real & interior & ~near & (np.abs(er // W - el // W) == 1)
+    cand = real & interior & ~near \
+        & (np.abs(er // W - el // W) <= nb - 1)
     near2 = near | cand
     while True:
         idxN = np.nonzero(near2)[0]
@@ -283,9 +301,9 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
         b = (bmin // W)[tl]
         erb = er[idxN] // W
         # same-block faces are safe under ANY anchor (never demote);
-        # adjacent-block ones must land in this tile's {b, b+1} window
+        # others must land in this tile's [b, b+nb) window
         okf = ~interior[idxN] | (erb == el[idxN] // W) \
-            | ((erb >= b) & (erb <= b + 1))
+            | ((erb >= b) & (erb <= b + nb - 1))
         if okf.all():
             break
         near2[idxN[~okf]] = False
@@ -301,7 +319,7 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
            if fmask is not None else 1.0)).astype(dtype)
     bts = np.asarray(bctype).astype(np.int32)
 
-    def stream(idx, skey, sW, sntile, snblk):
+    def stream(idx, skey, sW, sntile, snblk, snb=2):
         ks_el = el[idx].astype(np.int32)
         if sntile is not None:
             ks_el = np.concatenate(
@@ -318,6 +336,16 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
             mlo = np.pad(mlo, ((0, 0), (0, pad)))
             mhi = np.pad(mhi, ((0, 0), (0, pad)))
             nblk = snblk
+        mex = None
+        if snb > 2:
+            # rebuild ALL snb visited-block masks at the wider
+            # (nblk+snb)*Ws output width (offset j marks blocks the
+            # kernel accumulates through output array j)
+            ms = np.zeros((snb, (nblk + snb) * Ws), dtype)
+            for b_ in sorted(set(blk.tolist())):
+                for j in range(snb):
+                    ms[j, (b_ + j) * Ws:(b_ + j + 1) * Ws] = 1.0
+            mlo, mhi, mex = ms[0:1], ms[1:2], ms[2:]
         Fp = ntile * TF
         kerp = np.full(Fp, -1, np.int32)
         kerp[: len(idx)] = np.where(interior[idx], er[idx], -1)
@@ -329,13 +357,14 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
 
         return dict(
             ks=ks.reshape(1, -1), ker=kerp.reshape(1, -1), blk=blk,
-            mlo=mlo, mhi=mhi, xil=tab(xils), xir=tab(xirs),
+            mlo=mlo, mhi=mhi, mex=mex, xil=tab(xils), xir=tab(xirs),
             fn=tab(fns), fa=tab(fas), bt=tab(bts),
             ntile=ntile, nblk=nblk, W=Ws, nreal=len(idx),
         )
 
     f = force or {}
-    sN = stream(idxN, "N", f.get("Wn"), f.get("ntileN"), f.get("nblkN"))
+    sN = stream(idxN, "N", f.get("Wn"), f.get("ntileN"), f.get("nblkN"),
+                snb=nb)
     sF = stream(idxF, "F", f.get("Wf"), f.get("ntileF"), f.get("nblkF"))
 
     # far R pass: er-sort within the PADDED far stream (pads sort last)
@@ -380,6 +409,7 @@ def _stream_from_arrays(d, to_jnp=jnp.asarray) -> FusedStream:
         xil=to_jnp(d["xil"]), xir=to_jnp(d["xir"]), fn=to_jnp(d["fn"]),
         fa=to_jnp(d["fa"]), bt=to_jnp(d["bt"]),
         ntile=d["ntile"], nblk=d["nblk"], W=d["W"],
+        mex=(to_jnp(d["mex"]) if d.get("mex") is not None else None),
     )
 
 
@@ -537,6 +567,8 @@ def build_accum_plan_stacked(sharded_geom, TF: int = 128,
             xir=fstack((key, "xir")), fn=fstack((key, "fn")),
             fa=fstack((key, "fa")), bt=fstack((key, "bt")),
             ntile=d0["ntile"], nblk=d0["nblk"], W=d0["W"],
+            mex=(fstack((key, "mex")) if d0.get("mex") is not None
+                 else None),
         )
 
     fused = FusedPlan(

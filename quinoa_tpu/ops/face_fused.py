@@ -335,13 +335,15 @@ def _padU(U, NBW):
 
 
 def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
-                         sr_in=False):
+                         sr_in=False, nb=2):
     """Shared near/far fused kernel.
 
     Both variants gather LEFT states in-window, run basis+BC+Riemann,
     and accumulate [left contributions; dt charvel row] at el.  The
     NEAR variant additionally gathers the RIGHT states in-window (er
-    shares el's W-block by construction) and accumulates the right
+    within the tile's nb-block output window by construction: nb=2
+    classic, nb=4 under QUINOA_NEAR_NB=4 with two extra U blocks and
+    two extra accumulation arrays) and accumulates the right
     contributions + dt row at er — no pre-gather, no permute, no
     second pass.  The FAR variant takes pre-gathered right states and
     emits [weighted flux; charvel] rows for the er-sorted R pass; with
@@ -351,23 +353,29 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
     from ..pde.dg import BC_INTERIOR
 
     def kernel(blk_ref, ks_ref, ker_ref, ulo_ref, uhi_ref, *rest):
+        rest = list(rest)
+        uex = []
         if far and sr_in:
             (uvr_ref, xil_ref, fn_ref, fa_ref, bt_ref,
              lo_ref, hi_ref, wfl_ref) = rest
+            out_refs = [lo_ref, hi_ref]
         elif far:
             (uvr_ref, xil_ref, xir_ref, fn_ref, fa_ref, bt_ref,
              lo_ref, hi_ref, wfl_ref) = rest
+            out_refs = [lo_ref, hi_ref]
         else:
+            uex = rest[:nb - 2]
             (xil_ref, xir_ref, fn_ref, fa_ref, bt_ref,
-             lo_ref, hi_ref) = rest
+             *out_refs) = rest[nb - 2:]
+            lo_ref, hi_ref = out_refs[0], out_refs[1]
         t = pl.program_id(0)
         b = blk_ref[t]
         fresh = (t == 0) | (b != blk_ref[jnp.maximum(t - 1, 0)])
 
         @pl.when(fresh)
         def _():
-            lo_ref[...] = jnp.zeros_like(lo_ref)
-            hi_ref[...] = jnp.zeros_like(hi_ref)
+            for oref in out_refs:
+                oref[...] = jnp.zeros_like(oref)
 
         dt_ = ulo_ref.dtype
         ks = ks_ref[0, :]
@@ -400,18 +408,22 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
             ker = ker_ref[0, :]
             locr = (ker - b * W)[:, None]
             validr = jnp.where(ker >= 0, 1.0, 0.0).astype(dt_)
-            hot_rlo = jnp.where(locr == iota_a, 1.0, 0.0).astype(dt_) \
+            # per output-aligned block j in [0, nb): accumulation-
+            # direction (TF, W) and gather-direction (W, TF) masks
+            hot_r = [
+                jnp.where(locr - j * W == iota_a, 1.0, 0.0).astype(dt_)
                 * validr[:, None]
-            hot_rhi = jnp.where(locr - W == iota_a, 1.0, 0.0) \
-                .astype(dt_) * validr[:, None]
+                for j in range(nb)
+            ]
             locr_g = ker[None, :] - b * W
-            hot_rloT = jnp.where(iota_g == locr_g, 1.0, 0.0) \
-                .astype(dt_) * validr[None, :]
-            hot_rhiT = jnp.where(iota_g == locr_g - W, 1.0, 0.0) \
-                .astype(dt_) * validr[None, :]
-            UvR = (onehot_dot(ulo_ref[...], hot_rloT)
-                   + onehot_dot(uhi_ref[...], hot_rhiT)
-                   ).reshape(C, K, TF)
+            ublocks = [ulo_ref, uhi_ref] + uex
+            UvR = sum(
+                onehot_dot(
+                    ublocks[j][...],
+                    jnp.where(iota_g == locr_g - j * W, 1.0, 0.0)
+                    .astype(dt_) * validr[None, :])
+                for j in range(nb)
+            ).reshape(C, K, TF)
 
         xi_l = xil_ref[...].reshape(3, G, TF)
         B_l = eval_basis_cm(K, xi_l)
@@ -470,9 +482,9 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
                 for c in range(C) for k in range(K)
             ] + [mx]
             contribR = jnp.stack(rowsR)
-            # hot_r* are already zero for boundary/pad faces (ker=-1)
-            lo_ref[...] += onehot_dot(contribR, hot_rlo)
-            hi_ref[...] += onehot_dot(contribR, hot_rhi)
+            # hot_r are already zero for boundary/pad faces (ker=-1)
+            for j in range(nb):
+                out_refs[j][...] += onehot_dot(contribR, hot_r[j])
 
     return kernel
 
@@ -625,12 +637,15 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
     dt_ = U.dtype
     wface = np.asarray(geom.tables["w_face"])
 
+    # near right-window block count (QUINOA_NEAR_NB at plan build)
+    nbN = 2 + (0 if fp.near.mex is None else fp.near.mex.shape[-2])
+
     # ONE shared padded copy of U for every window kernel in this pass
     # (near, far, and the er-sorted rstate pass) — three separate _padU
     # calls cost three HBM copies of the (C*K, E) state per stage.  The
     # common width must be a multiple of every stream's window so the
     # BlockSpecs tile it exactly.
-    _widths = [(fp.near.nblk + 2) * fp.near.W,
+    _widths = [(fp.near.nblk + nbN) * fp.near.W,
                (fp.far.nblk + 2) * fp.far.W,
                (fp.nblkRF + 2) * fp.WRF]
     _ws = [fp.near.W, fp.far.W, fp.WRF]
@@ -640,23 +655,30 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
 
     def stream_call(st, far, extra_in=(), sr_in=False):
         Ws = st.W
-        NBW = (st.nblk + 2) * Ws
+        nb = 2 if far else nbN
+        NBW = (st.nblk + nb) * Ws
+
+        def _ospec(j):
+            return pl.BlockSpec((CK1, Ws), lambda t, blk: (0, blk[t] + j))
+
+        def _uspec(j):
+            return pl.BlockSpec((CK, Ws), lambda t, blk: (0, blk[t] + j))
+
         Upad = Ushared if NBWmax % Ws == 0 else _padU(U, NBW)
-        out_shape = [
-            jax.ShapeDtypeStruct((CK1, NBW), dt_),
-            jax.ShapeDtypeStruct((CK1, NBW), dt_),
-        ]
-        out_specs = [
-            pl.BlockSpec((CK1, Ws), lambda t, blk: (0, blk[t])),
-            pl.BlockSpec((CK1, Ws), lambda t, blk: (0, blk[t] + 1)),
-        ]
+        out_shape = [jax.ShapeDtypeStruct((CK1, NBW), dt_)
+                     for _ in range(nb)]
+        out_specs = [_ospec(j) for j in range(nb)]
         in_specs = [
             pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # ks
             pl.BlockSpec((1, TF), lambda t, blk: (0, t)),      # ker
-            pl.BlockSpec((CK, Ws), lambda t, blk: (0, blk[t])),
-            pl.BlockSpec((CK, Ws), lambda t, blk: (0, blk[t] + 1)),
+            _uspec(0),
+            _uspec(1),
         ]
         args = [st.blk, st.ks, st.ker, Upad, Upad]
+        if not far and nb > 2:
+            # extra right-gather U blocks ride right after ulo/uhi
+            in_specs += [_uspec(j) for j in range(2, nb)]
+            args += [Upad] * (nb - 2)
         if far:
             rrows = C * G if sr_in else CK
             in_specs.append(
@@ -682,7 +704,7 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
         args += [st.fn, st.fa, st.bt]
         return pl.pallas_call(
             _make_nearfar_kernel(system, TF, Ws, C, K, G, wface, far,
-                                 sr_in=sr_in),
+                                 sr_in=sr_in, nb=nb),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(st.ntile,),
@@ -693,10 +715,15 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
             interpret=interpret,
         )(*args)
 
-    # near stream: both sides + dt rows, fully in-window
-    loN, hiN = stream_call(fp.near, far=False)
-    accN = (jnp.where(fp.near.mlo > 0, loN, 0.0)
-            + jnp.where(fp.near.mhi > 0, hiN, 0.0))[:, :plan.E]
+    # near stream: both sides + dt rows, fully in-window (nbN output
+    # arrays, one per block offset; masks pick each block's visited
+    # phases and the sum reassembles the accumulation)
+    outsN = stream_call(fp.near, far=False)
+    masksN = [fp.near.mlo, fp.near.mhi] + [
+        fp.near.mex[j:j + 1] for j in range(nbN - 2)
+    ]
+    accN = sum(jnp.where(m > 0, o, 0.0)
+               for m, o in zip(masksN, outsN))[:, :plan.E]
 
     # far stream: L side + wfl/mx emission
     FpF = fp.far.ntile * TF

@@ -244,6 +244,54 @@ def test_fused_nearfar_matches_xla_rhs(ndof):
     assert np.isclose(dt_f, dt_x, rtol=1e-12)
 
 
+def test_fused_nearfar_nb4_variant(monkeypatch):
+    """QUINOA_NEAR_NB=4 widens the near kernel's right-state window to
+    FOUR output-aligned blocks (two extra one-hot gather masks + two
+    extra accumulation arrays), absorbing er-within-3-blocks faces from
+    the far stream; the rhs and charvel must match the 2-block default
+    exactly, and the far stream must actually shrink."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.pde.dg import dg_rhs
+
+    mesh = box_tet_mesh(6, 6, 4, hi=(0.6, 0.6, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    plan2 = build_accum_plan(geom, TF=128, W=128)
+    monkeypatch.setenv("QUINOA_NEAR_NB", "4")
+    plan4 = build_accum_plan(geom, TF=128, W=128)
+    monkeypatch.delenv("QUINOA_NEAR_NB")
+    assert plan4.fused.near.mex is not None
+    assert plan4.fused.Fn > plan2.fused.Fn  # faces actually moved near
+    # padded far tile counts can tie on tiny meshes; compare REAL faces
+    nreal = [int((np.asarray(p.fused.far.ks)[0] >= 0).sum())
+             for p in (plan2, plan4)]
+    assert nreal[1] < nreal[0], nreal
+
+    rng = np.random.default_rng(17)
+    E, K = geom.nelem, 4
+    U0 = np.zeros((5 * K, E))
+    U0[0] = 1.0 + 0.05 * rng.random(E)
+    U0[4 * K] = 2.5 + 0.05 * rng.random(E)
+    for ck in range(5 * K):
+        if ck % K:
+            U0[ck] = 0.01 * rng.random(E)
+    U = jnp.asarray(U0)
+
+    def rhs(g, p, u):
+        return dg_rhs(system, g, u, None, 0.0, accum_plan=p,
+                      face_gp=False, want_charvel=True)
+
+    r2, d2 = jax.jit(rhs)(geom, plan2, U)
+    r4, d4 = jax.jit(rhs)(geom, plan4, U)
+    np.testing.assert_allclose(np.asarray(r4), np.asarray(r2),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(d4), np.asarray(d2),
+                               rtol=0, atol=1e-11)
+
+
 def test_fused_nearfar_far_sr_variant(monkeypatch):
     """QUINOA_FAR_SR=1 routes the far stream through the er-sorted
     right-state pass (sR at Gauss points, C*G rows) instead of the
