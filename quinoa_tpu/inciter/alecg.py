@@ -177,16 +177,24 @@ class ALECGSolver:
         self.lhs = lumped_mass(geom)
         # fused window rhs (ops/alecg_fused.py): one volume kernel + one
         # edge kernel per RK stage instead of the XLA gather/assembly
-        # chain.  DEFAULT ON ON TPU since the round-4 on-chip A/B with
-        # the exact bf16 one-hot dots: 186 ms/step vs the XLA path's
-        # 217 at 48^3 SlotCyl (632k vs 542k node-updates/s).
-        # QUINOA_CG_FUSED=0 restores the XLA path; on CPU the kernels
-        # would run in interpret mode, so the default stays off there
-        # (parity tests opt in explicitly).  DiagCG keeps the XLA
+        # chain.  The default is PER FLAVOR, from on-chip A/Bs at 48^3:
+        #   - transport (SlotCyl, r4): fused WINS, 186 vs 217 ms/step
+        #     (632k vs 542k node-updates/s) -> default ON on TPU;
+        #   - compflow (VorticalFlow, r5): fused LOSES, 186.5 vs
+        #     116.4 ms/step (631k vs 1.01M node-updates/s) — the Euler
+        #     flux/EoS/charspeed traced per edge endpoint in-kernel
+        #     outweighs the gathers it saves -> default OFF
+        #     (`bench_alecg.py --compflow`).
+        # QUINOA_CG_FUSED={0,1} overrides either way; on CPU the
+        # kernels would run in interpret mode, so the default stays off
+        # there (parity tests opt in explicitly).  DiagCG keeps the XLA
         # default — its megakernel still loses (134 vs 110 ms).
         import os as _os
 
-        _fused_default = "1" if jax.default_backend() == "tpu" else "0"
+        _is_compflow = (getattr(system, "ncomp", 0) == 5
+                        and hasattr(system, "eos"))
+        _fused_default = ("1" if (jax.default_backend() == "tpu"
+                                  and not _is_compflow) else "0")
         self.fused_plan = None
         if _os.environ.get("QUINOA_CG_FUSED", _fused_default) == "1":
             from ..ops.alecg_fused import build_alecg_fused_plan

@@ -141,13 +141,18 @@ class SPMDALECGSolver:
         self.cfl = cfl
         self.const_dt = const_dt
 
-        # fused per-shard rhs kernels (ops/alecg_fused.py): same TPU
-        # default-on as the single-shard ALECG solver (round-4 A/B:
-        # 186 vs 217 ms/step), QUINOA_CG_FUSED=0 opts out, CPU stays
-        # on the XLA path unless explicitly opted in
+        # fused per-shard rhs kernels (ops/alecg_fused.py): same
+        # PER-FLAVOR TPU default as the single-shard ALECG solver
+        # (transport fused WINS its r4 A/B 186 vs 217 ms/step;
+        # compflow fused LOSES its r5 A/B 186.5 vs 116.4 ms/step, see
+        # inciter/alecg.py), QUINOA_CG_FUSED={0,1} overrides, CPU
+        # stays on the XLA path unless explicitly opted in
         import os as _os
 
-        _fused_default = "1" if jax.default_backend() == "tpu" else "0"
+        _is_compflow = (getattr(system, "ncomp", 0) == 5
+                        and hasattr(system, "eos"))
+        _fused_default = ("1" if (jax.default_backend() == "tpu"
+                                  and not _is_compflow) else "0")
         self.fused_plan = None
         if _os.environ.get("QUINOA_CG_FUSED", _fused_default) == "1":
             from ..ops.alecg_fused import build_alecg_fused_plan_stacked
