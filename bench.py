@@ -70,7 +70,7 @@ def _flags_default():
     keys = ("QUINOA_FAR_SR", "QUINOA_LIMIT_IN_KERNEL",
             "QUINOA_VOL_IN_KERNEL", "QUINOA_SPLIT_FAR_GATHER",
             "QUINOA_FACE_W", "QUINOA_FACE_TF", "QUINOA_BOUNDS_W",
-            "QUINOA_RK_IN_KERNEL", "QUINOA_NEAR_NB")
+            "QUINOA_RK_IN_KERNEL", "QUINOA_NEAR_NB", "QUINOA_ABLATE")
     return not any(os.environ.get(k) for k in keys)
 
 
@@ -265,7 +265,7 @@ def orchestrate(deadline_s: float = 1500.0):
     _emit()
 
 
-def main(pref: bool = False, ndof: int = 4):
+def main(pref: bool = False, ndof: int = 4, nolimit: bool = False):
     from quinoa_tpu.mesh import box_tet_mesh
     from quinoa_tpu.pde.dg import build_dggeom, BC_SYMMETRY
     from quinoa_tpu.pde.dg_compflow import DGCompFlow
@@ -290,9 +290,10 @@ def main(pref: bool = False, ndof: int = 4):
     bc = {i: BC_SYMMETRY for i in range(1, 7)}
     geom = build_dggeom(mesh, ndof=ndof, bc_sidesets=bc)
     system = DGCompFlow(problem_cls(), riemann_flux="hllc")
-    solver = DGSolver(system, geom, cfl=0.5,
-                      limiter="superbeep1" if ndof == 4 else None,
-                      pref=pref)
+    solver = DGSolver(
+        system, geom, cfl=0.5,
+        limiter=("superbeep1" if ndof == 4 and not nolimit else None),
+        pref=pref)
     state = solver.initial_state()
 
     import jax.numpy as jnp
@@ -312,10 +313,13 @@ def main(pref: bool = False, ndof: int = 4):
     float(jnp.sum(state.u))
     dt = time.perf_counter() - t0
 
-    assert np.isfinite(np.asarray(state.u)).all()
+    if not (nolimit or os.environ.get("QUINOA_ABLATE")):
+        # ablation/unlimited timing runs are physically wrong by
+        # construction; only the timed wall-clock is meaningful
+        assert np.isfinite(np.asarray(state.u)).all()
     updates_per_sec = mesh.nelem * nsteps / dt
 
-    if ndof == 4 and not pref:
+    if ndof == 4 and not pref and not nolimit:
         # matched-L2 gate (headline config only): exits nonzero on a
         # physics mismatch BEFORE the perf line is emitted
         _l2_gate(system, geom, state, _flags_default())
@@ -342,6 +346,10 @@ if __name__ == "__main__":
         main(pref=True)
     elif len(sys.argv) > 1 and sys.argv[1] == "--dgp2":
         main(ndof=10)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--nolimit":
+        # timing-only: the headline config minus ALL limiter work
+        # (bounds+phi+vol kernel) — part of the ablation decomposition
+        main(nolimit=True)
     elif len(sys.argv) > 1 and sys.argv[1] == "--inner":
         main()
     else:

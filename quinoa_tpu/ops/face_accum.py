@@ -269,7 +269,7 @@ def _fused_plan_arrays(el, er, xi_l, xi_r, fn, farea, fmask, bctype,
 
     if nb is None:
         nb = int(os.environ.get("QUINOA_NEAR_NB", "2"))
-    assert nb in (2, 4)
+    assert nb in (2, 3, 4)
     el = np.asarray(el).astype(np.int64)
     er = np.asarray(er).astype(np.int64)
     F = el.shape[0]

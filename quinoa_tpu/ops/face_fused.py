@@ -715,19 +715,32 @@ def fused_face_pass_nearfar(system, geom, plan: AccumPlan, U,
             interpret=interpret,
         )(*args)
 
+    import os as _os
+
+    # QUINOA_ABLATE={near,far}: TIMING-ONLY debug switch that zeroes a
+    # whole stream's contribution (physically wrong — used to measure
+    # each pass group's in-step cost for the perf decomposition; the
+    # bench gate treats it as a non-default flag)
+    _abl = _os.environ.get("QUINOA_ABLATE", "")
+
     # near stream: both sides + dt rows, fully in-window (nbN output
     # arrays, one per block offset; masks pick each block's visited
     # phases and the sum reassembles the accumulation)
-    outsN = stream_call(fp.near, far=False)
-    masksN = [fp.near.mlo, fp.near.mhi] + [
-        fp.near.mex[j:j + 1] for j in range(nbN - 2)
-    ]
-    accN = sum(jnp.where(m > 0, o, 0.0)
-               for m, o in zip(masksN, outsN))[:, :plan.E]
+    if _abl == "near":
+        accN = jnp.zeros((CK1, plan.E), dt_)
+    else:
+        outsN = stream_call(fp.near, far=False)
+        masksN = [fp.near.mlo, fp.near.mhi] + [
+            fp.near.mex[j:j + 1] for j in range(nbN - 2)
+        ]
+        accN = sum(jnp.where(m > 0, o, 0.0)
+                   for m, o in zip(masksN, outsN))[:, :plan.E]
 
     # far stream: L side + wfl/mx emission
     FpF = fp.far.ntile * TF
-    import os as _os
+    if _abl == "far":
+        full = accN
+        return full[:CK], full[CK]
 
     if _os.environ.get("QUINOA_FAR_SR", "1") == "1":
         # er-sorted in-window right-state pass: sR at the face Gauss
