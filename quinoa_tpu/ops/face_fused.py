@@ -44,6 +44,44 @@ from .face_accum import AccumPlan, _one_pass
 from .mxu import onehot_dot, onehot_dotT
 
 
+def _use_lane_gather():
+    import os
+
+    return os.environ.get("QUINOA_LANE_GATHER", "0") == "1"
+
+
+def _lane_window_gather(blocks, loc, valid, TF, W, dt_):
+    """In-window gather via `tpu.dynamic_gather` lane gathers:
+    out[:, f] = window[:, loc[f]] for loc in [0, len(blocks)*W), zero
+    where ~valid — the QUINOA_LANE_GATHER alternative to the one-hot
+    gather masks + MXU dots (mask building is the face kernels'
+    dominant VPU cost; the ACCUMULATION direction keeps the one-hot
+    scheme, there being no scatter analog of dynamic_gather).  Source
+    and index vregs must be single 128-lane chunks (Mosaic lowering
+    restriction; same chunked select walk as nbr_bounds._bounds_body).
+    """
+    SUB = 128
+    R = blocks[0].shape[0]
+    outs = []
+    for o in range(TF // SUB):
+        loc_o = jax.lax.slice(loc, (o * SUB,), ((o + 1) * SUB,))
+        val_o = jax.lax.slice(valid, (o * SUB,), ((o + 1) * SUB,))
+        acc = jnp.zeros((R, SUB), dt_)
+        for b, blk in enumerate(blocks):
+            for s in range(W // SUB):
+                lb = loc_o - b * W - s * SUB
+                idx = jnp.clip(lb, 0, SUB - 1).astype(jnp.int32)
+                idx2 = jnp.broadcast_to(idx[None, :], (R, SUB))
+                sub = jax.lax.slice(blk, (0, s * SUB),
+                                    (R, (s + 1) * SUB))
+                gb = jnp.take_along_axis(sub, idx2, axis=1,
+                                         mode="promise_in_bounds")
+                inb = ((lb >= 0) & (lb < SUB) & (val_o > 0))[None, :]
+                acc = jnp.where(inb, gb, acc)
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _make_fused_kernel(system, TF, W, C, K, G, wface, emit_charvel):
     from ..pde.dg import BC_INTERIOR
 
@@ -389,17 +427,21 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
         hot_hi = jnp.where(locc - W == iota_a, 1.0, 0.0).astype(dt_) \
             * validf[:, None]
 
-        # gather-direction masks are built TRANSPOSED (Mosaic only
-        # lowers the bf16-split matmul on [1],[0] contractions)
-        iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
-        loc_g = loc[None, :]
-        hot_loT = jnp.where(iota_g == loc_g, 1.0, 0.0).astype(dt_) \
-            * validf[None, :]
-        hot_hiT = jnp.where(iota_g == loc_g - W, 1.0, 0.0).astype(dt_) \
-            * validf[None, :]
-
-        UvL = (onehot_dot(ulo_ref[...], hot_loT)
-               + onehot_dot(uhi_ref[...], hot_hiT))
+        lane = _use_lane_gather()
+        if lane:
+            UvL = _lane_window_gather(
+                [ulo_ref[...], uhi_ref[...]], loc, validf, TF, W, dt_)
+        else:
+            # gather-direction masks are built TRANSPOSED (Mosaic only
+            # lowers the bf16-split matmul on [1],[0] contractions)
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+            loc_g = loc[None, :]
+            hot_loT = jnp.where(iota_g == loc_g, 1.0, 0.0).astype(dt_) \
+                * validf[None, :]
+            hot_hiT = jnp.where(iota_g == loc_g - W, 1.0, 0.0) \
+                .astype(dt_) * validf[None, :]
+            UvL = (onehot_dot(ulo_ref[...], hot_loT)
+                   + onehot_dot(uhi_ref[...], hot_hiT))
         UvL = UvL.reshape(C, K, TF)
 
         if far and not sr_in:
@@ -409,21 +451,29 @@ def _make_nearfar_kernel(system, TF, W, C, K, G, wface, far,
             locr = (ker - b * W)[:, None]
             validr = jnp.where(ker >= 0, 1.0, 0.0).astype(dt_)
             # per output-aligned block j in [0, nb): accumulation-
-            # direction (TF, W) and gather-direction (W, TF) masks
+            # direction (TF, W) masks (the scatter side has no lane-
+            # gather analog)
             hot_r = [
                 jnp.where(locr - j * W == iota_a, 1.0, 0.0).astype(dt_)
                 * validr[:, None]
                 for j in range(nb)
             ]
-            locr_g = ker[None, :] - b * W
             ublocks = [ulo_ref, uhi_ref] + uex
-            UvR = sum(
-                onehot_dot(
-                    ublocks[j][...],
-                    jnp.where(iota_g == locr_g - j * W, 1.0, 0.0)
-                    .astype(dt_) * validr[None, :])
-                for j in range(nb)
-            ).reshape(C, K, TF)
+            if lane:
+                UvR = _lane_window_gather(
+                    [u[...] for u in ublocks], ker - b * W, validr,
+                    TF, W, dt_)
+            else:
+                iota_g = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+                locr_g = ker[None, :] - b * W
+                UvR = sum(
+                    onehot_dot(
+                        ublocks[j][...],
+                        jnp.where(iota_g == locr_g - j * W, 1.0, 0.0)
+                        .astype(dt_) * validr[None, :])
+                    for j in range(nb)
+                )
+            UvR = UvR.reshape(C, K, TF)
 
         xi_l = xil_ref[...].reshape(3, G, TF)
         B_l = eval_basis_cm(K, xi_l)
@@ -504,14 +554,18 @@ def _make_far_rstate_kernel(TF, W, C, K, G):
         ks = ks_ref[0, :]
         loc = ks - b * W
         validf = jnp.where(ks >= 0, 1.0, 0.0).astype(dt_)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
-        locr = loc[None, :]
-        hot_lo = jnp.where(iota == locr, 1.0, 0.0).astype(dt_) \
-            * validf[None, :]
-        hot_hi = jnp.where(iota == locr - W, 1.0, 0.0).astype(dt_) \
-            * validf[None, :]
-        u = (onehot_dot(ulo_ref[...], hot_lo)
-             + onehot_dot(uhi_ref[...], hot_hi))
+        if _use_lane_gather():
+            u = _lane_window_gather([ulo_ref[...], uhi_ref[...]],
+                                    loc, validf, TF, W, dt_)
+        else:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (W, TF), 0)
+            locr = loc[None, :]
+            hot_lo = jnp.where(iota == locr, 1.0, 0.0).astype(dt_) \
+                * validf[None, :]
+            hot_hi = jnp.where(iota == locr - W, 1.0, 0.0).astype(dt_) \
+                * validf[None, :]
+            u = (onehot_dot(ulo_ref[...], hot_lo)
+                 + onehot_dot(uhi_ref[...], hot_hi))
         UvR = u.reshape(C, K, TF)
         xi_r = xir_ref[...].reshape(3, G, TF)
         B_r = eval_basis_cm(K, xi_r)

@@ -292,6 +292,45 @@ def test_fused_nearfar_nb4_variant(monkeypatch):
                                rtol=0, atol=1e-11)
 
 
+def test_fused_nearfar_lane_gather_variant(monkeypatch):
+    """QUINOA_LANE_GATHER=1 swaps the kernels' one-hot GATHER masks +
+    MXU dots for tpu.dynamic_gather lane gathers (the accumulation
+    side keeps the one-hot scheme); gathers are exact either way, so
+    the rhs must match to accumulation-ulp level."""
+    import jax
+
+    from quinoa_tpu.ops.face_accum import build_accum_plan
+    from quinoa_tpu.pde.dg import dg_rhs
+
+    mesh = box_tet_mesh(5, 5, 4, hi=(0.5, 0.5, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    system = DGCompFlow(SedovBlastwave(), riemann_flux="hllc")
+    plan = build_accum_plan(geom, TF=128, W=128)
+
+    rng = np.random.default_rng(23)
+    E, K = geom.nelem, 4
+    U0 = np.zeros((5 * K, E))
+    U0[0] = 1.0 + 0.05 * rng.random(E)
+    U0[4 * K] = 2.5 + 0.05 * rng.random(E)
+    for ck in range(5 * K):
+        if ck % K:
+            U0[ck] = 0.01 * rng.random(E)
+    U = jnp.asarray(U0)
+
+    def rhs(g, p, u):
+        return dg_rhs(system, g, u, None, 0.0, accum_plan=p,
+                      face_gp=False, want_charvel=True)
+
+    r_def, d_def = jax.jit(rhs)(geom, plan, U)
+    monkeypatch.setenv("QUINOA_LANE_GATHER", "1")
+    r_lg, d_lg = jax.jit(rhs)(geom, plan, U)
+    np.testing.assert_allclose(np.asarray(r_lg), np.asarray(r_def),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d_lg), np.asarray(d_def),
+                               rtol=0, atol=1e-12)
+
+
 def test_fused_nearfar_far_sr_variant(monkeypatch):
     """QUINOA_FAR_SR=1 routes the far stream through the er-sorted
     right-state pass (sR at Gauss points, C*G rows) instead of the
