@@ -47,7 +47,10 @@ from .mxu import onehot_dot, onehot_dotT
 def _use_lane_gather():
     import os
 
-    return os.environ.get("QUINOA_LANE_GATHER", "0") == "1"
+    # DEFAULT ON since the round-5 on-chip A/B (v5e, 48^3 Sedov dgp1):
+    # 11.61M vs 11.38M cell-updates/s with an identical L2 trajectory;
+    # QUINOA_LANE_GATHER=0 restores the one-hot gather masks
+    return os.environ.get("QUINOA_LANE_GATHER", "1") == "1"
 
 
 def _lane_window_gather(blocks, loc, valid, TF, W, dt_):
