@@ -71,7 +71,7 @@ def _flags_default():
             "QUINOA_VOL_IN_KERNEL", "QUINOA_SPLIT_FAR_GATHER",
             "QUINOA_FACE_W", "QUINOA_FACE_TF", "QUINOA_BOUNDS_W",
             "QUINOA_RK_IN_KERNEL", "QUINOA_NEAR_NB", "QUINOA_ABLATE",
-            "QUINOA_LANE_GATHER")
+            "QUINOA_LANE_GATHER", "QUINOA_PHI_MXU")
     return not any(os.environ.get(k) for k in keys)
 
 

@@ -276,7 +276,7 @@ def neighbor_mean_bounds(plan: BoundsPlan, u0, interpret=None):
 
 
 def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
-                              vol=None, rk=None):
+                              vol=None, rk=None, phi_mxu=False):
     """Bounds + Superbee phi + P1-mode scaling in ONE window pass: the
     separate XLA phi chain (12 Gauss evaluations over (C, E) slabs with
     HBM round trips between the bounds kernel and the mode multiply)
@@ -303,6 +303,8 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
     def kernel(nbr_ref, um1_ref, u0_ref, up1_ref, fx_ref, fn_ref,
                fpos_ref, uf_ref, *rest):
         rest = list(rest)
+        if phi_mxu:
+            bblk_ref = rest.pop(0)
         if rk is not None:
             un_ref, r_ref, dov_ref = rest[:3]
             rest = rest[3:]
@@ -343,13 +345,30 @@ def _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
         eps = 1.0e-14
         one = jnp.ones_like(u0)
         phi = one
+        # phi_mxu: evaluate ALL 4*G face-point states with ONE
+        # (12C, CK) x (CK, W) MXU dot (the Bself table rides in as a
+        # kernel input — array constants can't be captured) instead of
+        # 12 per-point K-term FMA row chains; the per-point select
+        # logic below is unchanged.
+        if phi_mxu:
+            ufstack = (jnp.stack([row(i) for i in range(C * K)])
+                       if rk is not None else uf)
+            G4C = 4 * G * C
+            bb = jax.lax.slice(bblk_ref[...], (0, 0), (G4C, C * K))
+            Sall = jax.lax.dot(bb, ufstack,
+                               precision="highest")  # (4*G*C, W)
         for lf in range(4):
             for g in range(G):
-                state = jnp.stack([
-                    sum(float(Bself[lf, g, k]) * row(c * K + k)
-                        for k in range(K))
-                    for c in range(C)
-                ])
+                if phi_mxu:
+                    p = lf * G + g
+                    state = jax.lax.slice_in_dim(
+                        Sall, p * C, (p + 1) * C, axis=0)
+                else:
+                    state = jnp.stack([
+                        sum(float(Bself[lf, g, k]) * row(c * K + k)
+                            for k in range(K))
+                        for c in range(C)
+                    ])
                 uNeg = state - u0
                 up = jnp.minimum(
                     1.0, (vmax - u0)
@@ -469,6 +488,24 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
         pl.BlockSpec((C * K, W), lambda t: (0, t)),
     ]
     args = [plan.nbr, u0p, u0p, u0p, fx, fn, plan.fpos, Ufp]
+    import os as _os
+
+    phi_mxu = _os.environ.get("QUINOA_PHI_MXU", "0") == "1"
+    if phi_mxu:
+        # block-diagonal (4G*C, C*K) Bself table: row (p*C + c) holds
+        # Bself[lf, g, :] at columns [c*K, (c+1)*K), p = lf*G + g;
+        # padded to (8, 128)-aligned tiles for the block transfer (the
+        # kernel slices back to the true extents before the dot)
+        G4 = Bself.shape[0] * Bself.shape[1]
+        Rp = -(-(G4 * C) // 8) * 8
+        Cp = max(128, -(-(C * K) // 128) * 128)
+        bblk = np.zeros((Rp, Cp), dt_)
+        Bs2 = Bself.reshape(G4, K)
+        for p in range(G4):
+            for c in range(C):
+                bblk[p * C + c, c * K:(c + 1) * K] = Bs2[p]
+        in_specs.append(pl.BlockSpec((Rp, Cp), lambda t: (0, 0)))
+        args.append(jnp.asarray(bblk))
     if rk is not None:
         in_specs += [
             pl.BlockSpec((C * K, W), lambda t: (0, t)),   # anchor un
@@ -503,7 +540,7 @@ def superbee_limit_window(plan: BoundsPlan, geom, U, C,
                      jax.ShapeDtypeStruct((C * K, plan.Ep), dt_)]
     out = pl.pallas_call(
         _make_bounds_limit_kernel(W, C, K, FTE, Bself, beta_lim,
-                                  vol=vol, rk=rk),
+                                  vol=vol, rk=rk, phi_mxu=phi_mxu),
         grid=(ntile,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -427,6 +427,30 @@ def test_superbee_limit_window_matches_split_path(monkeypatch):
     assert np.isclose(float(s_v.dt), float(s_ref.dt), rtol=1e-12)
 
 
+def test_phi_mxu_limit_matches(monkeypatch):
+    """QUINOA_PHI_MXU=1 batches the limit kernel's 12 face-point state
+    evaluations into one block-diagonal MXU dot; the limited state must
+    match the per-point FMA chains to summation-reorder tolerance."""
+    from quinoa_tpu.ops.nbr_bounds import (build_bounds_plan,
+                                           superbee_limit_window)
+
+    mesh = box_tet_mesh(6, 6, 4, hi=(0.6, 0.6, 0.4))
+    bc = {i: BC_SYMMETRY for i in range(1, 7)}
+    geom = build_dggeom(mesh, ndof=4, bc_sidesets=bc)
+    plan = build_bounds_plan(geom, W=128)
+
+    rng = np.random.default_rng(29)
+    C, K, E = 5, 4, geom.nelem
+    U0 = rng.standard_normal((C * K, E)) * 0.1
+    U0[[c * K for c in range(C)]] += 2.0
+    U = jnp.asarray(U0)
+    ref = superbee_limit_window(plan, geom, U, C)
+    monkeypatch.setenv("QUINOA_PHI_MXU", "1")
+    new = superbee_limit_window(plan, geom, U, C)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=0, atol=1e-12)
+
+
 def test_rk_update_in_limit_kernel_matches(monkeypatch):
     """QUINOA_RK_IN_KERNEL folds stages 0-1's RK update into the NEXT
     stage's bounds/limit kernel prologue (block-local un/r/dt-over-vol
